@@ -1,0 +1,54 @@
+"""Shared fixtures and helpers for the xmtpu test suite.
+
+Test strategy per SURVEY.md §4.2: the oracle is a float64 CPU golden
+implementation (scipy/numpy); the driver metric is RMS dB error vs that
+oracle with a <= -80 dB target (BASELINE.json:2,5).
+
+The suite runs on whatever backend JAX picks (the real TPU chip in this
+environment; CPU elsewhere). Pallas kernels additionally run under
+interpret mode so the suite is TPU-optional.
+"""
+
+from __future__ import annotations
+
+import os
+
+# Persist XLA compilations across test runs (first TPU compile is slow).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/xmtpu_jax_cache")
+
+import numpy as np
+import pytest
+
+
+def rms_db(err: np.ndarray, ref: np.ndarray) -> float:
+    """RMS error in dB relative to the reference signal power
+    (the BASELINE.json:2 accuracy metric)."""
+    err = np.asarray(err, np.float64)
+    ref = np.asarray(ref, np.float64)
+    p_ref = np.mean(ref**2)
+    p_err = np.mean(err**2)
+    if p_err == 0:
+        return -np.inf
+    return float(10.0 * np.log10(p_err / p_ref))
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(20260816)
+
+
+@pytest.fixture(scope="session")
+def signals(rng):
+    """Small standard test signals (f32, ~0.3 peak): noise, sine, sweep."""
+
+    def make(n, sr):
+        t = np.arange(n) / sr
+        return {
+            "noise": (0.3 * rng.standard_normal(n)).astype(np.float32),
+            "sine": (0.3 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32),
+            "sweep": (
+                0.3 * np.sin(2 * np.pi * (20.0 * n / sr) * t**2 / (2 * t[-1] + 1e-9))
+            ).astype(np.float32),
+        }
+
+    return make

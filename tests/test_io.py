@@ -1,0 +1,64 @@
+"""WAV codec + decoder-handle tests (reference parity surface:
+audio_decoder_create/seek/get_pcm per SURVEY.md §2.1)."""
+
+import numpy as np
+import pytest
+
+from xmtpu.io import read_wav, write_wav, open_audio
+from xmtpu.io.wav import wav_info
+
+
+def test_wav_roundtrip_mono(tmp_path, rng):
+    pcm = (rng.standard_normal(8000) * 8000).astype(np.int16)
+    p = tmp_path / "m.wav"
+    write_wav(p, pcm, 16000)
+    back, sr = read_wav(p)
+    assert sr == 16000
+    np.testing.assert_array_equal(back[:, 0], pcm)
+
+
+def test_wav_roundtrip_stereo(tmp_path, rng):
+    pcm = (rng.standard_normal((8000, 2)) * 8000).astype(np.int16)
+    p = tmp_path / "s.wav"
+    write_wav(p, pcm, 44100)
+    back, sr = read_wav(p)
+    assert sr == 44100
+    assert back.shape == (8000, 2)
+    np.testing.assert_array_equal(back, pcm)
+
+
+def test_wav_info(tmp_path, rng):
+    pcm = (rng.standard_normal((123, 2)) * 100).astype(np.int16)
+    p = tmp_path / "i.wav"
+    write_wav(p, pcm, 48000)
+    info = wav_info(p)
+    assert (info.sample_rate, info.num_channels, info.num_samples,
+            info.sample_width) == (48000, 2, 123, 2)
+
+
+def test_decoder_handle_seek_read(tmp_path):
+    sr = 16000
+    pcm = np.arange(sr, dtype=np.int16)  # 1s ramp: sample value == index
+    p = tmp_path / "d.wav"
+    write_wav(p, pcm, sr)
+    with open_audio(p) as d:
+        assert d.sample_rate == sr and d.num_samples == sr
+        a = d.read(100)
+        np.testing.assert_array_equal(a[:, 0], np.arange(100))
+        d.seek(500.0)  # 500 ms -> sample 8000
+        b = d.read(10)
+        np.testing.assert_array_equal(b[:, 0], np.arange(8000, 8010))
+        d.seek(999.9)
+        tail = d.read(1 << 20)  # short read at EOF
+        assert tail.shape[0] == sr - int(round(0.9999 * sr))
+        assert d.read(10).shape[0] == 0
+
+
+def test_open_audio_unknown_extension(tmp_path):
+    with pytest.raises(ValueError, match="no decoder backend"):
+        open_audio(tmp_path / "x.mp3")
+
+
+def test_write_wav_rejects_float(tmp_path):
+    with pytest.raises(TypeError):
+        write_wav(tmp_path / "f.wav", np.zeros(10, np.float32), 16000)

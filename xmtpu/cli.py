@@ -1,0 +1,115 @@
+"""Command-line interface (layer N6 in SURVEY.md §1.2).
+
+Reference analogue: the one-shot generator entry point
+(``xm_audio_generator_start`` in ``src/xm_audio_generator.c`` [upstream,
+SURVEY.md §2.1]) plus the Android demo flows. Subcommands:
+
+    xmtpu resample in.wav out.wav --rate 16000
+    xmtpu mix config.json out.wav
+    xmtpu effects in.wav out.wav --chain fx.json
+    xmtpu generate config.json out.wav        # full pipeline, progress %
+    xmtpu bench [--config N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _cmd_resample(args) -> int:
+    import numpy as np
+    from xmtpu import api
+    from xmtpu.io import read_wav, write_wav
+
+    pcm, sr = read_wav(args.input)
+    t0 = time.perf_counter()
+    out = api.resample(pcm, sr, args.rate)
+    dt = time.perf_counter() - t0
+    write_wav(args.output, np.asarray(out), args.rate)
+    dur = pcm.shape[0] / sr
+    print(f"resampled {dur:.2f}s {sr}->{args.rate} Hz in {dt*1e3:.1f} ms "
+          f"({dur/dt:.0f}x realtime)")
+    return 0
+
+
+def _cmd_mix(args) -> int:
+    from xmtpu import api
+    from xmtpu.config.schema import load_config
+
+    cfg = load_config(args.config)
+    api.process_file(None, cfg, args.output, progress=_print_progress)
+    print()
+    return 0
+
+
+def _cmd_effects(args) -> int:
+    import numpy as np
+    from xmtpu import api
+    from xmtpu.io import read_wav, write_wav
+    from xmtpu.config.schema import EffectConfig
+
+    pcm, sr = read_wav(args.input)
+    with open(args.chain) as f:
+        chain = [EffectConfig(name=e["name"], params=e.get("params", {}))
+                 for e in json.load(f)]
+    out = api.effects(pcm, sr, chain)
+    write_wav(args.output, np.asarray(out), sr)
+    return 0
+
+
+def _print_progress(pct: float) -> None:
+    sys.stdout.write(f"\rprogress: {pct:5.1f}%")
+    sys.stdout.flush()
+
+
+def _cmd_generate(args) -> int:
+    return _cmd_mix(args)
+
+
+def _cmd_bench(args) -> int:
+    from xmtpu import benchmarks
+
+    benchmarks.run(config=args.config)
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="xmtpu",
+                                description="TPU-native audio preprocessing")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("resample", help="rate-convert a WAV file")
+    pr.add_argument("input")
+    pr.add_argument("output")
+    pr.add_argument("--rate", type=int, required=True)
+    pr.set_defaults(fn=_cmd_resample)
+
+    pm = sub.add_parser("mix", help="mix tracks per a JSON config")
+    pm.add_argument("config")
+    pm.add_argument("output")
+    pm.set_defaults(fn=_cmd_mix)
+
+    pe = sub.add_parser("effects", help="apply an effect chain to a WAV")
+    pe.add_argument("input")
+    pe.add_argument("output")
+    pe.add_argument("--chain", required=True, help="JSON effect chain file")
+    pe.set_defaults(fn=_cmd_effects)
+
+    pg = sub.add_parser("generate", help="one-shot: config -> mixed file")
+    pg.add_argument("config")
+    pg.add_argument("output")
+    pg.set_defaults(fn=_cmd_generate)
+
+    pb = sub.add_parser("bench", help="run the benchmark harness")
+    pb.add_argument("--config", type=int, default=None)
+    pb.set_defaults(fn=_cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,136 @@
+"""Config schema: tracks + effects, JSON <-> frozen dataclasses.
+
+Field names keep the reference's JSON vocabulary (``url``, ``volume``,
+``fadeInTimeMs``/``fadeOutTimeMs``, ``startTimeMs``/``endTimeMs``,
+per-effect name+params — upstream ``mixer_config`` fields per SURVEY.md
+§2.1/§5 "Config / flag system"; the snapshot is a stub so names are
+best-effort reference-parity, pinned here as THE schema).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field, asdict
+from typing import Any
+
+
+@dataclass(frozen=True)
+class EffectConfig:
+    """One effect in a chain: name + free-form params.
+
+    Known names: ``equalizer`` (params: bands=[{freq_hz, gain_db, q}]),
+    ``reverb`` (params: ir_seconds | ir_wav, wet, dry),
+    ``limiter`` (params: threshold_db, knee_db, attack_ms, release_ms),
+    ``volume`` (params: gain_db).
+    """
+
+    name: str
+    params: dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass(frozen=True)
+class TrackConfig:
+    """One input track of the mixer (reference: a 'url' entry in the
+    mixer JSON with timing/volume/fade fields)."""
+
+    url: str | None = None  # file path; None when PCM is passed directly
+    kind: str = "voice"  # voice | bgm | music (reference track classes)
+    volume: float = 1.0  # linear gain (reference used 0..100; we pin linear)
+    start_time_ms: float = 0.0  # placement offset in the output timeline
+    end_time_ms: float | None = None  # trim point in the output timeline
+    fade_in_ms: float = 0.0
+    fade_out_ms: float = 0.0
+    loop: bool = False  # BGM looping (reference loops bgm under voice)
+    side_duck: bool = False  # duck this track under voice (reference bgm)
+
+    def __post_init__(self):
+        if self.volume < 0:
+            raise ValueError(f"track volume must be >= 0, got {self.volume}")
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Whole-pipeline description: tracks, effect chain, output format."""
+
+    tracks: tuple[TrackConfig, ...] = ()
+    effects: tuple[EffectConfig, ...] = ()  # applied to the voice bus
+    master_effects: tuple[EffectConfig, ...] = ()  # applied post-mix
+    sample_rate: int = 16000  # output rate; tracks are resampled to it
+    channels: int = 1
+    normalize: str | None = "peak"  # None | "peak" | "loudness"
+    normalize_target_db: float = -1.0  # peak target (dBFS)
+    block_size: int = 65536  # device block length (samples)
+
+
+def _effect_from_json(d: dict) -> EffectConfig:
+    return EffectConfig(name=d["name"], params=dict(d.get("params", {})))
+
+
+def _track_from_json(d: dict) -> TrackConfig:
+    return TrackConfig(
+        url=d.get("url"),
+        kind=d.get("kind", "voice"),
+        volume=float(d.get("volume", 1.0)),
+        start_time_ms=float(d.get("startTimeMs", 0.0)),
+        end_time_ms=(None if d.get("endTimeMs") is None else float(d["endTimeMs"])),
+        fade_in_ms=float(d.get("fadeInTimeMs", 0.0)),
+        fade_out_ms=float(d.get("fadeOutTimeMs", 0.0)),
+        loop=bool(d.get("loop", False)),
+        side_duck=bool(d.get("sideDuck", False)),
+    )
+
+
+def config_from_dict(d: dict) -> PipelineConfig:
+    return PipelineConfig(
+        tracks=tuple(_track_from_json(t) for t in d.get("tracks", [])),
+        effects=tuple(_effect_from_json(e) for e in d.get("effects", [])),
+        master_effects=tuple(_effect_from_json(e) for e in d.get("masterEffects", [])),
+        sample_rate=int(d.get("sampleRate", 16000)),
+        channels=int(d.get("channels", 1)),
+        normalize=d.get("normalize", "peak"),
+        normalize_target_db=float(d.get("normalizeTargetDb", -1.0)),
+        block_size=int(d.get("blockSize", 65536)),
+    )
+
+
+def config_to_dict(cfg: PipelineConfig) -> dict:
+    return {
+        "tracks": [
+            {
+                "url": t.url,
+                "kind": t.kind,
+                "volume": t.volume,
+                "startTimeMs": t.start_time_ms,
+                "endTimeMs": t.end_time_ms,
+                "fadeInTimeMs": t.fade_in_ms,
+                "fadeOutTimeMs": t.fade_out_ms,
+                "loop": t.loop,
+                "sideDuck": t.side_duck,
+            }
+            for t in cfg.tracks
+        ],
+        "effects": [asdict(e) for e in cfg.effects],
+        "masterEffects": [asdict(e) for e in cfg.master_effects],
+        "sampleRate": cfg.sample_rate,
+        "channels": cfg.channels,
+        "normalize": cfg.normalize,
+        "normalizeTargetDb": cfg.normalize_target_db,
+        "blockSize": cfg.block_size,
+    }
+
+
+def load_config(path_or_str) -> PipelineConfig:
+    """Load a PipelineConfig from a JSON file path or a JSON string."""
+    s = str(path_or_str)
+    if s.lstrip().startswith("{"):
+        return config_from_dict(json.loads(s))
+    with open(s) as f:
+        return config_from_dict(json.load(f))
+
+
+def dump_config(cfg: PipelineConfig, path=None) -> str:
+    s = json.dumps(config_to_dict(cfg), indent=2)
+    if path is not None:
+        with open(path, "w") as f:
+            f.write(s)
+    return s

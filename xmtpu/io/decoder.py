@@ -1,0 +1,96 @@
+"""Decoder interface: uniform handle-style access to audio files.
+
+Reference analogue: ``audio_decoder_create / audio_decoder_seekTo /
+audio_decoder_get_decoded_frame / audio_decoder_freep`` in
+``src/codec/audio_decoder.c`` [upstream, SURVEY.md §2.1] — an opaque
+handle that opens any supported file and yields PCM at a requested
+rate/channel count, with seek.
+
+Here the handle is a small Python class over pluggable backends:
+
+* :class:`WavDecoder` — always available (stdlib), the default test
+  surface (this environment ships no ffmpeg binary).
+* an optional FFmpeg-backed decoder can be registered via
+  :func:`register_backend` when a native shim is present (built by
+  ``xmtpu/native``); mp3/aac decode parity is untestable in this
+  environment and explicitly out of the golden-test surface
+  (SURVEY.md §7.3 "No ffmpeg in env").
+
+Rate conversion is NOT done here — decode returns the file's native
+rate; resampling is a device-side op (``xmtpu.ops.resample``). This is
+the one deliberate API difference from the reference (which resampled
+inside the decoder on the host): keeping decode "thin" is what lets the
+whole DSP chain run fused on-chip (``BASELINE.json:5``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+
+from xmtpu.io.wav import read_wav
+
+
+class Decoder:
+    """Handle-style PCM reader over a fully-decoded in-memory clip."""
+
+    def __init__(self, pcm: np.ndarray, sample_rate: int):
+        if pcm.ndim == 1:
+            pcm = pcm[:, None]
+        self._pcm = pcm
+        self.sample_rate = int(sample_rate)
+        self.num_channels = pcm.shape[1]
+        self.num_samples = pcm.shape[0]
+        self._pos = 0
+
+    # -- reference-parity surface (create/seek/read/free style) --
+    def seek(self, ms: float) -> None:
+        self._pos = min(self.num_samples, max(0, int(round(ms * self.sample_rate / 1000.0))))
+
+    def read(self, num_samples: int) -> np.ndarray:
+        """Read up to num_samples frames; short read at EOF (empty at end)."""
+        out = self._pcm[self._pos : self._pos + num_samples]
+        self._pos += out.shape[0]
+        return out
+
+    def read_all(self) -> np.ndarray:
+        return self._pcm
+
+    @property
+    def position_ms(self) -> float:
+        return self._pos * 1000.0 / self.sample_rate
+
+    def close(self) -> None:
+        pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def _wav_backend(path: str) -> Decoder:
+    pcm, sr = read_wav(path)
+    return Decoder(pcm, sr)
+
+
+_BACKENDS: dict[str, Callable[[str], Decoder]] = {"wav": _wav_backend}
+
+
+def register_backend(extension: str, factory: Callable[[str], Decoder]) -> None:
+    """Register a decoder backend for a file extension (e.g. an FFmpeg shim)."""
+    _BACKENDS[extension.lower().lstrip(".")] = factory
+
+
+def open_audio(path) -> Decoder:
+    """Open an audio file with the backend registered for its extension."""
+    ext = str(path).rsplit(".", 1)[-1].lower()
+    backend = _BACKENDS.get(ext)
+    if backend is None:
+        raise ValueError(
+            f"no decoder backend for '.{ext}' (available: {sorted(_BACKENDS)}); "
+            "WAV is always supported; register an FFmpeg shim for compressed formats"
+        )
+    return backend(str(path))

@@ -1,0 +1,71 @@
+"""Stdlib WAV codec: file -> int16 numpy PCM and back.
+
+Reference analogue: the WAV/PCM branch of the FFmpeg decoder plus the
+raw-PCM reader (``src/codec/audio_decoder.c``, ``src/tools/util.c``
+[upstream, SURVEY.md §2.1 — snapshot is a stub]). PCM layout convention
+throughout xmtpu: ``(num_samples, num_channels)`` int16, C-order
+(i.e. interleaved on disk, deinterleaved in memory).
+
+Supported: 16-bit PCM WAV read/write (the framework's native format),
+plus 8-bit unsigned and 32-bit PCM read (converted to int16).
+"""
+
+from __future__ import annotations
+
+import wave
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class WavInfo:
+    sample_rate: int
+    num_channels: int
+    num_samples: int
+    sample_width: int  # bytes per sample on disk
+
+
+def read_wav(path) -> tuple[np.ndarray, int]:
+    """Read a WAV file -> (int16 array of shape (n, channels), sample_rate)."""
+    with wave.open(str(path), "rb") as w:
+        nch = w.getnchannels()
+        width = w.getsampwidth()
+        sr = w.getframerate()
+        n = w.getnframes()
+        raw = w.readframes(n)
+    if width == 2:
+        pcm = np.frombuffer(raw, dtype="<i2")
+    elif width == 1:
+        # 8-bit WAV is unsigned; recenter and scale to int16
+        pcm = ((np.frombuffer(raw, dtype=np.uint8).astype(np.int16) - 128) << 8)
+    elif width == 4:
+        pcm = (np.frombuffer(raw, dtype="<i4") >> 16).astype(np.int16)
+    else:
+        raise ValueError(f"unsupported WAV sample width: {width} bytes")
+    pcm = pcm.astype(np.int16, copy=False).reshape(-1, nch)
+    return pcm, sr
+
+
+def write_wav(path, pcm: np.ndarray, sample_rate: int) -> None:
+    """Write an int16 array of shape (n,) or (n, channels) as 16-bit PCM WAV."""
+    pcm = np.asarray(pcm)
+    if pcm.dtype != np.int16:
+        raise TypeError(f"write_wav expects int16 PCM, got {pcm.dtype}")
+    if pcm.ndim == 1:
+        pcm = pcm[:, None]
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(pcm.shape[1])
+        w.setsampwidth(2)
+        w.setframerate(int(sample_rate))
+        w.writeframes(np.ascontiguousarray(pcm).astype("<i2").tobytes())
+
+
+def wav_info(path) -> WavInfo:
+    with wave.open(str(path), "rb") as w:
+        return WavInfo(
+            sample_rate=w.getframerate(),
+            num_channels=w.getnchannels(),
+            num_samples=w.getnframes(),
+            sample_width=w.getsampwidth(),
+        )

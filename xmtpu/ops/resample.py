@@ -1,0 +1,215 @@
+"""Polyphase-FIR sample-rate conversion (e.g. 44.1 kHz -> 16 kHz).
+
+Reference analogue: the resampler C loop under ``lib-audio-utils/src/
+effects/`` [upstream, SURVEY.md §2.1] — a windowed-sinc polyphase FIR per
+``BASELINE.json:5,7``.
+
+TPU-native design (not a translation of the C inner loop):
+
+* **Filter design** happens once on the host (scipy Kaiser window),
+  cached; only the polyphase tap table ships to the device.
+* **Pinned semantics** (SURVEY.md §7.3 "Rate-conversion length
+  semantics"): the filter is odd-length symmetric, so its group delay is
+  an integer number of upsampled samples; output sample ``j`` is the
+  upsampled-domain convolution evaluated at ``t = j*M + (ntaps-1)//2``,
+  and ``out_len = ceil(n * L / M)``. These match
+  ``scipy.signal.resample_poly`` for odd-length filters.
+* **Phase-grouped dense compute**: output index ``j = c*L + r``
+  decomposes so that phase and window offset depend only on ``r`` —
+  the whole resample becomes ``einsum('...clk,lk->...cl')`` over a
+  frame tensor built from static slices + reshapes. No gathers (TPUs
+  hate gathers — SURVEY.md §7.3), no dynamic shapes; the einsum runs
+  at ``precision=HIGHEST`` because TPU default matmul precision is
+  bf16, which audibly corrupts DSP (SURVEY.md §7.4①).
+
+A Pallas kernel twin (``xmtpu.kernels.resample``) reuses the same plan
+and tap table; this module is the oracle/fallback.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import signal as _sig
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+@lru_cache(maxsize=64)
+def design_polyphase_filter(
+    L: int, M: int, taps_per_phase: int = 24, beta: float = 9.0
+) -> np.ndarray:
+    """Design the odd-length Kaiser-window lowpass for L/M resampling.
+
+    Cutoff is min(pi/L, pi/M) in the L-upsampled domain; gain is L to
+    compensate the energy lost to zero-insertion. Returned as float64,
+    length ``taps_per_phase * L (+1 to make it odd)``.
+    """
+    nt = taps_per_phase * L
+    if nt % 2 == 0:
+        nt += 1
+    cutoff = 1.0 / max(L, M)  # fraction of the upsampled Nyquist
+    h = _sig.firwin(nt, cutoff, window=("kaiser", beta))
+    return (L * h).astype(np.float64)
+
+
+@dataclass(frozen=True)
+class ResamplePlan:
+    """Static plan for one (L, M, filter) combination.
+
+    All tables are computed with host numpy at build time and enter the
+    jitted computation as constants — nothing here is traced.
+    """
+
+    L: int
+    M: int
+    taps: np.ndarray  # full filter, float64, odd length
+    K2: int  # taps per phase (padded)
+    base: int  # min window start (folded into the left pad)
+    width: int  # frame width needed to cover all phases
+    col_start: np.ndarray  # [L] window start inside a frame, per residue
+    hsel: np.ndarray  # [L, K2] reversed taps for residue r's phase
+    hbank: np.ndarray  # [width, L] dense filter bank (hsel placed at col_start)
+    pad_left: int
+
+    @property
+    def ntaps(self) -> int:
+        return len(self.taps)
+
+
+@lru_cache(maxsize=64)
+def _make_plan(L: int, M: int, taps_per_phase: int, beta: float) -> ResamplePlan:
+    h = design_polyphase_filter(L, M, taps_per_phase, beta)
+    nt = len(h)
+    offset = (nt - 1) // 2  # integer group delay in upsampled samples
+    K2 = _cdiv(nt, L)
+    hpad = np.zeros(K2 * L, np.float64)
+    hpad[:nt] = h
+    # polyphase decomposition: hpoly[p, q] = h[p + q*L]
+    hpoly = hpad.reshape(K2, L).T  # [L, K2]
+
+    # For output j = c*L + r: t = j*M + offset; phase p(r) = t mod L and
+    # window base B(r) = (t - p)/L - c*M depend only on r.
+    r = np.arange(L)
+    t0 = r * M + offset
+    p = t0 % L
+    B = (t0 - p) // L
+    # window for (c, r) = x[c*M + B[r] - q], q=0..K2-1  (ascending slice of
+    # K2 samples ending at c*M + B[r]); taps therefore enter reversed.
+    pad_left = K2  # guarantees start indices are >= 0 after padding
+    S = B - K2 + 1 + pad_left
+    base = int(S.min())
+    width = int(S.max()) - base + K2
+    hsel = hpoly[p][:, ::-1]  # [L, K2] reversed taps for residue r
+    col_start = (S - base).astype(np.int64)
+    # Dense filter bank: hbank[u, r] = hsel[r, u - col_start[r]] (0 outside).
+    # Turns the whole resample into ONE matmul F[nj, width] @ hbank — the
+    # MXU-native formulation (the ~(1 - K2/width) zero-FLOP overhead is
+    # free next to the matmul's bandwidth win over gathered windows).
+    hbank = np.zeros((width, L), np.float64)
+    for r in range(L):
+        hbank[col_start[r] : col_start[r] + K2, r] = hsel[r]
+    return ResamplePlan(
+        L=L,
+        M=M,
+        taps=h,
+        K2=K2,
+        base=base,
+        width=width,
+        col_start=col_start,
+        hsel=np.ascontiguousarray(hsel, dtype=np.float64),
+        hbank=hbank,
+        pad_left=pad_left,
+    )
+
+
+def resample_output_len(n: int, L: int, M: int) -> int:
+    """Pinned output-length rule: ceil(n * L / M) (matches resample_poly)."""
+    return _cdiv(n * L, M)
+
+
+def polyphase_resample(
+    x: jnp.ndarray,
+    sr_in: int,
+    sr_out: int,
+    taps_per_phase: int = 24,
+    beta: float = 9.0,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Resample the last axis of ``x`` from sr_in to sr_out. Jittable.
+
+    ``x``: float array shaped (..., n). Returns (..., ceil(n*L/M)).
+    """
+    g = math.gcd(int(sr_in), int(sr_out))
+    L, M = sr_out // g, sr_in // g
+    if L == M:
+        return x.astype(dtype)
+    plan = _make_plan(L, M, taps_per_phase, beta)
+    return _apply_plan(x, plan, dtype)
+
+
+def _apply_plan(x: jnp.ndarray, plan: ResamplePlan, dtype) -> jnp.ndarray:
+    L, M, K2 = plan.L, plan.M, plan.K2
+    n = x.shape[-1]
+    out_len = resample_output_len(n, L, M)
+    nj = _cdiv(out_len, L)  # number of L-sample output blocks
+
+    x = x.astype(dtype)
+    batch = x.shape[:-1]
+
+    # frames F[..., c, u] = xpad[..., c*M + u] for u in [0, width);
+    # window for (c, r) is F[..., c, col_start[r] : col_start[r]+K2].
+    nslab = _cdiv(plan.width, M) + 1
+    rows = nj + nslab
+    need = rows * M
+    pad_r = max(0, plan.base + need - (n + plan.pad_left))
+    xpad = jnp.pad(x, [(0, 0)] * len(batch) + [(plan.pad_left, pad_r)])
+    xs = jax.lax.slice_in_dim(xpad, plan.base, plan.base + need, axis=-1)
+    A = xs.reshape(*batch, rows, M)
+    F = jnp.concatenate([A[..., i : i + nj, :] for i in range(nslab)], axis=-1)
+    F = F[..., : plan.width]
+
+    # one MXU matmul: [..., nj, width] @ [width, L] -> [..., nj, L]
+    hbank = jnp.asarray(plan.hbank, dtype=dtype)
+    out2d = jnp.matmul(F, hbank, precision=jax.lax.Precision.HIGHEST)
+    return out2d.reshape(*batch, nj * L)[..., :out_len]
+
+
+# ---------------------------------------------------------------------------
+# Host oracle (float64, scipy) — the golden reference for all resample tests.
+# ---------------------------------------------------------------------------
+
+
+def resample_oracle_np(
+    x: np.ndarray, sr_in: int, sr_out: int, taps_per_phase: int = 24, beta: float = 9.0
+) -> np.ndarray:
+    """Float64 host implementation of the EXACT pinned semantics.
+
+    Uses scipy.signal.upfirdn; the group-delay offset is folded into the
+    filter by pre-padding zeros so the M-strided output lands on
+    ``t = j*M + offset`` (SURVEY.md §7.3 delay-semantics rule).
+    """
+    g = math.gcd(int(sr_in), int(sr_out))
+    L, M = sr_out // g, sr_in // g
+    if L == M:
+        return x.astype(np.float64)
+    h = design_polyphase_filter(L, M, taps_per_phase, beta)
+    nt = len(h)
+    offset = (nt - 1) // 2
+    out_len = resample_output_len(x.shape[-1], L, M)
+    s = (-offset) % M
+    d = (offset + s) // M
+    h2 = np.concatenate([np.zeros(s), h])
+    z = _sig.upfirdn(h2, x.astype(np.float64), up=L, down=M, axis=-1)
+    y = z[..., d : d + out_len]
+    if y.shape[-1] < out_len:  # upfirdn's conv can end before our last sample
+        padw = [(0, 0)] * (y.ndim - 1) + [(0, out_len - y.shape[-1])]
+        y = np.pad(y, padw)
+    return y
