@@ -1,0 +1,120 @@
+"""Golden tests for mixing (config 2, BASELINE.json:8): fades, gain,
+N-track sum, normalization, timeline placement, looping."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from xmtpu import api
+from xmtpu.ops import mix as M
+from tests.conftest import rms_db
+
+TARGET_DB = -80.0
+
+
+def test_fade_ramp_boundary_samples():
+    """Pinned ramp rule: first sample 1/F, sample F-1 unity; last sample 1/F."""
+    g = np.asarray(M.fade_ramp(10, 4, 3, 10))
+    want = M.fade_ramp_np(10, 4, 3, 10)
+    np.testing.assert_allclose(g, want, rtol=1e-6)
+    assert want[0] == pytest.approx(1 / 4)
+    assert want[3] == pytest.approx(1.0)
+    assert want[-1] == pytest.approx(1 / 3)
+    assert want[-3] == pytest.approx(1.0)
+
+
+def test_fade_ramp_offset_blocks():
+    """Ramp computed block-by-block (offset) == ramp computed whole."""
+    whole = np.asarray(M.fade_ramp(1000, 100, 200, 1000))
+    parts = np.concatenate(
+        [np.asarray(M.fade_ramp(250, 100, 200, 1000, offset=o))
+         for o in range(0, 1000, 250)]
+    )
+    np.testing.assert_allclose(parts, whole, rtol=1e-6)
+
+
+@pytest.mark.parametrize("normalize", [None, "peak", "loudness"])
+def test_mix_golden(rng, normalize):
+    n = 16000
+    voice = (0.4 * rng.standard_normal(n)).astype(np.float32)
+    bgm = (0.3 * np.sin(2 * np.pi * 220 * np.arange(n) / 16000)).astype(np.float32)
+    gains = [1.0, 0.5]
+    fi = [160, 800]
+    fo = [320, 1600]
+    want = M.mix_oracle_np([voice, bgm], gains, fi, fo,
+                           normalize=normalize, target_amp=M.db_to_amp(-1.0))
+    got = api.mix(
+        [
+            dict(pcm=voice, sr=16000, gain=1.0, fade_in_ms=10, fade_out_ms=20),
+            dict(pcm=bgm, sr=16000, gain=0.5, fade_in_ms=50, fade_out_ms=100),
+        ],
+        16000,
+        normalize=normalize,
+        target_db=-1.0,
+    )
+    assert got.shape == want.shape
+    assert rms_db(got - want, want) <= TARGET_DB
+
+
+def test_mix_peak_normalize_hits_target(rng):
+    x = (0.1 * rng.standard_normal(8000)).astype(np.float32)
+    out = api.mix([dict(pcm=x, sr=16000)], 16000, normalize="peak", target_db=-1.0)
+    assert np.max(np.abs(out)) == pytest.approx(M.db_to_amp(-1.0), rel=1e-4)
+
+
+def test_mix_placement_and_loop(rng):
+    """BGM placed at 500 ms and looped to fill the voice duration."""
+    sr = 16000
+    voice = np.ones(sr, np.float32) * 0.5  # 1 s
+    bgm = np.full(1600, 0.25, np.float32)  # 100 ms, loops
+    out = api.mix(
+        [
+            dict(pcm=voice, sr=sr),
+            dict(pcm=bgm, sr=sr, start_ms=500, loop=True),
+        ],
+        sr,
+        normalize=None,
+    )
+    assert len(out) == sr
+    np.testing.assert_allclose(out[:8000], 0.5, atol=1e-6)  # voice only
+    np.testing.assert_allclose(out[8000:], 0.75, atol=1e-6)  # voice + looped bgm
+
+
+def test_mix_int16_in_out(rng):
+    x = (rng.standard_normal(8000) * 8000).astype(np.int16)
+    out = api.mix([dict(pcm=x, sr=16000)], 16000, normalize=None)
+    assert out.dtype == np.int16
+    # gain-1 single-track mix == i16->f32->i16 roundtrip == identity
+    np.testing.assert_array_equal(out, x)
+
+
+def test_mix_resamples_tracks(rng):
+    """A 44.1k track mixed onto a 16k bus arrives resampled."""
+    from xmtpu.ops import resample as R
+
+    x = (0.3 * rng.standard_normal(44100)).astype(np.float32)
+    out = api.mix([dict(pcm=x, sr=44100)], 16000, normalize=None)
+    want = R.resample_oracle_np(x, 44100, 16000)
+    assert out.shape == want.shape
+    assert rms_db(out - want, want) <= TARGET_DB
+
+
+def test_mix_mono_upmix_to_stereo(rng):
+    mono = (0.2 * rng.standard_normal(4000)).astype(np.float32)
+    st = np.stack([mono, -mono], axis=1)
+    out = api.mix([dict(pcm=st, sr=16000), dict(pcm=mono, sr=16000)],
+                  16000, normalize=None)
+    assert out.shape == (4000, 2)
+    np.testing.assert_allclose(out[:, 0], 2 * mono, atol=1e-6)
+    np.testing.assert_allclose(out[:, 1], np.zeros_like(mono), atol=1e-6)
+
+
+def test_mix_silence_normalize_noop():
+    x = np.zeros(1000, np.float32)
+    out = api.mix([dict(pcm=x, sr=16000)], 16000, normalize="peak")
+    np.testing.assert_array_equal(out, x)
+
+
+def test_mix_rejects_empty():
+    with pytest.raises(ValueError):
+        api.mix([], 16000)

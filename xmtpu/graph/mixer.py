@@ -1,0 +1,151 @@
+"""Track alignment + mixing stage.
+
+Reference analogue: ``mixer_mix`` / ``MixerEffects`` — N-track
+(voice + BGM + music) sum with per-track gain, fades, BGM looping and
+timeline placement (``src/effects/mixer_effects/`` [upstream, SURVEY.md
+§2.1]).
+
+Alignment (resample to the bus rate, loop, place at start offset, trim)
+produces equal-length tracks; gain/fade/sum/normalize then run as one
+fused device computation. All placement arithmetic is static (config
+-derived python ints), so the jitted graph has fixed shapes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xmtpu.ops import convert as _convert
+from xmtpu.ops import mix as _mix
+from xmtpu.ops import resample as _resample
+
+
+@dataclass(frozen=True)
+class MixTrack:
+    """One resolved mixer input: PCM + placement/gain parameters.
+
+    ``pcm``: int16 or float32, (n,) or (n, ch). ``sr``: its native rate.
+    ``gain``: linear amplitude. Times in ms, converted to samples at the
+    bus rate.
+    """
+
+    pcm: object
+    sr: int
+    gain: float = 1.0
+    start_ms: float = 0.0
+    fade_in_ms: float = 0.0
+    fade_out_ms: float = 0.0
+    loop: bool = False
+
+    @staticmethod
+    def from_dict(d: dict) -> "MixTrack":
+        return MixTrack(
+            pcm=d["pcm"],
+            sr=int(d.get("sr", d.get("sample_rate", 0)) or 0),
+            gain=float(d.get("gain", _mix.db_to_amp(d["gain_db"]) if "gain_db" in d else 1.0)),
+            start_ms=float(d.get("start_ms", 0.0)),
+            fade_in_ms=float(d.get("fade_in_ms", 0.0)),
+            fade_out_ms=float(d.get("fade_out_ms", 0.0)),
+            loop=bool(d.get("loop", False)),
+        )
+
+
+def _ms_to_samples(ms: float, sr: int) -> int:
+    return int(round(ms * sr / 1000.0))
+
+
+def mix(tracks, sample_rate: int, normalize: str | None = "peak",
+        target_db: float = -1.0, duration_ms: float | None = None):
+    """Mix tracks onto a common bus. Public entry (BASELINE.json:8).
+
+    ``tracks``: list of dicts or :class:`MixTrack`. Output dtype follows
+    the first track (int16 -> int16). Mono tracks are upmixed when any
+    track is multichannel.
+    """
+    if not tracks:
+        raise ValueError("mix() needs at least one track")
+    mts = [t if isinstance(t, MixTrack) else MixTrack.from_dict(t) for t in tracks]
+
+    first = np.asarray(mts[0].pcm)
+    out_int16 = first.dtype == np.int16
+
+    # --- host-side shape planning (static) ---
+    prepared = []  # (f32 device array (ch, n_at_bus_rate), static params)
+    nch = 1
+    for t in mts:
+        pcm = np.asarray(t.pcm)
+        if pcm.ndim == 1:
+            pcm = pcm[:, None]
+        nch = max(nch, pcm.shape[1])
+        sr = t.sr or sample_rate
+        n_bus = _resample.resample_output_len(pcm.shape[0], *_ratio(sr, sample_rate))
+        prepared.append((pcm, sr, n_bus, t))
+
+    if duration_ms is not None:
+        total = _ms_to_samples(duration_ms, sample_rate)
+    else:
+        total = max(
+            _ms_to_samples(t.start_ms, sample_rate) + (1 << 62 if t.loop else n_bus)
+            for (_, _, n_bus, t) in prepared
+        )
+        if total >= (1 << 62):  # all-loop edge: fall back to longest non-loop
+            total = max(n_bus for (_, _, n_bus, _) in prepared)
+
+    def build(device_tracks):
+        placed = []
+        for x, (pcm, sr, n_bus, t) in zip(device_tracks, prepared):
+            y = x  # (ch, n) f32 at native rate
+            if sr != sample_rate:
+                y = _resample.polyphase_resample(y, sr, sample_rate)
+            start = _ms_to_samples(t.start_ms, sample_rate)
+            if t.loop and y.shape[-1] < total - start:
+                reps = -(-(total - start) // y.shape[-1])
+                y = jnp.tile(y, (1, reps))
+            track_len = min(y.shape[-1], total - start)
+            y = y[..., :track_len]
+            y = _mix.apply_gain_fade(
+                y,
+                t.gain,
+                _ms_to_samples(t.fade_in_ms, sample_rate),
+                _ms_to_samples(t.fade_out_ms, sample_rate),
+                offset=0,
+                length=track_len,
+            )
+            if y.shape[0] == 1 and nch > 1:
+                y = jnp.broadcast_to(y, (nch, track_len))
+            y = jnp.pad(y, ((0, 0), (start, total - start - track_len)))
+            placed.append(y)
+        out = _mix.mix_sum(jnp.stack(placed))
+        if normalize == "peak":
+            out, _ = _mix.peak_normalize(out, _mix.db_to_amp(target_db))
+        elif normalize == "loudness":
+            out, _ = _mix.rms_normalize(out, _mix.db_to_amp(target_db))
+        elif normalize is not None:
+            raise ValueError(f"unknown normalize mode: {normalize!r}")
+        return out
+
+    dev = []
+    for (pcm, _, _, _) in prepared:
+        arr = jnp.asarray(pcm).T  # (ch, n)
+        if arr.dtype == jnp.int16:
+            arr = _convert.pcm16_to_f32(arr)
+        dev.append(arr.astype(jnp.float32))
+
+    out = jax.jit(build)(dev)
+    if out_int16:
+        out = _convert.f32_to_pcm16(out)
+    out = np.asarray(out).T  # (n, ch)
+    if first.ndim == 1 and out.shape[1] == 1:
+        out = out[:, 0]
+    return out
+
+
+def _ratio(sr_in: int, sr_out: int) -> tuple[int, int]:
+    import math
+
+    g = math.gcd(sr_in, sr_out)
+    return sr_out // g, sr_in // g

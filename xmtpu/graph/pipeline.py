@@ -1,0 +1,112 @@
+"""One-shot file -> file pipeline (generator parity).
+
+Reference analogue: ``xm_audio_generator_start/get_progress/stop``
+(``src/xm_audio_generator.c`` [upstream, SURVEY.md §2.1/§3.1]) — voice
+PCM + JSON config -> mixed encoded file with progress callback. The
+reference runs a per-frame pthread loop; here the whole clip is one
+fused device computation (decode and encode stay host-side,
+``BASELINE.json:5``), so "progress" has coarse stage granularity rather
+than frame granularity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from xmtpu.config.schema import PipelineConfig
+from xmtpu.graph import mixer as _mixer
+from xmtpu.io import open_audio
+from xmtpu.io.wav import write_wav
+from xmtpu.ops import convert as _convert
+from xmtpu.utils.errors import ConfigError
+
+
+def _resolve_tracks(inputs, config: PipelineConfig):
+    """Build MixTracks from config.tracks, decoding urls from disk.
+
+    ``inputs``: optional dict name->pcm/(pcm, sr) overriding track urls
+    (the reference passes voice PCM in-memory and bgm/music by url).
+    """
+    tracks = []
+    for i, t in enumerate(config.tracks):
+        if inputs and t.url in (inputs or {}):
+            src = inputs[t.url]
+            pcm, sr = src if isinstance(src, tuple) else (src, config.sample_rate)
+        elif t.url:
+            with open_audio(t.url) as d:
+                pcm, sr = d.read_all(), d.sample_rate
+        else:
+            raise ConfigError(f"track {i}: no url and no in-memory input")
+        end = t.end_time_ms
+        dur_ms = pcm.shape[0] * 1000.0 / sr
+        if end is not None and end < dur_ms:
+            pcm = pcm[: int(round(end * sr / 1000.0))]
+        tracks.append(
+            _mixer.MixTrack(
+                pcm=pcm,
+                sr=sr,
+                gain=t.volume,
+                start_ms=t.start_time_ms,
+                fade_in_ms=t.fade_in_ms,
+                fade_out_ms=t.fade_out_ms,
+                loop=t.loop,
+            )
+        )
+    return tracks
+
+
+def process(inputs, config: PipelineConfig, progress=None) -> np.ndarray:
+    """Run the configured pipeline, returning int16 PCM at config rate."""
+
+    def report(p):
+        if progress:
+            progress(p)
+
+    report(0.0)
+    tracks = _resolve_tracks(inputs, config)
+    report(10.0)
+
+    if config.effects or config.master_effects:
+        from xmtpu.graph import fx as _fx  # local: effects are milestone M3+
+
+        # voice-bus effects: apply to tracks of kind "voice" pre-mix
+        voice_idx = [i for i, t in enumerate(config.tracks) if t.kind == "voice"]
+        for i in voice_idx:
+            out = _fx.apply_chain(
+                np.asarray(tracks[i].pcm), tracks[i].sr, list(config.effects)
+            )
+            tracks[i] = _mixer.MixTrack(
+                pcm=out, sr=tracks[i].sr, gain=tracks[i].gain,
+                start_ms=tracks[i].start_ms, fade_in_ms=tracks[i].fade_in_ms,
+                fade_out_ms=tracks[i].fade_out_ms, loop=tracks[i].loop,
+            )
+    report(40.0)
+
+    mixed = _mixer.mix(
+        tracks,
+        config.sample_rate,
+        normalize=config.normalize,
+        target_db=config.normalize_target_db,
+    )
+    report(80.0)
+
+    if config.master_effects:
+        from xmtpu.graph import fx as _fx
+
+        mixed = _fx.apply_chain(mixed, config.sample_rate,
+                                list(config.master_effects))
+    if mixed.dtype != np.int16:
+        import jax.numpy as jnp
+
+        mixed = np.asarray(_convert.f32_to_pcm16(jnp.asarray(mixed)))
+    report(95.0)
+    return mixed
+
+
+def process_file(inputs, config: PipelineConfig, out_path, progress=None):
+    """Full generator: decode -> pipeline -> WAV out. Returns out_path."""
+    pcm = process(inputs, config, progress=progress)
+    write_wav(out_path, pcm, config.sample_rate)
+    if progress:
+        progress(100.0)
+    return out_path

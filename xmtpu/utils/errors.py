@@ -1,0 +1,20 @@
+"""Typed exceptions at the API layer.
+
+Reference analogue: the negative error codes returned by ``*_init`` /
+decoder failures and the generator's pollable error status [upstream,
+SURVEY.md §5 "Failure detection"]. xmtpu raises typed exceptions
+instead; the batch runner catches :class:`DecodeError` per clip so one
+bad file doesn't kill a 256-clip batch.
+"""
+
+
+class XmtpuError(Exception):
+    """Base class for all xmtpu errors."""
+
+
+class ConfigError(XmtpuError):
+    """Invalid or inconsistent pipeline configuration."""
+
+
+class DecodeError(XmtpuError):
+    """An input file could not be decoded."""
