@@ -1,0 +1,79 @@
+"""Driver benchmark harness (repo-root contract).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: audio-seconds processed per wall-second per chip through the
+full chain — int16 in, 44.1k->16k polyphase resample, voice+BGM mix
+with gain/fades, peak normalize, 5-band biquad EQ, FIR reverb,
+soft-knee limiter, int16 out (BASELINE.json:2,5). ``vs_baseline`` is
+the ratio to the driver's >=500x-realtime-per-chip target
+(BASELINE.json:5; the reference publishes no numbers of its own —
+SURVEY.md §6).
+
+Axon-tunnel measurement rules (verify skill): force completion with a
+host fetch, never trust block_until_ready; one fetch per timed batch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/xmtpu_jax_cache")
+
+import numpy as np  # noqa: E402
+
+TARGET_RT = 500.0  # x realtime per chip (BASELINE.json:5)
+
+
+def main(batch: int = 32, clip_seconds: float = 10.0, iters: int = 3,
+         iir_dtype: str = "float32") -> dict:
+    import jax
+    import jax.numpy as jnp
+    from xmtpu import batch as xbatch
+
+    sr_in = 44100
+    n = int(sr_in * clip_seconds)
+    rng = np.random.default_rng(0)
+    voice = (rng.standard_normal((batch, n)) * 9000).astype(np.int16)
+    bgm = (np.sin(np.arange(n) / 50.0)[None].repeat(batch, 0) * 12000).astype(
+        np.int16
+    )
+
+    step = jax.jit(xbatch.make_flagship_step(
+        sr_in=sr_in, sr_bus=16000, iir_dtype=jnp.dtype(iir_dtype)))
+    v_dev = jax.device_put(jnp.asarray(voice))
+    b_dev = jax.device_put(jnp.asarray(bgm))
+
+    out = step(v_dev, b_dev)
+    _ = np.asarray(out[0, :4])  # force completion (compile + warmup)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(v_dev, b_dev)
+    _ = np.asarray(out[0, :4])  # one fetch for the whole timed region
+    dt = time.perf_counter() - t0
+
+    audio_sec = batch * clip_seconds * iters
+    value = audio_sec / dt
+    return {
+        "metric": "audio_sec_per_sec_per_chip_full_chain",
+        "value": round(value, 2),
+        "unit": "audio-sec/sec/chip",
+        "vs_baseline": round(value / TARGET_RT, 3),
+    }
+
+
+if __name__ == "__main__":
+    kw = {}
+    for a in sys.argv[1:]:
+        k, _, v = a.lstrip("-").partition("=")
+        if k in ("batch", "iters"):
+            kw[k] = int(v)
+        elif k == "clip_seconds":
+            kw[k] = float(v)
+        elif k == "iir_dtype":
+            kw[k] = v
+    print(json.dumps(main(**kw)))

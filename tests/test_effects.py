@@ -1,0 +1,293 @@
+"""M3 golden tests: biquad EQ, FIR reverb, soft-knee limiter, fx chain.
+
+Oracles per SURVEY.md §4.2: scipy.signal.sosfilt / fftconvolve and the
+sequential numpy limiter; target <= -80 dB RMS error (BASELINE.json:5).
+
+Signal lengths are deliberately restricted to {4800, 9600, 48000}: the
+axon TPU backend compiles remotely with no persistent compilation
+cache, so every unique (op, shape) pair costs ~30-90 s — shared shapes
+keep the suite runnable on the real chip.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+from scipy import signal as sps
+
+import xmtpu  # noqa: F401  (enables x64)
+from xmtpu.graph import fx as fxg
+from xmtpu.ops import biquad, limiter, reverb
+
+from .conftest import rms_db
+
+SR = 48000
+
+FIVE_BANDS = [
+    {"freq_hz": 100.0, "gain_db": 4.0, "q": 1.0},
+    {"freq_hz": 400.0, "gain_db": -3.0, "q": 1.2},
+    {"freq_hz": 1000.0, "gain_db": 2.5, "q": 0.9},
+    {"freq_hz": 4000.0, "gain_db": -2.0, "q": 1.1},
+    {"freq_hz": 12000.0, "gain_db": 3.0, "q": 0.8},
+]
+
+
+# --- RBJ coefficient design (host-only, no device compiles) -----------------
+
+
+def _mag_db(sos, f, sr):
+    w, h = sps.sosfreqz(sos, worN=[2 * np.pi * f / sr])
+    return 20 * np.log10(np.abs(h[0]))
+
+
+def test_rbj_peaking_hits_gain_at_center():
+    for g in (-6.0, 3.0, 9.0):
+        sos = biquad.rbj_coeffs("peaking", 1000.0, SR, q=1.0, gain_db=g)[None]
+        assert abs(_mag_db(sos, 1000.0, SR) - g) < 1e-6
+
+
+def test_rbj_shelves_hit_gain_in_passband():
+    lo = biquad.rbj_coeffs("lowshelf", 200.0, SR, gain_db=5.0)[None]
+    hi = biquad.rbj_coeffs("highshelf", 8000.0, SR, gain_db=-4.0)[None]
+    assert abs(_mag_db(lo, 1.0, SR) - 5.0) < 0.05
+    assert abs(_mag_db(hi, 23000.0, SR) + 4.0) < 0.05
+
+
+def test_rbj_lowpass_highpass_corner():
+    lp = biquad.rbj_coeffs("lowpass", 1000.0, SR)[None]
+    assert abs(_mag_db(lp, 10.0, SR)) < 1e-3  # passband ~0 dB
+    assert _mag_db(lp, 20000.0, SR) < -50  # stopband
+    hp = biquad.rbj_coeffs("highpass", 1000.0, SR)[None]
+    assert abs(_mag_db(hp, 20000.0, SR)) < 0.1
+    assert _mag_db(hp, 20.0, SR) < -60
+
+
+def test_rbj_stability():
+    for kind in ("peaking", "lowshelf", "highshelf", "lowpass", "highpass",
+                 "bandpass", "notch"):
+        for f in (20.0, 1000.0, 23000.0):
+            c = biquad.rbj_coeffs(kind, f, SR, gain_db=6.0)
+            r = np.roots([1.0, c[4], c[5]])  # poles inside unit circle
+            assert np.all(np.abs(r) < 1.0), (kind, f, r)
+
+
+# --- biquad scan vs scipy.sosfilt -----------------------------------------
+
+
+def test_sosfilt_scan_matches_scipy(signals):
+    x = signals(SR, SR)["noise"]  # 1 s noise
+    sos = biquad.eq_sos(FIVE_BANDS, SR)
+    ref = sps.sosfilt(sos, x.astype(np.float64))
+    y, _ = biquad.sosfilt_scan(sos, jnp.asarray(x))
+    db = rms_db(np.asarray(y, np.float64) - ref, ref)
+    assert db <= -80.0, db
+
+
+def test_sosfilt_scan_matches_own_oracle(signals):
+    x = signals(4800, SR)["sweep"]
+    sos = biquad.eq_sos(FIVE_BANDS, SR)
+    ref, zf_ref = biquad.sosfilt_np(sos, x)
+    y, zf = biquad.sosfilt_scan(sos, jnp.asarray(x))
+    assert rms_db(np.asarray(y, np.float64) - ref, ref) <= -100.0
+    np.testing.assert_allclose(np.asarray(zf), zf_ref, rtol=1e-9, atol=1e-12)
+
+
+def test_sosfilt_scan_state_carry_blockwise(signals):
+    """Streaming invariant: filtering two blocks with carried state equals
+    filtering the concatenation (SURVEY.md §4.2 block-size invariance)."""
+    x = signals(9600, SR)["noise"]
+    sos = biquad.eq_sos(FIVE_BANDS, SR)
+    y_full, _ = biquad.sosfilt_scan(sos, jnp.asarray(x))
+    y1, z1 = biquad.sosfilt_scan(sos, jnp.asarray(x[:4800]))
+    y2, _ = biquad.sosfilt_scan(sos, jnp.asarray(x[4800:]), zi=z1)
+    y_cat = np.concatenate([np.asarray(y1), np.asarray(y2)])
+    db = rms_db(y_cat - np.asarray(y_full), np.asarray(y_full))
+    assert db <= -100.0, db
+
+
+def test_sosfilt_scan_multichannel(signals):
+    s = signals(4800, SR)
+    x = np.stack([s["noise"], s["sine"]])  # (2, n)
+    sos = biquad.eq_sos(FIVE_BANDS, SR)
+    ref = sps.sosfilt(sos, x.astype(np.float64), axis=-1)
+    y, _ = biquad.sosfilt_scan(sos, jnp.asarray(x))
+    assert rms_db(np.asarray(y, np.float64) - ref, ref) <= -80.0
+
+
+def test_sosfilt_dc_nyquist_stability():
+    sos = biquad.eq_sos(FIVE_BANDS, SR)
+    n = 4800  # same (sos, shape) as the own-oracle test -> shared compile
+    dc = np.ones(n, np.float32) * 0.5
+    nyq = (0.5 * (-1.0) ** np.arange(n)).astype(np.float32)
+    for x in (dc, nyq):
+        y, _ = biquad.sosfilt_scan(sos, jnp.asarray(x))
+        assert np.all(np.isfinite(np.asarray(y)))
+        ref = sps.sosfilt(sos, x.astype(np.float64))
+        assert rms_db(np.asarray(y, np.float64) - ref, ref) <= -80.0
+
+
+# --- reverb ----------------------------------------------------------------
+
+
+def test_reverb_matches_fftconvolve(signals):
+    x = signals(SR, SR)["noise"]
+    ir = reverb.synthetic_ir(0.5, SR)
+    ref = reverb.reverb_np(x, ir, wet=0.3, dry=0.7)
+    y = reverb.reverb(jnp.asarray(x), jnp.asarray(ir, jnp.float32))
+    db = rms_db(np.asarray(y, np.float64) - ref, ref)
+    assert db <= -80.0, db
+
+
+def test_reverb_stereo(signals):
+    s = signals(9600, SR)
+    x = np.stack([s["noise"], s["sweep"]])
+    ir = reverb.synthetic_ir(0.5, SR)
+    ref = reverb.reverb_np(x, ir)
+    y = reverb.reverb(jnp.asarray(x), jnp.asarray(ir, jnp.float32))
+    assert rms_db(np.asarray(y, np.float64) - ref, ref) <= -80.0
+
+
+def test_reverb_blockwise_equals_offline(signals):
+    x = signals(9600, SR)["noise"]
+    ir = jnp.asarray(reverb.synthetic_ir(0.1, SR), jnp.float32)
+    y_ref = np.asarray(reverb.reverb(jnp.asarray(x), ir))
+    blk = 4800
+    tail = reverb.reverb_tail_init((), ir.shape[0])
+    outs = []
+    for i in range(0, len(x), blk):
+        y, tail = reverb.reverb_block(jnp.asarray(x[i : i + blk]), ir, tail)
+        outs.append(np.asarray(y))
+    y_cat = np.concatenate(outs)
+    db = rms_db(y_cat - y_ref, y_ref)
+    assert db <= -100.0, db
+
+
+# --- limiter ----------------------------------------------------------------
+
+
+def test_limiter_matches_oracle(signals):
+    x = (2.0 * signals(SR, SR)["noise"]).reshape(1, -1)  # hot signal
+    ref, _ = limiter.limiter_np(x, SR, threshold_db=-6.0, knee_db=6.0,
+                                attack_ms=1.0, release_ms=50.0)
+    y, _ = limiter.limiter(jnp.asarray(x), SR, threshold_db=-6.0, knee_db=6.0,
+                           attack_ms=1.0, release_ms=50.0)
+    db = rms_db(np.asarray(y, np.float64) - ref, ref)
+    assert db <= -80.0, db
+
+
+def test_limiter_ceiling_property(signals):
+    """No output sample above the ceiling — exact (SURVEY.md §4.2)."""
+    x = (4.0 * signals(4800, SR)["sine"]).reshape(1, -1)
+    y, _ = limiter.limiter(jnp.asarray(x), SR, threshold_db=-3.0,
+                           ceiling_db=-1.0)
+    assert np.max(np.abs(np.asarray(y, np.float64))) <= 10 ** (-1.0 / 20) + 1e-7
+
+
+def test_limiter_transparent_below_threshold(signals):
+    x = (0.05 * signals(4800, SR)["sine"]).reshape(1, -1)  # -26 dBFS
+    y, _ = limiter.limiter(jnp.asarray(x), SR, threshold_db=-6.0, knee_db=3.0)
+    db = rms_db(np.asarray(y, np.float64) - x, x)
+    assert db <= -120.0, db  # essentially untouched
+
+
+def test_limiter_blockwise_state_carry(signals):
+    x = (2.0 * signals(9600, SR)["noise"]).reshape(1, -1)
+    y_ref, _ = limiter.limiter(jnp.asarray(x), SR)
+    st = None
+    outs = []
+    for i in range(0, x.shape[-1], 4800):
+        y, st = limiter.limiter(jnp.asarray(x[:, i : i + 4800]), SR, state=st)
+        outs.append(np.asarray(y))
+    y_cat = np.concatenate(outs, axis=-1)
+    db = rms_db(y_cat - np.asarray(y_ref), np.asarray(y_ref))
+    assert db <= -100.0, db
+
+
+def test_limiter_stereo_linked(signals):
+    s = signals(4800, SR)
+    x = np.stack([2.0 * s["noise"], 0.1 * s["sine"]])
+    ref, _ = limiter.limiter_np(x, SR)
+    y, _ = limiter.limiter(jnp.asarray(x), SR)
+    assert rms_db(np.asarray(y, np.float64) - ref, ref) <= -80.0
+
+
+def test_limiter_batched_independent_envelopes(signals):
+    """Batch axis must NOT link: a hot clip and a quiet clip in one batch
+    get the same result as processed separately (SURVEY.md §2.2 DP)."""
+    s = signals(4800, SR)
+    hot = (3.0 * s["noise"]).reshape(1, 1, -1)
+    quiet = (0.05 * s["sine"]).reshape(1, 1, -1)
+    batch = np.concatenate([hot, quiet], axis=0)  # (2, 1, n)
+    yb, _ = limiter.limiter(jnp.asarray(batch), SR)
+    y_hot, _ = limiter.limiter(jnp.asarray(hot), SR)
+    y_quiet, _ = limiter.limiter(jnp.asarray(quiet), SR)
+    sep = np.concatenate([np.asarray(y_hot), np.asarray(y_quiet)], axis=0)
+    np.testing.assert_allclose(np.asarray(yb), sep, rtol=1e-6, atol=1e-9)
+
+
+# --- full chain (BASELINE config 3) -----------------------------------------
+
+
+CHAIN = [
+    {"name": "equalizer", "bands": FIVE_BANDS},
+    {"name": "reverb", "ir_seconds": 0.5, "wet": 0.3, "dry": 0.7, "seed": 7},
+    {"name": "limiter", "threshold_db": -3.0, "knee_db": 6.0,
+     "attack_ms": 1.0, "release_ms": 100.0},
+]
+
+
+def _chain_oracle(x2d):
+    """Float64 numpy oracle of the full chain on (ch, n)."""
+    sos = biquad.eq_sos(FIVE_BANDS, SR)
+    y, _ = biquad.sosfilt_np(sos, x2d)
+    ir = reverb.synthetic_ir(0.5, SR, seed=7)
+    y = reverb.reverb_np(y, ir, wet=0.3, dry=0.7)
+    y, _ = limiter.limiter_np(y, SR, threshold_db=-3.0, knee_db=6.0,
+                              attack_ms=1.0, release_ms=100.0)
+    return y
+
+
+def test_effects_chain_stereo_48k(signals):
+    """Config 3 (BASELINE.json:9): 5-band EQ + 0.5 s reverb + limiter."""
+    s = signals(SR, SR)  # 1 s stereo
+    x = np.stack([s["noise"], s["sweep"]], axis=1)  # (n, 2) public layout
+    ref = _chain_oracle(x.astype(np.float64).T).T
+    y = fxg.apply_chain(x, SR, CHAIN)
+    db = rms_db(y.astype(np.float64) - ref, ref)
+    assert db <= -80.0, db
+    assert y.shape == x.shape and y.dtype == np.float32
+
+
+def test_effects_chain_int16_roundtrip(signals):
+    from xmtpu.ops import convert
+
+    x = convert.f32_to_pcm16_np(signals(9600, SR)["noise"])
+    y = fxg.apply_chain(x, SR, CHAIN)
+    assert y.dtype == np.int16 and y.shape == x.shape
+    ref = _chain_oracle(convert.pcm16_to_f32_np(x)[None].astype(np.float64))[0]
+    db = rms_db(y.astype(np.float64) / 32768.0 - ref, ref)
+    assert db <= -65.0, db  # int16 quantization floor (~-84 dB on its own)
+
+
+def test_effects_api_entry(signals):
+    y = xmtpu.effects(signals(4800, SR)["sine"], SR,
+                      [{"name": "volume", "gain_db": -6.0}])
+    ref = signals(4800, SR)["sine"] * 10 ** (-6.0 / 20.0)
+    assert rms_db(y - ref, ref) <= -100.0
+
+
+def test_effects_chain_cache_reused(signals):
+    fxg._cache.clear()
+    x = signals(4800, SR)["noise"]
+    fxg.apply_chain(x, SR, CHAIN)
+    assert len(fxg._cache) == 1
+    fxg.apply_chain(x, SR, CHAIN)
+    assert len(fxg._cache) == 1
+
+
+def test_unknown_effect_raises():
+    from xmtpu.utils.errors import ConfigError
+
+    with pytest.raises(ConfigError):
+        fxg.build_chain(SR, [{"name": "flanger"}])

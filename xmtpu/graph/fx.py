@@ -1,0 +1,208 @@
+"""Effect-chain stage: ordered effects over a PCM stream.
+
+Reference analogue: the voice-effects chain (``xm_audio_effects.c``
+[upstream, SURVEY.md §2.1] — ordered NS -> EQ -> reverb -> volume ->
+limiter over a voice stream; rebuilt chain per ``BASELINE.json:9`` as
+EQ -> reverb -> limiter, plus volume; noise suppression is a documented
+stretch exclusion, SURVEY.md §7.5).
+
+Each effect is a small object with ``init_state`` / ``apply`` so the
+same code serves the offline whole-clip path and the streaming
+block-carry path (M6): state is a pytree, apply is pure and jittable.
+The chain compiles once per (chain-config, input-shape) and is cached.
+"""
+
+from __future__ import annotations
+
+import json
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xmtpu.ops import biquad as _biquad
+from xmtpu.ops import limiter as _limiter
+from xmtpu.ops import reverb as _reverb
+from xmtpu.utils.errors import ConfigError
+
+
+class EqualizerFx:
+    """Cascaded RBJ biquad EQ. params: bands=[{freq_hz, gain_db, q, kind}]."""
+
+    def __init__(self, sample_rate: int, bands):
+        self.sos = _biquad.eq_sos(list(bands), sample_rate)
+
+    def init_state(self, nch: int):
+        return jnp.zeros((self.sos.shape[0], nch, 2), jnp.float64)
+
+    def apply(self, x, state):
+        return _biquad.sosfilt_scan(self.sos, x, zi=state)
+
+
+class ReverbFx:
+    """FIR reverb. params: ir (array) | ir_wav (path) | ir_seconds, wet, dry."""
+
+    def __init__(self, sample_rate: int, params):
+        p = dict(params)
+        self.wet = float(p.get("wet", 0.3))
+        self.dry = float(p.get("dry", 0.7))
+        if "ir" in p:
+            ir = np.asarray(p["ir"], np.float64)
+        elif "ir_wav" in p:
+            from xmtpu.io.wav import read_wav
+            from xmtpu.ops import convert as _c
+
+            pcm, ir_sr = read_wav(p["ir_wav"])
+            if pcm.ndim > 1:
+                pcm = pcm[:, 0]
+            ir = _c.pcm16_to_f32_np(pcm).astype(np.float64)
+            if ir_sr != sample_rate:
+                from xmtpu.ops.resample import resample_oracle_np
+
+                ir = resample_oracle_np(ir, ir_sr, sample_rate)
+        else:
+            ir = _reverb.synthetic_ir(
+                float(p.get("ir_seconds", 0.5)), sample_rate,
+                rt60=p.get("rt60"), seed=int(p.get("seed", 7)),
+            )
+        self.ir = ir.astype(np.float32)
+
+    def init_state(self, nch: int):
+        return _reverb.reverb_tail_init((nch,), len(self.ir))
+
+    def apply(self, x, state):
+        ir = jnp.asarray(self.ir, x.dtype)
+        return _reverb.reverb_block(x, ir, state, wet=self.wet, dry=self.dry)
+
+
+class LimiterFx:
+    """Soft-knee limiter. params: threshold_db, knee_db, attack_ms,
+    release_ms, ceiling_db."""
+
+    def __init__(self, sample_rate: int, params):
+        p = dict(params)
+        self.sr = sample_rate
+        self.kw = dict(
+            threshold_db=float(p.get("threshold_db", -3.0)),
+            knee_db=float(p.get("knee_db", 6.0)),
+            attack_ms=float(p.get("attack_ms", 1.0)),
+            release_ms=float(p.get("release_ms", 100.0)),
+            ceiling_db=float(p.get("ceiling_db", 0.0)),
+        )
+
+    def init_state(self, nch: int):
+        return (jnp.zeros((), jnp.float64), jnp.zeros((), jnp.float64))
+
+    def apply(self, x, state):
+        return _limiter.limiter(x, self.sr, state=state, **self.kw)
+
+
+class VolumeFx:
+    """Static gain. params: gain_db | gain (linear)."""
+
+    def __init__(self, sample_rate: int, params):
+        p = dict(params)
+        if "gain" in p:
+            self.gain = float(p["gain"])
+        else:
+            self.gain = float(10.0 ** (float(p.get("gain_db", 0.0)) / 20.0))
+
+    def init_state(self, nch: int):
+        return ()
+
+    def apply(self, x, state):
+        return x * jnp.asarray(self.gain, x.dtype), state
+
+
+_EFFECTS = {
+    "equalizer": lambda sr, p: EqualizerFx(sr, p.get("bands", [])),
+    "eq": lambda sr, p: EqualizerFx(sr, p.get("bands", [])),
+    "reverb": ReverbFx,
+    "limiter": LimiterFx,
+    "volume": VolumeFx,
+}
+
+
+def build_chain(sample_rate: int, chain):
+    """Resolve a list of EffectConfig/dicts into effect objects."""
+    out = []
+    for e in chain:
+        if hasattr(e, "name"):
+            name, params = e.name, dict(e.params)
+        else:
+            d = dict(e)
+            name = d.pop("name")
+            params = d.pop("params", d)
+        if name not in _EFFECTS:
+            raise ConfigError(
+                f"unknown effect {name!r}; known: {sorted(_EFFECTS)}"
+            )
+        out.append(_EFFECTS[name](sample_rate, params))
+    return out
+
+
+def chain_init_state(effects, nch: int):
+    return tuple(fx.init_state(nch) for fx in effects)
+
+
+def chain_apply(effects, x, states):
+    """Run the chain over one block (ch, n). Pure; jittable with the
+    effects list closed over (all effect params are static constants)."""
+    new_states = []
+    for fx, st in zip(effects, states):
+        x, st = fx.apply(x, st)
+        new_states.append(st)
+    return x, tuple(new_states)
+
+
+# --- compiled-chain cache -------------------------------------------------
+
+_cache: dict = {}
+
+
+def _chain_key(sample_rate: int, chain) -> str:
+    def canon(e):
+        if hasattr(e, "name"):
+            name, params = e.name, e.params
+        else:
+            d = dict(e)
+            name = d.pop("name")
+            params = d.pop("params", d)
+        clean = {
+            k: (f"<array:{np.asarray(v).tobytes()[:64].hex()}:{np.asarray(v).shape}>"
+                if isinstance(v, (np.ndarray, jnp.ndarray)) else v)
+            for k, v in dict(params).items()
+        }
+        return {"name": name, "params": clean}
+
+    return json.dumps(
+        {"sr": sample_rate, "chain": [canon(e) for e in chain]}, sort_keys=True
+    )
+
+
+def get_compiled_chain(sample_rate: int, chain):
+    """-> (effects, jitted fn(x, states) -> (y, states)). Cached so repeat
+    calls with the same chain config reuse the XLA executable."""
+    key = _chain_key(sample_rate, chain)
+    hit = _cache.get(key)
+    if hit is None:
+        effects = build_chain(sample_rate, chain)
+        fn = jax.jit(partial(chain_apply, effects))
+        hit = (effects, fn)
+        _cache[key] = hit
+    return hit
+
+
+def apply_chain(pcm, sample_rate: int, chain):
+    """Public effects entry (BASELINE.json:9 config 3).
+
+    ``pcm``: int16 or f32, (n,) or (n, ch); returns the same format.
+    """
+    from xmtpu.api import _from_f32_device, _to_f32_device
+
+    x, was_i16, was_1d = _to_f32_device(pcm)
+    effects, fn = get_compiled_chain(sample_rate, chain)
+    states = chain_init_state(effects, x.shape[0])
+    y, _ = fn(x, states)
+    return _from_f32_device(y, was_i16, was_1d)

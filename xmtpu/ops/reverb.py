@@ -1,0 +1,110 @@
+"""FIR reverb: impulse-response convolution via FFT overlap machinery.
+
+Reference analogue: ``src/effects/reverb/`` [upstream, SURVEY.md §2.1] —
+upstream used a SoX-derived algorithmic reverb; the rebuild pins reverb
+as **FIR convolution with an impulse response** per ``BASELINE.json:5,9``
+(0.5 s IR @ 48 kHz stereo is the headline config).
+
+TPU-native design: at 24k taps, FFT convolution beats time-domain by
+orders of magnitude (SURVEY.md §3.5); the whole-clip path is one
+``jnp.fft.rfft``/``irfft`` pair in XLA, and the block path (streaming /
+fused pipeline) is overlap-add with a carried tail — the tail is the
+FIR analogue of IIR state for cross-block sequence decomposition
+(SURVEY.md §5 "long-context").
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, (n - 1).bit_length())
+
+
+def fir_convolve_full(x: jnp.ndarray, ir: jnp.ndarray) -> jnp.ndarray:
+    """Full linear convolution of the last axis with a 1-D IR via FFT.
+
+    ``x``: (..., n) float; ``ir``: (m,) float. Returns (..., n + m - 1)
+    in x.dtype. Compute is f32 (TPU FFT); measured headroom vs the f64
+    oracle is far below the -80 dB budget (see tests).
+    """
+    n = x.shape[-1]
+    m = ir.shape[-1]
+    nfft = _next_pow2(n + m - 1)
+    dt = jnp.float32 if x.dtype != jnp.float64 else jnp.float64
+    X = jnp.fft.rfft(x.astype(dt), n=nfft, axis=-1)
+    H = jnp.fft.rfft(ir.astype(dt), n=nfft, axis=-1)
+    y = jnp.fft.irfft(X * H, n=nfft, axis=-1)[..., : n + m - 1]
+    return y.astype(x.dtype)
+
+
+def reverb(
+    x: jnp.ndarray, ir: jnp.ndarray, wet: float = 0.3, dry: float = 0.7
+) -> jnp.ndarray:
+    """Wet/dry reverb, output length == input length (tail truncated —
+    the reference's same-length PCM-in/PCM-out convention)."""
+    n = x.shape[-1]
+    w = fir_convolve_full(x, ir)[..., :n]
+    return jnp.asarray(dry, x.dtype) * x + jnp.asarray(wet, x.dtype) * w
+
+
+def reverb_block(x, ir, tail, wet: float = 0.3, dry: float = 0.7):
+    """One block of streaming reverb with carried tail (overlap-add).
+
+    ``x``: (..., n) block; ``tail``: (..., m-1) carry from the previous
+    block. Returns (y, new_tail): y is wet/dry same-length output;
+    new_tail feeds the next block. Blockwise output equals the offline
+    :func:`reverb` exactly in exact arithmetic (tested to f32 tolerance).
+    """
+    n = x.shape[-1]
+    m = ir.shape[-1]
+    full = fir_convolve_full(x, ir)  # (..., n + m - 1)
+    pad = [(0, 0)] * (x.ndim - 1)
+    tail_pad = jnp.pad(tail, pad + [(0, n)])  # (..., n + m - 1)
+    acc = full + tail_pad
+    y = jnp.asarray(dry, x.dtype) * x + jnp.asarray(wet, x.dtype) * acc[..., :n]
+    new_tail = acc[..., n:]
+    return y, new_tail
+
+
+def reverb_tail_init(batch_shape, ir_len: int, dtype=jnp.float32):
+    return jnp.zeros(tuple(batch_shape) + (ir_len - 1,), dtype)
+
+
+# ---------------------------------------------------------------------------
+# IR synthesis (host) — the default when no IR file is given. The
+# reference bundles fixed reverb presets; the rebuild's preset is an
+# exponentially-decaying noise IR, the standard synthetic room model.
+# ---------------------------------------------------------------------------
+
+
+def synthetic_ir(
+    seconds: float, sr: int, rt60: float | None = None, seed: int = 7
+) -> np.ndarray:
+    """Exp-decaying white-noise IR, unit direct path, -60 dB at rt60."""
+    n = max(1, int(round(seconds * sr)))
+    rt60 = rt60 if rt60 is not None else seconds
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / sr
+    env = 10.0 ** (-3.0 * t / max(rt60, 1e-6))  # -60 dB at rt60
+    ir = rng.standard_normal(n) * env
+    ir[0] = 1.0
+    # normalize wet energy so wet/dry ratios are IR-independent
+    ir /= np.sqrt(np.sum(ir**2))
+    return ir.astype(np.float64)
+
+
+# ---------------------------------------------------------------------------
+# Numpy oracle (float64): direct fftconvolve-based reference.
+# ---------------------------------------------------------------------------
+
+
+def reverb_np(x, ir, wet=0.3, dry=0.7):
+    from scipy import signal as _sig
+
+    x = np.asarray(x, np.float64)
+    ir = np.asarray(ir, np.float64)
+    w = _sig.fftconvolve(x, np.broadcast_to(ir, x.shape[:-1] + ir.shape), axes=-1)
+    return dry * x + wet * w[..., : x.shape[-1]]
