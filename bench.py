@@ -29,7 +29,7 @@ TARGET_RT = 500.0  # x realtime per chip (BASELINE.json:5)
 
 
 def main(batch: int = 32, clip_seconds: float = 10.0, iters: int = 3,
-         iir_dtype: str = "float32") -> dict:
+         iir_backend: str = "pallas") -> dict:
     import jax
     import jax.numpy as jnp
     from xmtpu import batch as xbatch
@@ -43,7 +43,7 @@ def main(batch: int = 32, clip_seconds: float = 10.0, iters: int = 3,
     )
 
     step = jax.jit(xbatch.make_flagship_step(
-        sr_in=sr_in, sr_bus=16000, iir_dtype=jnp.dtype(iir_dtype)))
+        sr_in=sr_in, sr_bus=16000, iir_backend=iir_backend))
     v_dev = jax.device_put(jnp.asarray(voice))
     b_dev = jax.device_put(jnp.asarray(bgm))
 
@@ -74,6 +74,6 @@ if __name__ == "__main__":
             kw[k] = int(v)
         elif k == "clip_seconds":
             kw[k] = float(v)
-        elif k == "iir_dtype":
+        elif k == "iir_backend":
             kw[k] = v
     print(json.dumps(main(**kw)))

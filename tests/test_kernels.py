@@ -1,0 +1,92 @@
+"""Pallas kernel tests — interpret mode everywhere (TPU-optional CI,
+SURVEY.md §4.2), plus one compiled smoke test when a real TPU is up.
+
+Each kernel is gated on matching its pure-JAX ops twin (the oracle) —
+the M4 acceptance rule from SURVEY.md §7.2.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from scipy import signal as sps
+
+import xmtpu  # noqa: F401
+from xmtpu.kernels.iir import sosfilt_pallas
+from xmtpu.ops import biquad
+
+from .conftest import rms_db
+
+SR = 48000
+BANDS = [
+    {"freq_hz": 100.0, "gain_db": 4.0, "q": 1.0},
+    {"freq_hz": 400.0, "gain_db": -3.0, "q": 1.2},
+    {"freq_hz": 1000.0, "gain_db": 2.5, "q": 0.9},
+    {"freq_hz": 4000.0, "gain_db": -2.0, "q": 1.1},
+    {"freq_hz": 12000.0, "gain_db": 3.0, "q": 0.8},
+]
+
+
+def _on_tpu() -> bool:
+    d = jax.devices()[0]
+    return "tpu" in (d.device_kind + d.platform).lower()
+
+
+@pytest.fixture(scope="module")
+def sos():
+    return biquad.eq_sos(BANDS, SR)
+
+
+def test_iir_kernel_matches_oracle_batched(sos, rng):
+    x = (0.3 * rng.standard_normal((3, 9000))).astype(np.float32)
+    ref = sps.sosfilt(sos, x.astype(np.float64), axis=-1)
+    y, _ = sosfilt_pallas(sos, jnp.asarray(x), interpret=True, time_chunk=1024)
+    db = rms_db(np.asarray(y, np.float64) - ref, ref)
+    assert db <= -80.0, db  # sequential f32 floor ~-86 dB (SURVEY.md §7.4②)
+
+
+def test_iir_kernel_state_carry_exact(sos, rng):
+    """Blockwise output with carried zi must equal the one-shot run
+    bit-for-bit (same f32 sequence of operations)."""
+    x = (0.3 * rng.standard_normal((3, 8192))).astype(np.float32)
+    y_full, _ = sosfilt_pallas(sos, jnp.asarray(x), interpret=True,
+                               time_chunk=1024)
+    y1, z1 = sosfilt_pallas(sos, jnp.asarray(x[:, :4096]), interpret=True,
+                            time_chunk=1024)
+    y2, _ = sosfilt_pallas(sos, jnp.asarray(x[:, 4096:]), zi=z1,
+                           interpret=True, time_chunk=1024)
+    ycat = np.concatenate([np.asarray(y1), np.asarray(y2)], axis=-1)
+    np.testing.assert_array_equal(ycat, np.asarray(y_full))
+
+
+def test_iir_kernel_ragged_tail(sos, rng):
+    """n not a multiple of time_chunk: padded tail must not advance state."""
+    n = 3000  # 1024*2 + 952
+    x = (0.3 * rng.standard_normal((2, n))).astype(np.float32)
+    y, zf = sosfilt_pallas(sos, jnp.asarray(x), interpret=True, time_chunk=1024)
+    ref, zf_ref = biquad.sosfilt_np(sos, x.astype(np.float64))
+    assert rms_db(np.asarray(y, np.float64) - ref, ref) <= -80.0
+    np.testing.assert_allclose(np.asarray(zf), zf_ref, atol=1e-4)  # f32 drift
+
+
+def test_iir_kernel_matches_scan_twin_layout(sos, rng):
+    """Kernel and ops twin agree on (y, zf) shapes/layout for 1-D and 2-D."""
+    for shape in ((4000,), (2, 4000)):
+        x = (0.3 * rng.standard_normal(shape)).astype(np.float32)
+        y_k, zf_k = sosfilt_pallas(sos, jnp.asarray(x), interpret=True)
+        y_s, zf_s = biquad.sosfilt_scan(sos, jnp.asarray(x))
+        assert y_k.shape == y_s.shape
+        assert zf_k.shape == zf_s.shape
+        assert rms_db(np.asarray(y_k, np.float64) - np.asarray(y_s, np.float64),
+                      np.asarray(y_s, np.float64)) <= -80.0
+
+
+@pytest.mark.skipif(not _on_tpu(), reason="needs a real TPU")
+def test_iir_kernel_compiled_on_tpu(sos, rng):
+    x = (0.3 * rng.standard_normal((8, 4800))).astype(np.float32)
+    ref = sps.sosfilt(sos, x.astype(np.float64), axis=-1)
+    y, _ = sosfilt_pallas(sos, jnp.asarray(x), time_chunk=1024)
+    db = rms_db(np.asarray(y, np.float64) - ref, ref)
+    assert db <= -80.0, db

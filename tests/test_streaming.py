@@ -1,0 +1,151 @@
+"""M6 streaming tests: Session frame loop == offline pipeline
+(SURVEY.md §4.2 "streaming(20 ms)==offline" invariant; BASELINE.json:11).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import xmtpu
+from xmtpu.config.schema import PipelineConfig, TrackConfig, EffectConfig
+from xmtpu.graph import fx as fxg
+from xmtpu.graph import mixer as mixg
+from xmtpu.graph.streaming import StreamSession
+
+from .conftest import rms_db
+
+SR = 16000
+
+
+@pytest.fixture(scope="module")
+def two_tracks():
+    rng = np.random.default_rng(3)
+    n_v = 44100 * 2  # 2 s voice at 44.1k
+    voice = (0.3 * rng.standard_normal(n_v)).astype(np.float32)
+    n_b = 16000  # 1 s bgm at bus rate, looped
+    t = np.arange(n_b) / SR
+    bgm = (0.2 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    return voice, bgm
+
+
+def _config(effects=(), voice_kw=None, bgm_kw=None):
+    return PipelineConfig(
+        tracks=(
+            TrackConfig(url="voice", volume=0.9, fade_in_ms=50.0,
+                        fade_out_ms=100.0, **(voice_kw or {})),
+            TrackConfig(url="bgm", kind="bgm", volume=0.4, loop=True,
+                        **(bgm_kw or {})),
+        ),
+        master_effects=tuple(effects),
+        sample_rate=SR,
+        normalize=None,
+    )
+
+
+def _offline(voice, bgm, cfg, total):
+    """Offline oracle: mixer.mix + fx chain on the full clip."""
+    dur_ms = total * 1000.0 / SR
+    out = mixg.mix(
+        [
+            mixg.MixTrack(pcm=voice, sr=44100, gain=0.9,
+                          fade_in_ms=50.0, fade_out_ms=100.0),
+            mixg.MixTrack(pcm=bgm, sr=SR, gain=0.4, loop=True),
+        ],
+        SR,
+        normalize=None,
+        duration_ms=dur_ms,
+    )
+    if cfg.master_effects:
+        out = fxg.apply_chain(out, SR, list(cfg.master_effects))
+    return out
+
+
+def _read_frames(sess, n_frames):
+    return np.concatenate([sess.read() for _ in range(n_frames)], axis=0)
+
+
+def test_streaming_equals_offline_mix_only(two_tracks):
+    voice, bgm = two_tracks
+    cfg = _config()
+    sess = StreamSession(cfg, frame_ms=20.0,
+                         sources={"voice": (voice, 44100), "bgm": (bgm, SR)},
+                         output_dtype=np.float32)
+    assert sess.frame_out == 320  # 20 ms at 16 kHz, multiple of L=160
+    n_frames = 100  # 2 s — exactly the voice length, so offline trim
+    # and natural track end coincide (fade-out semantics match)
+    got = _read_frames(sess, n_frames)[:, 0]
+    ref = _offline(voice, bgm, cfg, n_frames * sess.frame_out)
+    ref = np.asarray(ref[: len(got)], np.float64)
+    db = rms_db(got.astype(np.float64) - ref, ref)
+    assert db <= -80.0, db
+
+
+def test_streaming_equals_offline_with_effects(two_tracks):
+    voice, bgm = two_tracks
+    chain = (
+        EffectConfig("equalizer", {"bands": [
+            {"freq_hz": 120.0, "gain_db": 3.0, "q": 1.0},
+            {"freq_hz": 2500.0, "gain_db": -2.0, "q": 1.0},
+        ]}),
+        EffectConfig("reverb", {"ir_seconds": 0.2, "wet": 0.25, "dry": 0.75}),
+        EffectConfig("limiter", {"threshold_db": -6.0}),
+    )
+    cfg = _config(effects=chain)
+    sess = StreamSession(cfg, frame_ms=20.0,
+                         sources={"voice": (voice, 44100), "bgm": (bgm, SR)},
+                         output_dtype=np.float32)
+    n_frames = 100
+    got = _read_frames(sess, n_frames)[:, 0]
+    ref = _offline(voice, bgm, cfg, n_frames * sess.frame_out)
+    ref = np.asarray(ref[: len(got)], np.float64)
+    db = rms_db(got.astype(np.float64) - ref, ref)
+    assert db <= -80.0, db
+
+
+def test_streaming_seek(two_tracks):
+    voice, bgm = two_tracks
+    cfg = _config()
+    src = {"voice": (voice, 44100), "bgm": (bgm, SR)}
+    sess = StreamSession(cfg, frame_ms=20.0, sources=src,
+                         output_dtype=np.float32)
+    # read sequentially to frame 10, then seek back to frame 5
+    frames = [sess.read() for _ in range(10)]
+    sess.seek(5 * 20.0)  # ms
+    again = sess.read()
+    np.testing.assert_allclose(again, frames[5], atol=1e-7)
+
+
+def test_streaming_state_resume(two_tracks):
+    voice, bgm = two_tracks
+    cfg = _config()
+    src = {"voice": (voice, 44100), "bgm": (bgm, SR)}
+    s1 = StreamSession(cfg, frame_ms=20.0, sources=src,
+                       output_dtype=np.float32)
+    for _ in range(7):
+        s1.read()
+    st = s1.state
+    next_a = s1.read()
+    s2 = StreamSession(cfg, frame_ms=20.0, sources=src,
+                       output_dtype=np.float32)
+    s2.load_state(st)
+    next_b = s2.read()
+    np.testing.assert_array_equal(next_a, next_b)
+
+
+def test_streaming_int16_output(two_tracks):
+    voice, bgm = two_tracks
+    sess = StreamSession(_config(), frame_ms=20.0,
+                         sources={"voice": (voice, 44100), "bgm": (bgm, SR)})
+    f = sess.read()
+    assert f.dtype == np.int16 and f.shape == (320, 1)
+
+
+def test_session_public_api(two_tracks):
+    voice, bgm = two_tracks
+    s = xmtpu.Session(_config(), frame_ms=20.0,
+                      sources={"voice": (voice, 44100), "bgm": (bgm, SR)})
+    s.seek(100.0)
+    f = s.read()
+    assert f.shape == (320, 1)
+    assert "frame_idx" in s.state

@@ -18,6 +18,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from xmtpu.ops import biquad as _biquad
 from xmtpu.ops import convert as _convert
@@ -35,6 +36,11 @@ DEFAULT_BANDS = (
 )
 
 
+def _interpret_auto() -> bool:
+    """Pallas interpret mode off-TPU (CPU mesh dryrun, CI)."""
+    return jax.devices()[0].platform == "cpu"
+
+
 def make_flagship_step(
     sr_in: int = 44100,
     sr_bus: int = 16000,
@@ -45,7 +51,8 @@ def make_flagship_step(
     bgm_gain: float = 0.4,
     fade_ms: float = 250.0,
     threshold_db: float = -3.0,
-    iir_dtype=jnp.float64,
+    iir_backend: str = "pallas",
+    interpret: bool | None = None,
 ):
     """Build the full-chain step fn(voice_i16[B,n], bgm_i16[B,n]) -> i16[B,m].
 
@@ -54,11 +61,30 @@ def make_flagship_step(
     FIR reverb, soft-knee limiter, f32->int16 — all fused in one jit,
     never leaving HBM between stages.
 
-    ``iir_dtype``: float64 (oracle-grade, SURVEY.md §7.4②) or float32
-    (fast path; -77 dB floor).
+    ``iir_backend``: "pallas" (sequential f32 kernels, batch-parallel —
+    the production batch path) or "scan" (f64 associative scans, the
+    oracle-grade twin; its unrolled HLO compiles very slowly at long n
+    on the remote TPU compiler, so reserve it for short clips/tests).
     """
     sos = _biquad.eq_sos(list(bands), sr_bus)
     ir = _reverb.synthetic_ir(ir_seconds, sr_bus).astype("float32")
+    if interpret is None:
+        interpret = _interpret_auto()
+
+    def eq(x):
+        if iir_backend == "pallas":
+            from xmtpu.kernels.iir import sosfilt_pallas
+
+            y, _ = sosfilt_pallas(sos, x, interpret=interpret)
+            return y
+        y, _ = _biquad.sosfilt_scan(sos, x, state_dtype=jnp.float64)
+        return y
+
+    lim_backend = (
+        ("pallas_interpret" if interpret else "pallas")
+        if iir_backend == "pallas"
+        else "scan"
+    )
 
     def step(voice_i16: jnp.ndarray, bgm_i16: jnp.ndarray) -> jnp.ndarray:
         v = _convert.pcm16_to_f32(voice_i16)
@@ -70,11 +96,17 @@ def make_flagship_step(
         v = _mix.apply_gain_fade(v, 1.0, fade, fade, length=n)
         b = _mix.apply_gain_fade(b, bgm_gain, fade, fade, length=n)
         out = v + b
-        out, _ = _mix.peak_normalize(out, _mix.db_to_amp(-1.0))
-        out, _ = _biquad.sosfilt_scan(sos, out, state_dtype=iir_dtype)
+        # per-clip peak normalize (NOT global: clips are independent, and
+        # the dp-sharded path must match the single-chip path bit-for-bit)
+        peak = jnp.max(jnp.abs(out), axis=-1, keepdims=True)
+        out = out * jnp.where(
+            peak > 0, _mix.db_to_amp(-1.0) / jnp.maximum(peak, 1e-30), 1.0
+        )
+        out = eq(out)
         out = _reverb.reverb(out, jnp.asarray(ir), wet=wet, dry=dry)
         out, _ = _limiter.limiter(
-            out[..., None, :], sr_bus, threshold_db=threshold_db
+            out[..., None, :], sr_bus, threshold_db=threshold_db,
+            backend=lim_backend,
         )
         return _convert.f32_to_pcm16(out[..., 0, :])
 
@@ -85,16 +117,23 @@ def shard_over_batch(n_devices: int | None = None):
     """1-D data-parallel mesh over clips (SURVEY.md §2.2 DP row)."""
     devs = jax.devices()
     n = n_devices or len(devs)
-    mesh = jax.sharding.Mesh(devs[:n], ("dp",))
+    mesh = jax.sharding.Mesh(np.asarray(devs[:n]), ("dp",))
     return mesh, jax.sharding.NamedSharding(
         mesh, jax.sharding.PartitionSpec("dp", None)
     )
 
 
 def flagship_step_sharded(mesh, **kw):
-    """Jit the flagship step with clips sharded over the ``dp`` axis."""
+    """Flagship step SPMD over the ``dp`` (clip batch) mesh axis via
+    shard_map: each device runs the identical per-shard program (Pallas
+    kernels included); no collectives needed for pure DP (SURVEY.md
+    §2.2 — peak stats stay per-clip, not global)."""
     step = make_flagship_step(**kw)
-    spec = jax.sharding.NamedSharding(
-        mesh, jax.sharding.PartitionSpec("dp", None)
+    P = jax.sharding.PartitionSpec
+    spmd = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(P("dp", None), P("dp", None)),
+        out_specs=P("dp", None),
+        check_vma=False,  # pallas_call outputs carry no vma annotation
     )
-    return jax.jit(step, in_shardings=(spec, spec), out_shardings=spec)
+    return jax.jit(spmd)

@@ -1,0 +1,239 @@
+"""Streaming session: seek + frame-by-frame reads (BASELINE.json:11).
+
+Reference analogue: the interactive mixer session
+(``xm_audio_utils_mixer_init/seek/get_frame``, ``src/xm_audio_utils.c``
+[upstream, SURVEY.md §2.1/§3.2]) — a constant-memory frame loop with
+carried filter state.
+
+TPU-native design (SURVEY.md §3.2): ONE jitted step function with fully
+static shapes, re-dispatched per frame; all DSP state is a pytree
+carried through it, and each track keeps only a small host-side input
+window per frame (decode is host-side by mandate, BASELINE.json:5).
+Every frame computes the *same* convolution windows as the offline path,
+so streaming == offline to f32 tolerance (the §4.2 invariant, tested in
+test_streaming.py).
+
+Geometry: ``frame_out`` bus samples per frame, a multiple of every
+track's polyphase L; a track placed at ``start_bus`` has constant block
+phase ``r0 = (-start_bus) mod L``, so each frame needs ``nj`` whole
+L-blocks from block clock ``c0 = (t0 - r0) / L`` and a static slice
+``[r0 : r0 + frame_out]`` — one executable serves all frames.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xmtpu.config.schema import PipelineConfig, config_from_dict
+from xmtpu.graph import fx as _fx
+from xmtpu.io import open_audio
+from xmtpu.ops import convert as _convert
+from xmtpu.ops import resample as _resample
+from xmtpu.utils.errors import ConfigError
+
+
+class _TrackStream:
+    """Host-side per-track source geometry + window extraction."""
+
+    def __init__(self, track, pcm, sr_native: int, sr_bus: int, frame_out: int):
+        self.cfg = track
+        self.sr_bus = sr_bus
+        self.frame_out = frame_out
+        g = math.gcd(sr_native, sr_bus)
+        self.L, self.M = sr_bus // g, sr_native // g
+        if frame_out % self.L:
+            raise ConfigError(
+                f"frame_out {frame_out} not a multiple of track L={self.L}"
+            )
+        self.plan = (
+            _resample.make_plan(self.L, self.M, 24, 9.0) if self.L != self.M else None
+        )
+        pcm = np.asarray(pcm)
+        if pcm.dtype == np.int16:
+            pcm = _convert.pcm16_to_f32_np(pcm)
+        if pcm.ndim == 1:
+            pcm = pcm[:, None]
+        self.pcm = np.ascontiguousarray(pcm.T, np.float32)  # (ch, n)
+        self.nch = self.pcm.shape[0]
+        self.n_native = self.pcm.shape[1]
+
+        self.start_bus = int(round(track.start_time_ms * sr_bus / 1000.0))
+        n_out = _resample.resample_output_len(self.n_native, self.L, self.M)
+        if track.end_time_ms is not None:
+            n_out = min(
+                n_out,
+                int(round(track.end_time_ms * sr_bus / 1000.0)) - self.start_bus,
+            )
+        self.n_out = max(n_out, 0)  # track length at bus rate (pre-loop)
+        # constant block phase: t0 mod L for every frame (see module doc)
+        self.r0 = (-self.start_bus) % self.L
+        self.nj = frame_out // self.L + (1 if self.r0 else 0)
+
+    def window(self, frame_idx: int):
+        """(host window array, track-local offset t0) for this frame, or
+        None when the track is silent for the whole frame."""
+        t0 = frame_idx * self.frame_out - self.start_bus
+        if t0 + self.frame_out <= 0:
+            return None  # before track start
+        if not self.cfg.loop and t0 >= self.n_out:
+            return None  # past track end
+        if self.plan is None:
+            idx = np.arange(t0, t0 + self.frame_out)
+            return self._gather(idx), t0
+        c0 = (t0 - self.r0) // self.L
+        p = self.plan
+        need = _resample.plan_rows(p, self.nj) * p.M
+        lo = c0 * p.M + p.base - p.pad_left
+        return self._gather(np.arange(lo, lo + need)), t0
+
+    def _gather(self, idx: np.ndarray) -> np.ndarray:
+        """pcm[:, idx] with zeros outside [0, n_native); loops wrap
+        non-negative indices (BGM looping, reference mixer semantics)."""
+        if self.cfg.loop and self.n_native > 0:
+            w = self.pcm[:, np.mod(idx, self.n_native)].copy()
+            w[:, idx < 0] = 0.0
+            return w
+        valid = (idx >= 0) & (idx < self.n_native)
+        w = np.zeros((self.nch, len(idx)), np.float32)
+        w[:, valid] = self.pcm[:, idx[valid]]
+        return w
+
+
+class StreamSession:
+    """Streaming mixer+effects session (reference handle-API parity)."""
+
+    def __init__(self, config, frame_ms: float = 20.0, sources=None,
+                 output_dtype=np.int16):
+        if isinstance(config, dict):
+            config = config_from_dict(config)
+        if not isinstance(config, PipelineConfig):
+            raise ConfigError("config must be PipelineConfig or dict")
+        self.config = config
+        self.sr = config.sample_rate
+        self.output_dtype = output_dtype
+
+        base_frame = max(1, int(round(frame_ms * self.sr / 1000.0)))
+        resolved = []
+        lcm = 1
+        for i, t in enumerate(config.tracks):
+            if sources and t.url in (sources or {}):
+                src = sources[t.url]
+                pcm, sr_nat = src if isinstance(src, tuple) else (src, self.sr)
+            elif t.url:
+                with open_audio(t.url) as d:
+                    pcm, sr_nat = d.read_all(), d.sample_rate
+            else:
+                raise ConfigError(f"track {i}: no url and no in-memory source")
+            g = math.gcd(int(sr_nat), self.sr)
+            L = self.sr // g
+            lcm = lcm * L // math.gcd(lcm, L)
+            resolved.append((t, pcm, int(sr_nat)))
+        self.frame_out = -(-base_frame // lcm) * lcm
+        self.tracks = [
+            _TrackStream(t, pcm, sr_nat, self.sr, self.frame_out)
+            for (t, pcm, sr_nat) in resolved
+        ]
+
+        self.nch = max((ts.nch for ts in self.tracks), default=config.channels)
+        self.effects = _fx.build_chain(
+            self.sr, list(config.master_effects) or list(config.effects)
+        )
+        self.fx_state = _fx.chain_init_state(self.effects, self.nch)
+        self.frame_idx = 0
+        self._step = jax.jit(self._make_step())
+
+    # -- device step ---------------------------------------------------------
+
+    def _make_step(self):
+        tracks = self.tracks
+        effects = self.effects
+        nch = self.nch
+        frame_out = self.frame_out
+
+        def step(windows, offsets, fx_state):
+            acc = jnp.zeros((nch, frame_out), jnp.float32)
+            for ts, w, off in zip(tracks, windows, offsets):
+                if w is None:
+                    continue
+                if ts.plan is None:
+                    y = w
+                else:
+                    y = _resample.resample_window(w, ts.plan, ts.nj)
+                    y = y[..., ts.r0 : ts.r0 + frame_out]
+                y = _track_env(y, ts, off)
+                if y.shape[0] == 1 and nch > 1:
+                    y = jnp.broadcast_to(y, (nch, frame_out))
+                acc = acc + y
+            return _fx.chain_apply(effects, acc, fx_state)
+
+        return step
+
+    # -- public API ------------------------------------------------------------
+
+    def seek(self, ms: float) -> None:
+        """Reposition the output clock (frame-aligned, pinned) and reset
+        filter state — reference semantics (SURVEY.md §3.2)."""
+        sample = int(round(ms * self.sr / 1000.0))
+        self.frame_idx = sample // self.frame_out
+        self.fx_state = _fx.chain_init_state(self.effects, self.nch)
+
+    def read(self) -> np.ndarray:
+        """Next (frame_out, ch) PCM frame."""
+        windows, offsets = [], []
+        for ts in self.tracks:
+            fi = ts.window(self.frame_idx)
+            if fi is None:
+                windows.append(None)
+                offsets.append(jnp.float32(0))
+            else:
+                w, t0 = fi
+                windows.append(jnp.asarray(w))
+                offsets.append(jnp.float32(t0))
+        out, self.fx_state = self._step(tuple(windows), tuple(offsets),
+                                        self.fx_state)
+        self.frame_idx += 1
+        out = np.asarray(out).T  # (frame, ch)
+        if self.output_dtype == np.int16:
+            out = _convert.f32_to_pcm16_np(out)
+        return out
+
+    @property
+    def state(self):
+        """Serializable session state — pause/resume (SURVEY.md §5)."""
+        return {
+            "frame_idx": self.frame_idx,
+            "fx_state": self.fx_state,
+            "frame_out": self.frame_out,
+        }
+
+    def load_state(self, st) -> None:
+        if st["frame_out"] != self.frame_out:
+            raise ConfigError("state frame size mismatch")
+        self.frame_idx = int(st["frame_idx"])
+        self.fx_state = st["fx_state"]
+
+
+def _track_env(y, ts: _TrackStream, off):
+    """Gain + fades + placement mask at track-local offset ``off``
+    (a traced scalar — one executable serves all frames; ramps computed
+    from scalar params in-kernel per SURVEY.md §3.4)."""
+    t = ts.cfg
+    n = y.shape[-1]
+    sr = ts.sr_bus
+    i = jnp.arange(n, dtype=jnp.float32) + off
+    g = jnp.full((n,), float(t.volume), jnp.float32)
+    fade_in = int(round(t.fade_in_ms * sr / 1000.0))
+    fade_out = int(round(t.fade_out_ms * sr / 1000.0))
+    if fade_in > 0:
+        g = g * jnp.clip((i + 1.0) / float(fade_in), None, 1.0)
+    if fade_out > 0 and not t.loop:
+        g = g * jnp.clip((float(ts.n_out) - i) / float(fade_out), 0.0, 1.0)
+    if t.loop:
+        g = jnp.where(i >= 0, g, 0.0)
+    else:
+        g = jnp.where((i >= 0) & (i < float(ts.n_out)), g, 0.0)
+    return y * g[None, :]

@@ -1,0 +1,135 @@
+"""Pallas kernel: limiter envelope follower (decaying max + one-pole).
+
+Reference analogue: the limiter's per-sample envelope C loop
+(``src/effects/`` [upstream, SURVEY.md §2.1]).
+
+The sequential part of the soft-knee limiter is two chained first-order
+recurrences over the detector signal d[n] (ops.limiter pinned math):
+
+    env[n] = max(d[n], k_rel * env[n-1])      (peak hold, exp release)
+    e2[n]  = (1-c_att) e2[n-1] + c_att env[n] (attack smoothing)
+
+Everything else (channel-link max, soft-knee curve, gain, clamp) is
+elementwise and stays in XLA where it fuses. Same layout/grid as
+``kernels.iir``: time on sublanes, batch rows on lanes, state in VMEM
+scratch across sequential time-chunk grid steps. Accuracy: sequential
+f32 (see tests) — compile stays tiny vs the associative-scan twin,
+whose unrolled log-depth graph stalls the remote TPU compiler at long n.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _env_kernel(coef_ref, init_ref, d_ref, o_ref, zf_ref, st_ref, *, n_total, tc):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        st_ref[:] = init_ref[:]
+
+    k_rel = coef_ref[0, 0]
+    c_att = coef_ref[0, 1]
+    a_att = 1.0 - c_att
+
+    state = (st_ref[0:1, :], st_ref[1:2, :])  # (env, e2), each (1, LANES)
+
+    def body(i, st):
+        env, e2 = st
+        di = d_ref[pl.ds(i, 1), :]
+        env = jnp.maximum(di, k_rel * env)
+        e2 = a_att * e2 + c_att * env
+        o_ref[pl.ds(i, 1), :] = e2
+        return (env, e2)
+
+    # int32 throughout — x64 mode is on package-wide and Mosaic rejects i64
+    rem = jnp.minimum(
+        jnp.int32(tc), jnp.int32(n_total) - t.astype(jnp.int32) * jnp.int32(tc)
+    )
+    env, e2 = jax.lax.fori_loop(jnp.int32(0), rem, body, state)
+    st_ref[0:1, :] = env
+    st_ref[1:2, :] = e2
+    zf_ref[:] = st_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("time_chunk", "interpret"))
+def _envelope_2d(d2d, coef, init, time_chunk=2048, interpret=False):
+    """d2d: (R, n) f32 detector rows. init: (2, R). -> (e2 (R, n), zf (2, R))."""
+    R, n = d2d.shape
+    Rp = _cdiv(R, LANES) * LANES
+    tc = time_chunk
+    ntc = _cdiv(n, tc)
+    npad = ntc * tc
+
+    dt = jnp.zeros((npad, Rp), jnp.float32)
+    dt = jax.lax.dynamic_update_slice(dt, d2d.T.astype(jnp.float32), (0, 0))
+    initp = jnp.zeros((2, Rp), jnp.float32)
+    initp = jax.lax.dynamic_update_slice(initp, init.astype(jnp.float32), (0, 0))
+
+    kern = functools.partial(_env_kernel, n_total=n, tc=tc)
+    # x64 off during kernel trace — Mosaic rejects i64 index types
+    with jax.enable_x64(False):
+        e2, zf = _call(kern, coef, initp, dt, Rp, npad, tc, ntc, interpret)
+    return e2[:n, :R].T, zf[:, :R]
+
+
+def _call(kern, coef, initp, dt, Rp, npad, tc, ntc, interpret):
+    return pl.pallas_call(
+        kern,
+        grid=(Rp // LANES, ntc),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # coef (1, 2)
+            pl.BlockSpec((2, LANES), lambda b, t: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc, LANES), lambda b, t: (t, b), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tc, LANES), lambda b, t: (t, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, LANES), lambda b, t: (0, b), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((npad, Rp), jnp.float32),
+            jax.ShapeDtypeStruct((2, Rp), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((2, LANES), jnp.float32)],
+        interpret=interpret,
+    )(coef.astype(jnp.float32), initp, dt)
+
+
+def envelope_pallas(d, k_rel: float, c_att: float, init=None, time_chunk=2048,
+                    interpret=False):
+    """Smoothed limiter envelope of detector ``d`` shaped (..., n).
+
+    ``init``: (env_last, e2_last) each shaped (...,) or None. Returns
+    (e2 (..., n), (env_last, e2_last)). f32 compute.
+    """
+    d = jnp.asarray(d)
+    batch = d.shape[:-1]
+    n = d.shape[-1]
+    R = int(np.prod(batch)) if batch else 1
+    d2d = d.reshape(R, n)
+    if init is None:
+        init2 = jnp.zeros((2, R), jnp.float32)
+    else:
+        init2 = jnp.stack(
+            [jnp.asarray(init[0]).reshape(R), jnp.asarray(init[1]).reshape(R)]
+        )
+    coef = jnp.array([[k_rel, c_att]], jnp.float32)
+    e2, zf = _envelope_2d(d2d, coef, init2, time_chunk=time_chunk,
+                          interpret=interpret)
+    return (
+        e2.reshape(*batch, n).astype(d.dtype),
+        (zf[0].reshape(batch), zf[1].reshape(batch)),
+    )

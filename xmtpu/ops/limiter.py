@@ -115,25 +115,42 @@ def limiter(
     release_ms: float = 100.0,
     ceiling_db: float = 0.0,
     state=None,
+    backend: str = "scan",
 ):
     """Soft-knee limit ``x`` shaped (..., channels, n). Jittable.
 
     Channels (axis -2) are linked; leading axes are independent batch
     dims. Returns (y, state) where state = (env_last, smooth_last),
-    float64 shaped (...,), carried across streaming blocks (SURVEY.md
-    §3.2 state list).
+    shaped (...,), carried across streaming blocks (SURVEY.md §3.2
+    state list).
+
+    ``backend``: "scan" = f64 associative scans (oracle-grade; large
+    unrolled HLO — slow to compile at long n on the remote TPU
+    compiler); "pallas" = sequential f32 Pallas kernel (tiny compile,
+    batch-parallel — the 256-clip batch path, SURVEY.md §7.3).
     """
     k_rel = _release_coeff(release_ms, sr)
     c_att = _attack_coeff(attack_ms, sr)
     in_dtype = x.dtype
-    xf = x.astype(jnp.float64)
+    work = jnp.float32 if backend.startswith("pallas") else jnp.float64
+    xf = x.astype(work)
     d = jnp.max(jnp.abs(xf), axis=-2)  # linked channels: (..., n)
     if state is None:
-        z = jnp.zeros(d.shape[:-1], jnp.float64)
+        z = jnp.zeros(d.shape[:-1], work)
         state = (z, z)
     env_init, sm_init = state
-    env, env_last = decaying_max_scan(d, k_rel, env_init)
-    e2, sm_last = onepole_scan(env, c_att, sm_init)
+    if backend == "scan":
+        env, env_last = decaying_max_scan(d, k_rel, env_init)
+        e2, sm_last = onepole_scan(env, c_att, sm_init)
+    elif backend in ("pallas", "pallas_interpret"):
+        from xmtpu.kernels.envelope import envelope_pallas
+
+        e2, (env_last, sm_last) = envelope_pallas(
+            d, k_rel, c_att, init=(env_init, sm_init),
+            interpret=(backend == "pallas_interpret"),
+        )
+    else:
+        raise ValueError(f"unknown limiter backend {backend!r}")
     level_db = 20.0 * jnp.log10(jnp.maximum(e2, _EPS))
     g = jnp.power(10.0, soft_knee_gain_db(level_db, threshold_db, knee_db) / 20.0)
     ceil_amp = 10.0 ** (ceiling_db / 20.0)

@@ -130,6 +130,9 @@ def _make_plan(L: int, M: int, taps_per_phase: int, beta: float) -> ResamplePlan
     )
 
 
+make_plan = _make_plan  # public alias (streaming resampler uses plans directly)
+
+
 def resample_output_len(n: int, L: int, M: int) -> int:
     """Pinned output-length rule: ceil(n * L / M) (matches resample_poly)."""
     return _cdiv(n * L, M)
@@ -155,8 +158,39 @@ def polyphase_resample(
     return _apply_plan(x, plan, dtype)
 
 
+def plan_rows(plan: ResamplePlan, nj: int) -> int:
+    """Input rows (of M samples) needed to emit nj output blocks."""
+    nslab = _cdiv(plan.width, plan.M) + 1
+    return nj + nslab
+
+
+def resample_window(xs: jnp.ndarray, plan: ResamplePlan, nj: int, dtype=jnp.float32):
+    """Core MXU compute: contiguous input window -> nj*L output samples.
+
+    ``xs``: (..., plan_rows(plan, nj) * M) where ``xs[k]`` is input sample
+    ``x[k + c0*M + base - pad_left]`` for first output block c0 (zeros
+    where that index is out of range). Shared by the offline path
+    (c0 = 0) and the streaming path (c0 = block clock) so the two are
+    bit-identical per block (SURVEY.md §3.2 streaming==offline invariant).
+
+    Frames F[..., c, u] = xs[..., c*M + u] for u in [0, width); the
+    window for output (c, r) is F[..., c, col_start[r]:col_start[r]+K2].
+    """
+    L, M = plan.L, plan.M
+    batch = xs.shape[:-1]
+    rows = plan_rows(plan, nj)
+    nslab = rows - nj
+    A = xs.astype(dtype).reshape(*batch, rows, M)
+    F = jnp.concatenate([A[..., i : i + nj, :] for i in range(nslab)], axis=-1)
+    F = F[..., : plan.width]
+    # one MXU matmul: [..., nj, width] @ [width, L] -> [..., nj, L]
+    hbank = jnp.asarray(plan.hbank, dtype=dtype)
+    out2d = jnp.matmul(F, hbank, precision=jax.lax.Precision.HIGHEST)
+    return out2d.reshape(*batch, nj * L)
+
+
 def _apply_plan(x: jnp.ndarray, plan: ResamplePlan, dtype) -> jnp.ndarray:
-    L, M, K2 = plan.L, plan.M, plan.K2
+    L, M = plan.L, plan.M
     n = x.shape[-1]
     out_len = resample_output_len(n, L, M)
     nj = _cdiv(out_len, L)  # number of L-sample output blocks
@@ -164,22 +198,12 @@ def _apply_plan(x: jnp.ndarray, plan: ResamplePlan, dtype) -> jnp.ndarray:
     x = x.astype(dtype)
     batch = x.shape[:-1]
 
-    # frames F[..., c, u] = xpad[..., c*M + u] for u in [0, width);
-    # window for (c, r) is F[..., c, col_start[r] : col_start[r]+K2].
-    nslab = _cdiv(plan.width, M) + 1
-    rows = nj + nslab
-    need = rows * M
+    # window xs[k] = x[k + base - pad_left], zeros outside [0, n)
+    need = plan_rows(plan, nj) * M
     pad_r = max(0, plan.base + need - (n + plan.pad_left))
     xpad = jnp.pad(x, [(0, 0)] * len(batch) + [(plan.pad_left, pad_r)])
     xs = jax.lax.slice_in_dim(xpad, plan.base, plan.base + need, axis=-1)
-    A = xs.reshape(*batch, rows, M)
-    F = jnp.concatenate([A[..., i : i + nj, :] for i in range(nslab)], axis=-1)
-    F = F[..., : plan.width]
-
-    # one MXU matmul: [..., nj, width] @ [width, L] -> [..., nj, L]
-    hbank = jnp.asarray(plan.hbank, dtype=dtype)
-    out2d = jnp.matmul(F, hbank, precision=jax.lax.Precision.HIGHEST)
-    return out2d.reshape(*batch, nj * L)[..., :out_len]
+    return resample_window(xs, plan, nj, dtype)[..., :out_len]
 
 
 # ---------------------------------------------------------------------------
