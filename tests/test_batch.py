@@ -1,0 +1,118 @@
+"""M5 tests: masked ragged batch step + batch runner (config 4,
+BASELINE.json:10). Runs with Pallas interpret mode on CPU backends.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import xmtpu  # noqa: F401
+from xmtpu import batch as xbatch
+from xmtpu.io.wav import write_wav, read_wav
+from xmtpu.runner import ClipJob, run_batch
+
+from .conftest import rms_db
+
+SR_IN = 44100
+SR_BUS = 16000
+
+
+def _clips(rng, lengths):
+    return [
+        (rng.standard_normal(n) * 9000).astype(np.int16) for n in lengths
+    ]
+
+
+def test_masked_batch_matches_unbatched(rng):
+    """Each ragged clip in a padded batch == the same clip run alone
+    (SURVEY.md §7.3 ragged rule)."""
+    lengths = [30000, 44100, 12345]
+    clips = _clips(rng, lengths)
+    n_pad = max(lengths)
+    B = len(clips)
+    voice = np.zeros((B, n_pad), np.int16)
+    for i, c in enumerate(clips):
+        voice[i, : len(c)] = c
+    bgm = np.zeros_like(voice)
+    step = jax.jit(xbatch.make_batch_step(sr_in=SR_IN, sr_bus=SR_BUS,
+                                          interpret=True))
+    out = np.asarray(step(jnp.asarray(voice), jnp.asarray(bgm),
+                          jnp.asarray(lengths, jnp.int32)))
+    solo_step_cache = {}
+    for i, c in enumerate(clips):
+        n = len(c)
+        if n not in solo_step_cache:
+            solo_step_cache[n] = jax.jit(
+                xbatch.make_batch_step(sr_in=SR_IN, sr_bus=SR_BUS,
+                                       interpret=True))
+        solo = np.asarray(solo_step_cache[n](
+            jnp.asarray(c[None]), jnp.asarray(np.zeros_like(c)[None]),
+            jnp.asarray([n], jnp.int32)))[0]
+        m = -(-n * (SR_BUS // 100)) // (SR_IN // 100)
+        a = out[i, :m].astype(np.float64)
+        b = solo[:m].astype(np.float64)
+        db = rms_db(a - b, b)
+        assert db <= -80.0, (i, db)
+        # pad region is silent
+        assert np.all(out[i, m:] == 0)
+
+
+def test_batch_runner_end_to_end(tmp_path, rng):
+    lengths = [22050, 44100, 30000, 8000]
+    jobs = []
+    for i, c in enumerate(_clips(rng, lengths)):
+        p = tmp_path / f"in_{i}.wav"
+        write_wav(str(p), c, SR_IN)
+        jobs.append(ClipJob(voice=str(p), out=str(tmp_path / f"out_{i}.wav")))
+    rep = run_batch(jobs, sr_in=SR_IN, sr_bus=SR_BUS, batch_size=2,
+                    step_kw={"interpret": True})
+    assert rep.done == 4 and not rep.failed
+    assert rep.audio_sec > 0 and rep.realtime_factor > 0
+    for i, n in enumerate(lengths):
+        pcm, sr = read_wav(str(tmp_path / f"out_{i}.wav"))
+        assert sr == SR_BUS
+        assert pcm.shape[0] == -(-n * 160) // 441
+
+
+def test_batch_runner_failure_isolation_and_resume(tmp_path, rng):
+    good = _clips(rng, [16000, 20000])
+    p0 = tmp_path / "g0.wav"
+    p1 = tmp_path / "g1.wav"
+    write_wav(str(p0), good[0], SR_IN)
+    write_wav(str(p1), good[1], SR_IN)
+    bad = tmp_path / "bad.wav"
+    bad.write_bytes(b"not a wav at all")
+    jobs = [
+        ClipJob(voice=str(p0), out=str(tmp_path / "o0.wav")),
+        ClipJob(voice=str(bad), out=str(tmp_path / "obad.wav")),
+        ClipJob(voice=str(p1), out=str(tmp_path / "o1.wav")),
+    ]
+    rep = run_batch(jobs, sr_in=SR_IN, sr_bus=SR_BUS,
+                    step_kw={"interpret": True})
+    assert rep.done == 2
+    assert len(rep.failed) == 1 and "obad" in rep.failed[0][0]
+    # resume: done clips skipped, bad retried (and fails again)
+    rep2 = run_batch(jobs, sr_in=SR_IN, sr_bus=SR_BUS,
+                     step_kw={"interpret": True})
+    assert rep2.skipped_resume == 2 and rep2.done == 0
+    assert len(rep2.failed) == 1
+
+
+def test_batch_runner_with_bgm(tmp_path, rng):
+    v = _clips(rng, [30000])[0]
+    t = np.arange(11025) / SR_IN
+    b = (np.sin(2 * np.pi * 220 * t) * 8000).astype(np.int16)
+    pv = tmp_path / "v.wav"
+    pb = tmp_path / "b.wav"
+    write_wav(str(pv), v, SR_IN)
+    write_wav(str(pb), b, SR_IN)
+    rep = run_batch(
+        [ClipJob(voice=str(pv), bgm=str(pb), out=str(tmp_path / "o.wav"))],
+        sr_in=SR_IN, sr_bus=SR_BUS, step_kw={"interpret": True},
+    )
+    assert rep.done == 1
+    pcm, _ = read_wav(str(tmp_path / "o.wav"))
+    assert np.max(np.abs(pcm)) > 1000  # non-silent mix

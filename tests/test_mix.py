@@ -118,3 +118,49 @@ def test_mix_silence_normalize_noop():
 def test_mix_rejects_empty():
     with pytest.raises(ValueError):
         api.mix([], 16000)
+
+
+# --- side-chain ducking (reference BGM-under-voice; pinned in ops.mix) -----
+
+
+def test_duck_gain_matches_oracle(signals):
+    import jax.numpy as jnp
+    from xmtpu.ops import mix as mops
+
+    v = signals(16000, 16000)["noise"]  # 1 s voice
+    v[:4000] = 0.0  # silence, then speech
+    g = np.asarray(mops.duck_gain(jnp.asarray(v), 16000), np.float64)
+    ref = mops.duck_gain_np(v, 16000)
+    assert rms_db(g - ref, ref) <= -80.0
+
+
+def test_mix_side_duck_attenuates_bgm(signals):
+    from xmtpu.graph import mixer as mixg
+    from xmtpu.ops import mix as mops
+
+    sr = 16000
+    n = sr  # 1 s
+    voice = np.zeros(n, np.float32)
+    voice[n // 2 :] = signals(n // 2, sr)["noise"]  # speech in 2nd half
+    t = np.arange(n) / sr
+    bgm = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    out = mixg.mix(
+        [
+            mixg.MixTrack(pcm=voice, sr=sr, kind="voice"),
+            mixg.MixTrack(pcm=bgm, sr=sr, kind="bgm", side_duck=True),
+        ],
+        sr,
+        normalize=None,
+        duck_params={"depth_db": 12.0, "threshold_db": -40.0,
+                     "attack_ms": 5.0, "release_ms": 50.0},
+    )
+    # numpy oracle: same pinned math
+    g = mops.duck_gain_np(voice.astype(np.float64), sr, depth_db=12.0,
+                          threshold_db=-40.0, attack_ms=5.0, release_ms=50.0)
+    ref = voice.astype(np.float64) + bgm.astype(np.float64) * g
+    assert rms_db(out.astype(np.float64) - ref, ref) <= -80.0
+    # behavioural: bgm loud while voice silent, ducked ~12 dB under voice
+    head = out[1000 : n // 2 - 1000]
+    tail = (out - voice)[n // 2 + 2000 :]
+    ratio_db = 20 * np.log10(np.abs(tail).max() / np.abs(head).max())
+    assert -13.5 < ratio_db < -10.5, ratio_db

@@ -1,0 +1,141 @@
+"""Native C++ host-runtime tests: WAV codec, conversion, FIFO.
+
+All native entry points must be bit-identical to their Python twins
+(SURVEY.md §4.2 — int16<->f32 is the one place bit-equality is demanded;
+WAV parse likewise since it defines the PCM byte contract).
+"""
+
+from __future__ import annotations
+
+import wave
+
+import numpy as np
+import pytest
+
+from xmtpu import native
+from xmtpu.io import wav as wavio
+from xmtpu.ops import convert
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="no native toolchain"
+)
+
+
+def _stdlib_write(path, pcm, sr):
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(pcm.shape[1] if pcm.ndim > 1 else 1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(np.ascontiguousarray(pcm).astype("<i2").tobytes())
+
+
+def test_wav_read_matches_stdlib(tmp_path, rng):
+    pcm = (rng.standard_normal((4321, 2)) * 12000).astype(np.int16)
+    p = tmp_path / "a.wav"
+    _stdlib_write(p, pcm, 22050)
+    got, sr = native.read_wav_native(str(p))
+    assert sr == 22050
+    np.testing.assert_array_equal(got, pcm)
+
+
+def test_wav_write_matches_stdlib_read(tmp_path, rng):
+    pcm = (rng.standard_normal((1000, 1)) * 9000).astype(np.int16)
+    p = tmp_path / "b.wav"
+    native.write_wav_native(str(p), pcm, 16000)
+    with wave.open(str(p), "rb") as w:
+        assert w.getframerate() == 16000
+        assert w.getnchannels() == 1
+        got = np.frombuffer(w.readframes(w.getnframes()), "<i2")
+    np.testing.assert_array_equal(got, pcm[:, 0])
+
+
+def test_wav_float32_file(tmp_path, rng):
+    """IEEE-float WAV decodes with the pinned rounding rule."""
+    import struct
+
+    x = (0.4 * rng.standard_normal(500)).astype(np.float32)
+    data = x.tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 48000, 48000 * 4, 4, 32)
+    hdr += b"data" + struct.pack("<I", len(data))
+    p = tmp_path / "f.wav"
+    p.write_bytes(hdr + data)
+    got, sr = native.read_wav_native(str(p))
+    assert sr == 48000
+    np.testing.assert_array_equal(got[:, 0], convert.f32_to_pcm16_np(x))
+
+
+def test_wav_reject_garbage(tmp_path):
+    p = tmp_path / "g.wav"
+    p.write_bytes(b"definitely not RIFF data")
+    with pytest.raises(ValueError):
+        native.read_wav_native(str(p))
+
+
+def test_io_roundtrip_through_public_api(tmp_path, rng):
+    """io.wav read/write (now native-backed) round-trips bit-exact."""
+    pcm = (rng.standard_normal((2048, 2)) * 15000).astype(np.int16)
+    p = tmp_path / "rt.wav"
+    wavio.write_wav(str(p), pcm, 44100)
+    got, sr = wavio.read_wav(str(p))
+    assert sr == 44100
+    np.testing.assert_array_equal(got, pcm)
+
+
+def test_conversion_bit_exact(rng):
+    i16 = rng.integers(-32768, 32768, size=10000).astype(np.int16)
+    np.testing.assert_array_equal(
+        native.i16_to_f32_native(i16), convert.pcm16_to_f32_np(i16)
+    )
+    f32 = (rng.standard_normal(10000) * 1.2).astype(np.float32)  # incl. clip
+    np.testing.assert_array_equal(
+        native.f32_to_i16_native(f32), convert.f32_to_pcm16_np(f32)
+    )
+
+
+def test_fifo_basic():
+    f = native.Fifo(64)
+    assert f.write(b"hello") == 5
+    assert len(f) == 5
+    assert f.read(3) == b"hel"
+    assert f.read(10) == b"lo"
+    assert len(f) == 0
+    f.close()
+
+
+def test_fifo_wraparound_and_capacity():
+    f = native.Fifo(8)
+    assert f.write(b"abcdef") == 6
+    assert f.read(4) == b"abcd"
+    assert f.write(b"ghijkl") == 6  # wraps
+    assert f.read(8) == b"efghijkl"
+    assert f.write(b"x" * 20) == 8  # capped at capacity
+    assert f.space == 0
+    f.close()
+
+
+def test_fifo_threaded_stress():
+    """SPSC stress: producer/consumer on threads, byte stream intact
+    (SURVEY.md §5 race detection: the host ring buffer is the only
+    concurrent structure)."""
+    import threading
+
+    f = native.Fifo(4096)
+    total = 1_000_000
+    src = np.random.default_rng(0).integers(0, 256, total).astype(np.uint8)
+    out = bytearray()
+
+    def producer():
+        sent = 0
+        while sent < total:
+            sent += f.write(src[sent : sent + 1024].tobytes())
+
+    def consumer():
+        while len(out) < total:
+            out.extend(f.read(1500))
+
+    tp = threading.Thread(target=producer)
+    tc = threading.Thread(target=consumer)
+    tp.start(); tc.start(); tp.join(); tc.join()
+    assert bytes(out) == src.tobytes()
+    f.close()

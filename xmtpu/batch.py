@@ -113,6 +113,68 @@ def make_flagship_step(
     return step
 
 
+def make_batch_step(
+    sr_in: int = 44100,
+    sr_bus: int = 16000,
+    bands=DEFAULT_BANDS,
+    ir_seconds: float = 0.25,
+    wet: float = 0.25,
+    dry: float = 0.75,
+    bgm_gain: float = 0.4,
+    fade_ms: float = 250.0,
+    threshold_db: float = -3.0,
+    interpret: bool | None = None,
+):
+    """Masked flagship step for RAGGED clip batches (BASELINE.json:10).
+
+    fn(voice_i16[B,n_pad], bgm_i16[B,n_pad], lengths[B]) -> i16[B,m_pad].
+    Clips are zero-padded to a common n_pad; ``lengths`` carries each
+    clip's true sample count so fades, the peak scan and the output mask
+    ignore pad (SURVEY.md §7.3 "Ragged clip lengths"). Values in
+    [0, out_len_i) match the unbatched flagship step on the lone clip.
+    """
+    sos = _biquad.eq_sos(list(bands), sr_bus)
+    ir = _reverb.synthetic_ir(ir_seconds, sr_bus).astype("float32")
+    if interpret is None:
+        interpret = _interpret_auto()
+    import math as _math
+
+    g = _math.gcd(sr_in, sr_bus)
+    L, M = sr_bus // g, sr_in // g
+
+    def step(voice_i16, bgm_i16, lengths):
+        from xmtpu.kernels.iir import sosfilt_pallas
+
+        v = _convert.pcm16_to_f32(voice_i16)
+        b = _convert.pcm16_to_f32(bgm_i16)
+        v = _resample.polyphase_resample(v, sr_in, sr_bus)
+        b = _resample.polyphase_resample(b, sr_in, sr_bus)
+        n = v.shape[-1]
+        # per-clip output lengths at the bus rate: ceil(len * L / M)
+        out_len = -(-lengths * L) // M  # [B]
+        i = jnp.arange(n, dtype=jnp.float32)[None, :]  # [1, n]
+        lenf = out_len.astype(jnp.float32)[:, None]  # [B, 1]
+        mask = i < lenf
+        fade = float(round(fade_ms * sr_bus / 1000.0))
+        ramp = jnp.minimum((i + 1.0) / fade, 1.0) * jnp.clip(
+            (lenf - i) / fade, 0.0, 1.0
+        )
+        out = (v + jnp.float32(bgm_gain) * b) * ramp * mask
+        peak = jnp.max(jnp.abs(out), axis=-1, keepdims=True)  # pad is 0
+        out = out * jnp.where(
+            peak > 0, _mix.db_to_amp(-1.0) / jnp.maximum(peak, 1e-30), 1.0
+        )
+        out, _ = sosfilt_pallas(sos, out, interpret=interpret)
+        out = _reverb.reverb(out, jnp.asarray(ir), wet=wet, dry=dry)
+        out, _ = _limiter.limiter(
+            out[..., None, :], sr_bus, threshold_db=threshold_db,
+            backend=("pallas_interpret" if interpret else "pallas"),
+        )
+        return _convert.f32_to_pcm16(out[..., 0, :] * mask)
+
+    return step
+
+
 def shard_over_batch(n_devices: int | None = None):
     """1-D data-parallel mesh over clips (SURVEY.md §2.2 DP row)."""
     devs = jax.devices()

@@ -40,6 +40,8 @@ class MixTrack:
     fade_in_ms: float = 0.0
     fade_out_ms: float = 0.0
     loop: bool = False
+    kind: str = "voice"  # voice | bgm | music (reference track classes)
+    side_duck: bool = False  # duck this track under the voice bus
 
     @staticmethod
     def from_dict(d: dict) -> "MixTrack":
@@ -51,6 +53,8 @@ class MixTrack:
             fade_in_ms=float(d.get("fade_in_ms", 0.0)),
             fade_out_ms=float(d.get("fade_out_ms", 0.0)),
             loop=bool(d.get("loop", False)),
+            kind=str(d.get("kind", "voice")),
+            side_duck=bool(d.get("side_duck", False)),
         )
 
 
@@ -59,7 +63,8 @@ def _ms_to_samples(ms: float, sr: int) -> int:
 
 
 def mix(tracks, sample_rate: int, normalize: str | None = "peak",
-        target_db: float = -1.0, duration_ms: float | None = None):
+        target_db: float = -1.0, duration_ms: float | None = None,
+        duck_params: dict | None = None):
     """Mix tracks onto a common bus. Public entry (BASELINE.json:8).
 
     ``tracks``: list of dicts or :class:`MixTrack`. Output dtype follows
@@ -119,6 +124,23 @@ def mix(tracks, sample_rate: int, normalize: str | None = "peak",
                 y = jnp.broadcast_to(y, (nch, track_len))
             y = jnp.pad(y, ((0, 0), (start, total - start - track_len)))
             placed.append(y)
+        # side-chain ducking: tracks flagged side_duck are attenuated by
+        # the voice-bus envelope (reference BGM-under-voice behaviour;
+        # pinned semantics in ops.mix.duck_gain)
+        if any(t.side_duck for (_, _, _, t) in prepared):
+            voice = [
+                p for p, (_, _, _, t) in zip(placed, prepared)
+                if not t.side_duck
+            ]
+            if voice:
+                g = _mix.duck_gain(
+                    _mix.mix_sum(jnp.stack(voice)), sample_rate,
+                    **(duck_params or {})
+                ).astype(jnp.float32)
+                placed = [
+                    p * g if t.side_duck else p
+                    for p, (_, _, _, t) in zip(placed, prepared)
+                ]
         out = _mix.mix_sum(jnp.stack(placed))
         if normalize == "peak":
             out, _ = _mix.peak_normalize(out, _mix.db_to_amp(target_db))

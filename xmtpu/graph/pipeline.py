@@ -50,6 +50,8 @@ def _resolve_tracks(inputs, config: PipelineConfig):
                 fade_in_ms=t.fade_in_ms,
                 fade_out_ms=t.fade_out_ms,
                 loop=t.loop,
+                kind=t.kind,
+                side_duck=t.side_duck,
             )
         )
     return tracks
@@ -75,11 +77,8 @@ def process(inputs, config: PipelineConfig, progress=None) -> np.ndarray:
             out = _fx.apply_chain(
                 np.asarray(tracks[i].pcm), tracks[i].sr, list(config.effects)
             )
-            tracks[i] = _mixer.MixTrack(
-                pcm=out, sr=tracks[i].sr, gain=tracks[i].gain,
-                start_ms=tracks[i].start_ms, fade_in_ms=tracks[i].fade_in_ms,
-                fade_out_ms=tracks[i].fade_out_ms, loop=tracks[i].loop,
-            )
+            import dataclasses
+            tracks[i] = dataclasses.replace(tracks[i], pcm=out)
     report(40.0)
 
     mixed = _mixer.mix(

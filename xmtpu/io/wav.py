@@ -26,8 +26,29 @@ class WavInfo:
     sample_width: int  # bytes per sample on disk
 
 
+def _native():
+    """Native C++ codec when built (xmtpu/native, ctypes); else None."""
+    try:
+        from xmtpu import native as _n
+
+        return _n if _n.available() else None
+    except Exception:
+        return None
+
+
 def read_wav(path) -> tuple[np.ndarray, int]:
-    """Read a WAV file -> (int16 array of shape (n, channels), sample_rate)."""
+    """Read a WAV file -> (int16 array of shape (n, channels), sample_rate).
+
+    Uses the native C++ parser when available (bit-identical to the
+    stdlib path for 16-bit PCM — asserted in tests), falling back to
+    stdlib ``wave`` for exotic widths or when no toolchain exists.
+    """
+    n = _native()
+    if n is not None:
+        try:
+            return n.read_wav_native(str(path))
+        except ValueError:
+            pass  # exotic width / malformed per native parser: stdlib decides
     with wave.open(str(path), "rb") as w:
         nch = w.getnchannels()
         width = w.getsampwidth()
@@ -54,6 +75,10 @@ def write_wav(path, pcm: np.ndarray, sample_rate: int) -> None:
         raise TypeError(f"write_wav expects int16 PCM, got {pcm.dtype}")
     if pcm.ndim == 1:
         pcm = pcm[:, None]
+    n = _native()
+    if n is not None:
+        n.write_wav_native(str(path), pcm, int(sample_rate))
+        return
     with wave.open(str(path), "wb") as w:
         w.setnchannels(pcm.shape[1])
         w.setsampwidth(2)

@@ -1,0 +1,194 @@
+"""Native host runtime (C++, ctypes-loaded) with pure-Python fallback.
+
+Reference analogue: the upstream's C host layer — codec front end,
+short<->float conversion, FIFO (``src/codec/``, ``src/tools/conversion``,
+``src/tools/fifo.c`` [upstream, SURVEY.md §2.1]). Compiled lazily with
+g++ on first use (no pybind11 in this environment — plain C ABI via
+ctypes); every entry point has a Python twin so the package works
+without a toolchain (SURVEY.md §2 "C++ optional, pure-Python fallback").
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+log = logging.getLogger("xmtpu.native")
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "xm_native.cpp")
+_SO = os.path.join(_HERE, "_libxmtpu.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _SO, _SRC]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception as e:
+        log.info("native build unavailable (%s); using Python fallback", e)
+        return False
+
+
+def load():
+    """Load (building if needed) the native library, or None."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError as e:
+            log.info("native load failed (%s); using Python fallback", e)
+            return None
+        lib.xm_wav_read.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int16)),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.xm_wav_read.restype = ctypes.c_int
+        lib.xm_wav_write.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32,
+        ]
+        lib.xm_wav_write.restype = ctypes.c_int
+        lib.xm_free.argtypes = [ctypes.c_void_p]
+        for name in ("xm_i16_to_f32", "xm_f32_to_i16"):
+            getattr(lib, name).argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64
+            ]
+        lib.xm_fifo_create.argtypes = [ctypes.c_int64]
+        lib.xm_fifo_create.restype = ctypes.c_void_p
+        lib.xm_fifo_free.argtypes = [ctypes.c_void_p]
+        for name in ("xm_fifo_size", "xm_fifo_space"):
+            getattr(lib, name).argtypes = [ctypes.c_void_p]
+            getattr(lib, name).restype = ctypes.c_int64
+        for name in ("xm_fifo_write", "xm_fifo_read"):
+            getattr(lib, name).argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64
+            ]
+            getattr(lib, name).restype = ctypes.c_int64
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+# ---------------------------------------------------------------------------
+# WAV codec
+# ---------------------------------------------------------------------------
+
+
+def read_wav_native(path: str):
+    """-> (int16 (n, ch), sample_rate). Raises on failure."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    out = ctypes.POINTER(ctypes.c_int16)()
+    n = ctypes.c_int64()
+    ch = ctypes.c_int32()
+    sr = ctypes.c_int32()
+    rc = lib.xm_wav_read(path.encode(), ctypes.byref(out), ctypes.byref(n),
+                         ctypes.byref(ch), ctypes.byref(sr))
+    if rc != 0:
+        raise ValueError(f"xm_wav_read({path!r}) failed with code {rc}")
+    try:
+        total = n.value * ch.value
+        pcm = np.ctypeslib.as_array(out, shape=(total,)).copy()
+    finally:
+        lib.xm_free(out)
+    return pcm.reshape(n.value, ch.value), int(sr.value)
+
+
+def write_wav_native(path: str, pcm: np.ndarray, sample_rate: int) -> None:
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    pcm = np.ascontiguousarray(pcm, np.int16)
+    if pcm.ndim == 1:
+        pcm = pcm[:, None]
+    rc = lib.xm_wav_write(path.encode(), pcm.ctypes.data, pcm.shape[0],
+                          pcm.shape[1], int(sample_rate))
+    if rc != 0:
+        raise ValueError(f"xm_wav_write({path!r}) failed with code {rc}")
+
+
+# ---------------------------------------------------------------------------
+# Conversion twins (host-side; the device twins live in ops.convert)
+# ---------------------------------------------------------------------------
+
+
+def i16_to_f32_native(x: np.ndarray) -> np.ndarray:
+    lib = load()
+    x = np.ascontiguousarray(x, np.int16)
+    out = np.empty(x.shape, np.float32)
+    lib.xm_i16_to_f32(x.ctypes.data, out.ctypes.data, x.size)
+    return out
+
+
+def f32_to_i16_native(x: np.ndarray) -> np.ndarray:
+    lib = load()
+    x = np.ascontiguousarray(x, np.float32)
+    out = np.empty(x.shape, np.int16)
+    lib.xm_f32_to_i16(x.ctypes.data, out.ctypes.data, x.size)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# FIFO (SPSC ring buffer; streaming feeder's host buffer)
+# ---------------------------------------------------------------------------
+
+
+class Fifo:
+    """Byte ring buffer backed by the native SPSC implementation."""
+
+    def __init__(self, capacity: int):
+        self._lib = load()
+        if self._lib is None:
+            raise RuntimeError("native library unavailable")
+        self._h = self._lib.xm_fifo_create(int(capacity))
+        self.capacity = int(capacity)
+
+    def write(self, data: bytes | np.ndarray) -> int:
+        buf = np.frombuffer(data, np.uint8) if isinstance(data, bytes) else \
+            np.ascontiguousarray(data).view(np.uint8).reshape(-1)
+        return int(self._lib.xm_fifo_write(self._h, buf.ctypes.data, buf.size))
+
+    def read(self, n: int) -> bytes:
+        out = np.empty(n, np.uint8)
+        got = int(self._lib.xm_fifo_read(self._h, out.ctypes.data, n))
+        return out[:got].tobytes()
+
+    def __len__(self) -> int:
+        return int(self._lib.xm_fifo_size(self._h))
+
+    @property
+    def space(self) -> int:
+        return int(self._lib.xm_fifo_space(self._h))
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.xm_fifo_free(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

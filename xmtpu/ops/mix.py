@@ -101,6 +101,63 @@ def db_to_amp(db: float) -> float:
     return float(10.0 ** (db / 20.0))
 
 
+def duck_gain(
+    voice_bus: jnp.ndarray,
+    sr: int,
+    threshold_db: float = -40.0,
+    depth_db: float = 12.0,
+    knee_db: float = 10.0,
+    attack_ms: float = 10.0,
+    release_ms: float = 300.0,
+) -> jnp.ndarray:
+    """Side-chain ducking gain from a voice bus (..., n) -> gain (..., n).
+
+    Reference analogue: the mixer's BGM-under-voice ducking [upstream,
+    SURVEY.md §2.1 Mixer row]. Pinned xmtpu semantics (the upstream
+    snapshot is a stub, so these ARE the spec, mirrored by
+    :func:`duck_gain_np`):
+
+    1. envelope of |voice| with instant-attack/exp-release decaying max
+       then one-pole attack smoothing (the limiter's detector machinery,
+       ops.limiter);
+    2. soft-edged gate: x = clip((env_db - threshold_db)/knee_db + 0.5,
+       0, 1); gain_db = -depth_db * x — full depth when the voice is
+       clearly above threshold, unity when clearly below, linear blend
+       across the knee.
+    """
+    from xmtpu.ops import limiter as _lim
+
+    d = jnp.abs(voice_bus.astype(jnp.float64))
+    k_rel = _lim._release_coeff(release_ms, sr)
+    c_att = _lim._attack_coeff(attack_ms, sr)
+    env, _ = _lim.decaying_max_scan(d, k_rel, jnp.zeros(d.shape[:-1], d.dtype))
+    e2, _ = _lim.onepole_scan(env, c_att, jnp.zeros(d.shape[:-1], d.dtype))
+    env_db = 20.0 * jnp.log10(jnp.maximum(e2, 1e-12))
+    x = jnp.clip((env_db - threshold_db) / knee_db + 0.5, 0.0, 1.0)
+    return jnp.power(10.0, -depth_db * x / 20.0)
+
+
+def duck_gain_np(voice_bus, sr, threshold_db=-40.0, depth_db=12.0,
+                 knee_db=10.0, attack_ms=10.0, release_ms=300.0):
+    """Sequential float64 oracle for :func:`duck_gain`."""
+    from xmtpu.ops import limiter as _lim
+
+    d = np.abs(np.asarray(voice_bus, np.float64))
+    k_rel = _lim._release_coeff(release_ms, sr)
+    c_att = _lim._attack_coeff(attack_ms, sr)
+    env_prev = np.zeros(d.shape[:-1])
+    sm_prev = np.zeros(d.shape[:-1])
+    e2 = np.empty_like(d)
+    for i in range(d.shape[-1]):
+        env_prev = np.maximum(d[..., i], k_rel * env_prev)
+        sm_prev = (1 - c_att) * sm_prev + c_att * env_prev if c_att < 1.0 \
+            else env_prev
+        e2[..., i] = sm_prev
+    env_db = 20.0 * np.log10(np.maximum(e2, 1e-12))
+    x = np.clip((env_db - threshold_db) / knee_db + 0.5, 0.0, 1.0)
+    return 10.0 ** (-depth_db * x / 20.0)
+
+
 # ---------------------------------------------------------------------------
 # Numpy oracle (float64) — the golden reference for all mixer tests
 # (SURVEY.md §4.2 "20-line numpy reference; exact ramp-boundary indices").

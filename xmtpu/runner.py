@@ -1,0 +1,189 @@
+"""Batch runner: many clips through the fused pipeline (config 4,
+BASELINE.json:10 — "256 podcast clips ... on one TPU chip").
+
+Reference analogue: there is none — the C library is invoked once per
+clip by the caller [upstream, SURVEY.md §2.2]; the batch axis IS the
+rebuild's data-parallel strategy.
+
+Mechanics (SURVEY.md §5/§7.3):
+* **bucketing by length** — clips are padded to geometric bucket edges
+  (ratio 1.25) so the jitted masked step compiles once per bucket, not
+  per clip length;
+* **failure isolation** — a clip that fails to decode is skipped and
+  reported; the batch never dies (SURVEY.md §5 failure detection);
+* **resume** — a done-marker (``<out>.done``) is written per clip; a
+  re-run skips clips already marked (SURVEY.md §5 checkpoint/resume);
+* **metrics** — clips, audio-sec, wall-sec, realtime factor, printed
+  and JSON-dumpable (SURVEY.md §5 observability).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import math
+import os
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from xmtpu.io import open_audio
+from xmtpu.io.wav import write_wav
+from xmtpu.utils.errors import XmtpuError
+
+log = logging.getLogger("xmtpu.runner")
+
+_BUCKET_RATIO = 1.25
+
+
+@dataclass
+class ClipJob:
+    """One clip: voice (path or (pcm, sr)), optional bgm, output path."""
+
+    voice: object
+    out: str
+    bgm: object = None
+
+
+@dataclass
+class BatchReport:
+    total: int = 0
+    done: int = 0
+    skipped_resume: int = 0
+    failed: list = field(default_factory=list)  # (out_path, error str)
+    audio_sec: float = 0.0
+    wall_sec: float = 0.0
+    buckets: int = 0
+
+    @property
+    def realtime_factor(self) -> float:
+        return self.audio_sec / self.wall_sec if self.wall_sec > 0 else 0.0
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "total": self.total,
+                "done": self.done,
+                "skipped_resume": self.skipped_resume,
+                "failed": self.failed,
+                "audio_sec": round(self.audio_sec, 3),
+                "wall_sec": round(self.wall_sec, 3),
+                "realtime_factor": round(self.realtime_factor, 1),
+                "buckets": self.buckets,
+            }
+        )
+
+
+def _bucket_edge(n: int, base: int = 16384) -> int:
+    """Smallest geometric bucket edge >= n (ratio 1.25, floor ``base``)."""
+    e = base
+    while e < n:
+        e = int(math.ceil(e * _BUCKET_RATIO))
+    return e
+
+
+def _load_mono_i16(src, sr_expect: int) -> np.ndarray:
+    """Decode to mono int16 at the job's input rate (host-side, thin)."""
+    if isinstance(src, tuple):
+        pcm, sr = src
+    elif isinstance(src, np.ndarray):
+        pcm, sr = src, sr_expect
+    else:
+        with open_audio(src) as d:
+            pcm, sr = d.read_all(), d.sample_rate
+    pcm = np.asarray(pcm)
+    if pcm.ndim > 1:
+        pcm = pcm.mean(axis=1) if pcm.dtype != np.int16 else pcm[:, 0]
+    if sr != sr_expect:
+        raise XmtpuError(
+            f"batch runner expects {sr_expect} Hz input, got {sr} "
+            "(mixed-rate batches bucket by rate in a future round)"
+        )
+    if pcm.dtype != np.int16:
+        from xmtpu.ops.convert import f32_to_pcm16_np
+
+        pcm = f32_to_pcm16_np(pcm.astype(np.float32))
+    return pcm
+
+
+def run_batch(
+    jobs,
+    sr_in: int = 44100,
+    sr_bus: int = 16000,
+    batch_size: int = 64,
+    resume: bool = True,
+    step_kw: dict | None = None,
+    write_done_markers: bool = True,
+) -> BatchReport:
+    """Run clips through the fused masked pipeline, bucketed by length."""
+    import jax
+    import jax.numpy as jnp
+    from xmtpu import batch as xbatch
+
+    report = BatchReport(total=len(jobs))
+    t_start = time.perf_counter()
+
+    # -- resolve + decode (failure-isolated), assign buckets ---------------
+    pending = []  # (job, voice_i16, bgm_i16_or_None, bucket_edge)
+    for job in jobs:
+        if not isinstance(job, ClipJob):
+            job = ClipJob(**job)
+        if resume and os.path.exists(job.out + ".done"):
+            report.skipped_resume += 1
+            continue
+        try:
+            v = _load_mono_i16(job.voice, sr_in)
+            b = _load_mono_i16(job.bgm, sr_in) if job.bgm is not None else None
+            if len(v) == 0:
+                raise XmtpuError("empty clip")
+        except Exception as e:  # isolate per-clip decode failures
+            log.warning("clip %s failed to decode: %s", job.out, e)
+            report.failed.append((job.out, str(e)))
+            continue
+        pending.append((job, v, b, _bucket_edge(len(v))))
+
+    # -- group by bucket, process in device batches -------------------------
+    step_cache: dict = {}
+    buckets: dict[int, list] = {}
+    for item in pending:
+        buckets.setdefault(item[3], []).append(item)
+    report.buckets = len(buckets)
+
+    g = math.gcd(sr_in, sr_bus)
+    L, M = sr_bus // g, sr_in // g
+
+    for edge, items in sorted(buckets.items()):
+        if edge not in step_cache:
+            step_cache[edge] = jax.jit(
+                xbatch.make_batch_step(sr_in=sr_in, sr_bus=sr_bus,
+                                       **(step_kw or {}))
+            )
+        step = step_cache[edge]
+        for i in range(0, len(items), batch_size):
+            chunk = items[i : i + batch_size]
+            B = len(chunk)
+            voice = np.zeros((B, edge), np.int16)
+            bgm = np.zeros((B, edge), np.int16)
+            lengths = np.zeros((B,), np.int32)
+            for r, (job, v, b, _) in enumerate(chunk):
+                voice[r, : len(v)] = v
+                lengths[r] = len(v)
+                if b is not None and len(b) > 0:
+                    reps = -(-len(v) // len(b))
+                    bgm[r, : len(v)] = np.tile(b, reps)[: len(v)]
+            out = np.asarray(
+                step(jnp.asarray(voice), jnp.asarray(bgm), jnp.asarray(lengths))
+            )
+            for r, (job, v, b, _) in enumerate(chunk):
+                m = -(-int(lengths[r]) * L) // M
+                write_wav(job.out, out[r, :m], sr_bus)
+                if write_done_markers:
+                    with open(job.out + ".done", "w") as f:
+                        f.write("ok\n")
+                report.done += 1
+                report.audio_sec += int(lengths[r]) / sr_in
+
+    report.wall_sec = time.perf_counter() - t_start
+    log.info("batch: %s", report.to_json())
+    return report
