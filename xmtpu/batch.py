@@ -87,27 +87,34 @@ def make_flagship_step(
     )
 
     def step(voice_i16: jnp.ndarray, bgm_i16: jnp.ndarray) -> jnp.ndarray:
-        v = _convert.pcm16_to_f32(voice_i16)
-        b = _convert.pcm16_to_f32(bgm_i16)
-        v = _resample.polyphase_resample(v, sr_in, sr_bus)
-        b = _resample.polyphase_resample(b, sr_in, sr_bus)
+        from xmtpu.utils.profiling import stage
+
+        with stage("resample"):
+            v = _convert.pcm16_to_f32(voice_i16)
+            b = _convert.pcm16_to_f32(bgm_i16)
+            v = _resample.polyphase_resample(v, sr_in, sr_bus)
+            b = _resample.polyphase_resample(b, sr_in, sr_bus)
         n = v.shape[-1]
-        fade = int(round(fade_ms * sr_bus / 1000.0))
-        v = _mix.apply_gain_fade(v, 1.0, fade, fade, length=n)
-        b = _mix.apply_gain_fade(b, bgm_gain, fade, fade, length=n)
-        out = v + b
-        # per-clip peak normalize (NOT global: clips are independent, and
-        # the dp-sharded path must match the single-chip path bit-for-bit)
-        peak = jnp.max(jnp.abs(out), axis=-1, keepdims=True)
-        out = out * jnp.where(
-            peak > 0, _mix.db_to_amp(-1.0) / jnp.maximum(peak, 1e-30), 1.0
-        )
-        out = eq(out)
-        out = _reverb.reverb(out, jnp.asarray(ir), wet=wet, dry=dry)
-        out, _ = _limiter.limiter(
-            out[..., None, :], sr_bus, threshold_db=threshold_db,
-            backend=lim_backend,
-        )
+        with stage("mix"):
+            fade = int(round(fade_ms * sr_bus / 1000.0))
+            v = _mix.apply_gain_fade(v, 1.0, fade, fade, length=n)
+            b = _mix.apply_gain_fade(b, bgm_gain, fade, fade, length=n)
+            out = v + b
+            # per-clip peak normalize (NOT global: clips are independent,
+            # and dp-sharded must match single-chip bit-for-bit)
+            peak = jnp.max(jnp.abs(out), axis=-1, keepdims=True)
+            out = out * jnp.where(
+                peak > 0, _mix.db_to_amp(-1.0) / jnp.maximum(peak, 1e-30), 1.0
+            )
+        with stage("eq"):
+            out = eq(out)
+        with stage("reverb"):
+            out = _reverb.reverb(out, jnp.asarray(ir), wet=wet, dry=dry)
+        with stage("limiter"):
+            out, _ = _limiter.limiter(
+                out[..., None, :], sr_bus, threshold_db=threshold_db,
+                backend=lim_backend,
+            )
         return _convert.f32_to_pcm16(out[..., 0, :])
 
     return step

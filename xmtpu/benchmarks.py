@@ -1,0 +1,166 @@
+"""Benchmark harness: the five BASELINE configs (BASELINE.json:7-11).
+
+Reference analogue: none — the upstream ships no benchmarks
+(SURVEY.md §6); these definitions are the driver's config list.
+
+Each config returns {"config", "desc", "audio_sec_per_sec", ...}; the
+repo-root ``bench.py`` (driver contract) reports config 4's full-chain
+number as the headline metric.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _timeit(fn, fetch, warmup=1, iters=3):
+    for _ in range(warmup):
+        out = fn()
+    fetch(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    fetch(out)  # one host fetch for the timed region (axon RTT rule)
+    return (time.perf_counter() - t0) / iters
+
+
+def config1_resample(batch=32, seconds=10.0):
+    """44.1k->16k mono polyphase + i16->f32 (BASELINE.json:7)."""
+    import jax
+    import jax.numpy as jnp
+    from xmtpu.ops import convert, resample
+
+    n = int(44100 * seconds)
+    x = (np.random.default_rng(0).standard_normal((batch, n)) * 9000).astype(
+        np.int16
+    )
+    xd = jax.device_put(jnp.asarray(x))
+
+    @jax.jit
+    def run(v):
+        return resample.polyphase_resample(convert.pcm16_to_f32(v), 44100, 16000)
+
+    dt = _timeit(lambda: run(xd), lambda o: np.asarray(o[0, :4]))
+    return {"config": 1, "desc": "44.1k->16k polyphase + i16->f32",
+            "audio_sec_per_sec": batch * seconds / dt}
+
+
+def config2_mix(batch=32, seconds=10.0, sr=16000):
+    """2-track voice+BGM mix, gain/fade/normalize @16k (BASELINE.json:8)."""
+    import jax
+    import jax.numpy as jnp
+    from xmtpu.ops import mix as mops
+
+    n = int(sr * seconds)
+    rng = np.random.default_rng(0)
+    v = jnp.asarray((0.3 * rng.standard_normal((batch, n))).astype(np.float32))
+    b = jnp.asarray((0.3 * rng.standard_normal((batch, n))).astype(np.float32))
+    fade = int(0.25 * sr)
+
+    @jax.jit
+    def run(v, b):
+        out = mops.apply_gain_fade(v, 0.9, fade, fade, length=n) \
+            + mops.apply_gain_fade(b, 0.4, fade, fade, length=n)
+        peak = jnp.max(jnp.abs(out), axis=-1, keepdims=True)
+        return out * jnp.where(peak > 0, mops.db_to_amp(-1.0) / peak, 1.0)
+
+    dt = _timeit(lambda: run(v, b), lambda o: np.asarray(o[0, :4]))
+    return {"config": 2, "desc": "2-track mix gain/fade/normalize",
+            "audio_sec_per_sec": batch * seconds / dt}
+
+
+def config3_effects(batch=16, seconds=10.0, sr=48000):
+    """5-band EQ + 0.5 s FIR reverb + limiter, stereo 48k (BASELINE.json:9)."""
+    import jax
+    import jax.numpy as jnp
+    from xmtpu.batch import DEFAULT_BANDS, _interpret_auto
+    from xmtpu.kernels.iir import sosfilt_pallas
+    from xmtpu.ops import biquad, limiter, reverb
+
+    interp = _interpret_auto()
+    n = int(sr * seconds)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(
+        (0.3 * rng.standard_normal((batch, 2, n))).astype(np.float32)
+    )
+    sos = biquad.eq_sos(list(DEFAULT_BANDS), sr)
+    ir = jnp.asarray(reverb.synthetic_ir(0.5, sr), jnp.float32)
+
+    @jax.jit
+    def run(x):
+        y, _ = sosfilt_pallas(sos, x, interpret=interp)
+        y = reverb.reverb(y, ir)
+        y, _ = limiter.limiter(
+            y, sr, backend="pallas_interpret" if interp else "pallas"
+        )
+        return y
+
+    dt = _timeit(lambda: run(x), lambda o: np.asarray(o[0, 0, :4]))
+    return {"config": 3, "desc": "stereo 48k EQ+reverb+limiter",
+            "audio_sec_per_sec": batch * seconds / dt}
+
+
+def config4_full_chain(batch=32, seconds=10.0):
+    """Batched offline pipeline, fused per-block (BASELINE.json:10)."""
+    import jax
+    import jax.numpy as jnp
+    from xmtpu import batch as xbatch
+
+    n = int(44100 * seconds)
+    rng = np.random.default_rng(0)
+    v = jnp.asarray((rng.standard_normal((batch, n)) * 9000).astype(np.int16))
+    b = jnp.asarray((np.sin(np.arange(n) / 50.0)[None].repeat(batch, 0) * 12000
+                     ).astype(np.int16))
+    step = jax.jit(xbatch.make_flagship_step())
+    dt = _timeit(lambda: step(v, b), lambda o: np.asarray(o[0, :4]))
+    return {"config": 4, "desc": "full chain decode->resample->mix->FX",
+            "audio_sec_per_sec": batch * seconds / dt}
+
+
+def config5_streaming(seconds=4.0):
+    """20 ms streaming frames through the full DSP graph (BASELINE.json:11)."""
+    from xmtpu.config.schema import EffectConfig, PipelineConfig, TrackConfig
+    from xmtpu.graph.streaming import StreamSession
+
+    sr = 16000
+    rng = np.random.default_rng(0)
+    n_v = int(44100 * seconds)
+    voice = (0.3 * rng.standard_normal(n_v)).astype(np.float32)
+    cfg = PipelineConfig(
+        tracks=(TrackConfig(url="v"),),
+        master_effects=(
+            EffectConfig("equalizer", {"bands": [
+                {"freq_hz": 300.0, "gain_db": 2.0, "q": 1.0}]}),
+            EffectConfig("limiter", {}),
+        ),
+        sample_rate=sr, normalize=None,
+    )
+    sess = StreamSession(cfg, frame_ms=20.0, sources={"v": (voice, 44100)})
+    n_frames = int(seconds * 1000 / 20) - 2
+    sess.read()  # compile
+    t0 = time.perf_counter()
+    for _ in range(n_frames):
+        sess.read()
+    dt = time.perf_counter() - t0
+    return {"config": 5, "desc": "20 ms streaming frames",
+            "audio_sec_per_sec": n_frames * 0.02 / dt,
+            "ms_per_frame": dt / n_frames * 1e3}
+
+
+_CONFIGS = {1: config1_resample, 2: config2_mix, 3: config3_effects,
+            4: config4_full_chain, 5: config5_streaming}
+
+
+def run(config: int | None = None):
+    """Run one or all configs; prints a JSON line each."""
+    results = []
+    for k in sorted(_CONFIGS) if config is None else [config]:
+        r = _CONFIGS[k]()
+        r["audio_sec_per_sec"] = round(r["audio_sec_per_sec"], 1)
+        r["x_realtime"] = r["audio_sec_per_sec"]
+        print(json.dumps(r))
+        results.append(r)
+    return results

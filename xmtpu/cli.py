@@ -71,9 +71,23 @@ def _cmd_generate(args) -> int:
 
 def _cmd_bench(args) -> int:
     from xmtpu import benchmarks
+    from xmtpu.utils.profiling import trace
 
-    benchmarks.run(config=args.config)
+    with trace(args.profile):
+        benchmarks.run(config=args.config)
     return 0
+
+
+def _cmd_batch(args) -> int:
+    """Batch runner: manifest JSON [{voice, bgm?, out}, ...] (config 4)."""
+    from xmtpu.runner import run_batch
+
+    with open(args.manifest) as f:
+        jobs = json.load(f)
+    rep = run_batch(jobs, sr_in=args.sr_in, sr_bus=args.rate,
+                    batch_size=args.batch_size, resume=not args.no_resume)
+    print(rep.to_json())
+    return 1 if rep.failed and not rep.done else 0
 
 
 def main(argv=None) -> int:
@@ -105,7 +119,17 @@ def main(argv=None) -> int:
 
     pb = sub.add_parser("bench", help="run the benchmark harness")
     pb.add_argument("--config", type=int, default=None)
+    pb.add_argument("--profile", default=None, metavar="TRACE_DIR",
+                    help="write a jax.profiler trace (XProf) here")
     pb.set_defaults(fn=_cmd_bench)
+
+    pba = sub.add_parser("batch", help="run a clip manifest (config 4)")
+    pba.add_argument("manifest", help="JSON list of {voice, bgm?, out}")
+    pba.add_argument("--sr-in", type=int, default=44100, dest="sr_in")
+    pba.add_argument("--rate", type=int, default=16000)
+    pba.add_argument("--batch-size", type=int, default=64, dest="batch_size")
+    pba.add_argument("--no-resume", action="store_true", dest="no_resume")
+    pba.set_defaults(fn=_cmd_batch)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -98,6 +98,38 @@ class LimiterFx:
         return _limiter.limiter(x, self.sr, state=state, **self.kw)
 
 
+class NoiseSuppressFx:
+    """STFT Wiener noise suppression (offline whole-clip effect).
+
+    params: nfft, noise_frames, smooth, floor. Streaming is unsupported
+    in this round (the reference's NS is also the first chain stage of
+    its offline voice-effects path; frame-carry streaming NS is future
+    work) — ``init_state`` raises under a streaming session.
+    """
+
+    def __init__(self, sample_rate: int, params):
+        p = dict(params)
+        self.kw = dict(
+            nfft=int(p.get("nfft", 512)),
+            noise_frames=int(p.get("noise_frames", 8)),
+            smooth=float(p.get("smooth", 0.7)),
+            floor=float(p.get("floor", 0.1)),
+        )
+        self._streaming_guard = False
+
+    def init_state(self, nch: int):
+        if self._streaming_guard:
+            raise ConfigError(
+                "noise_suppression is offline-only (no streaming state yet)"
+            )
+        return ()
+
+    def apply(self, x, state):
+        from xmtpu.ops import ns as _ns
+
+        return _ns.suppress(x, **self.kw), state
+
+
 class VolumeFx:
     """Static gain. params: gain_db | gain (linear)."""
 
@@ -121,6 +153,8 @@ _EFFECTS = {
     "reverb": ReverbFx,
     "limiter": LimiterFx,
     "volume": VolumeFx,
+    "noise_suppression": NoiseSuppressFx,
+    "ns": NoiseSuppressFx,
 }
 
 

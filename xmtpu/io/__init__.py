@@ -8,6 +8,10 @@ optional native shim behind the same interface.
 """
 
 from xmtpu.io.wav import read_wav, write_wav
-from xmtpu.io.decoder import open_audio, Decoder
+from xmtpu.io.decoder import open_audio, Decoder, register_backend
+from xmtpu.io.encoder import encode_audio, register_encoder
 
-__all__ = ["read_wav", "write_wav", "open_audio", "Decoder"]
+__all__ = [
+    "read_wav", "write_wav", "open_audio", "Decoder", "register_backend",
+    "encode_audio", "register_encoder",
+]

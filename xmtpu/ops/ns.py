@@ -1,0 +1,163 @@
+"""Noise suppression: STFT Wiener gain (spectral subtraction family).
+
+Reference analogue: the WebRTC-NS-style voice denoiser
+(``src/effects/noise_suppression/`` [upstream, SURVEY.md §2.1] — marked
+optional/stretch in SURVEY.md §7.5; this is the rebuild's take, NOT a
+WebRTC port).
+
+Pinned xmtpu semantics (mirrored by :func:`suppress_np`, the oracle):
+
+1. STFT: sqrt-Hann window (analysis AND synthesis, so the windows'
+   product is Hann and overlap-adds to exactly 1 at 50% hop), ``nfft``
+   (default 512); frames zero-padded at the clip edges so output
+   length == input and reconstruction is exact everywhere.
+2. Noise PSD: median of the first ``noise_frames`` frame PSDs (the
+   reference adapts continuously; xmtpu pins a lead-in estimate, or the
+   caller passes ``noise_psd`` explicitly).
+3. Per-frame PSD smoothing: one-pole over frames,
+   ``P[t] = a P[t-1] + (1-a) |X[t]|^2`` (a = ``smooth``).
+4. Wiener gain with floor: ``snr = max(P/noise - 1, 0)``;
+   ``G = max(snr / (1 + snr), floor)``.
+5. iSTFT: overlap-add with the same Hann window (gain applied to the
+   complex spectrum, phase untouched).
+
+Everything is batched FFTs + elementwise math + one tiny scan over
+frames — MXU/VPU-friendly, no Pallas needed (the FFT is the hot op and
+XLA owns it).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_DEF_NFFT = 512
+_DEF_FLOOR = 0.1
+
+
+def _win(nfft: int, dtype=np.float64) -> np.ndarray:
+    # sqrt of periodic Hann: w^2 (analysis*synthesis) COLA-sums to 1 at 50%
+    h = 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(nfft) / nfft)
+    return np.sqrt(h).astype(dtype)
+
+
+def _frame_count(n: int, nfft: int) -> int:
+    hop = nfft // 2
+    return -(-n // hop) + 1  # cover the tail, plus one lead frame of pad
+
+
+def stft(x: jnp.ndarray, nfft: int = _DEF_NFFT):
+    """(..., n) -> complex frames (..., T, nfft//2+1); sqrt-Hann, 50%
+    hop, half-window zero padding on both edges."""
+    hop = nfft // 2
+    n = x.shape[-1]
+    T = _frame_count(n, nfft)
+    pad = [(0, 0)] * (x.ndim - 1) + [(hop, (T - 1) * hop + nfft - (n + hop))]
+    xp = jnp.pad(x, pad)
+    frames = _gather_frames(xp, T, hop, nfft)
+    w = jnp.asarray(_win(nfft), x.dtype)
+    return jnp.fft.rfft(frames * w, axis=-1)
+
+
+def _gather_frames(xp, T, hop, nfft):
+    # static strided framing via reshape trick: frames overlap 50%, so
+    # two interleaved non-overlapping framings cover all frames.
+    batch = xp.shape[:-1]
+    even = xp[..., : (T + 1) // 2 * nfft]
+    even = even.reshape(*batch, (T + 1) // 2, nfft)[..., : (T + 1) // 2, :]
+    odd = xp[..., hop : hop + (T // 2) * nfft]
+    odd = odd.reshape(*batch, T // 2, nfft)
+    frames = jnp.zeros(batch + (T, nfft), xp.dtype)
+    frames = frames.at[..., 0::2, :].set(even[..., : (T + 1) // 2, :])
+    frames = frames.at[..., 1::2, :].set(odd)
+    return frames
+
+
+def istft(F: jnp.ndarray, n: int, nfft: int = _DEF_NFFT):
+    """Inverse of :func:`stft` (sqrt-Hann synthesis, exact COLA)."""
+    hop = nfft // 2
+    frames = jnp.fft.irfft(F, n=nfft, axis=-1)
+    w = jnp.asarray(_win(nfft), frames.dtype)
+    frames = frames * w  # synthesis window; w^2 sums to 1 at 50% hop
+    T = frames.shape[-2]
+    batch = frames.shape[:-2]
+    total = (T - 1) * hop + nfft
+    out = jnp.zeros(batch + (total,), frames.dtype)
+    # overlap-add the two interleaved framings
+    even = frames[..., 0::2, :].reshape(*batch, -1)
+    out = out.at[..., : even.shape[-1]].add(even)
+    odd = frames[..., 1::2, :].reshape(*batch, -1)
+    out = out.at[..., hop : hop + odd.shape[-1]].add(odd)
+    return out[..., hop : hop + n]
+
+
+def _onepole_frames(psd, a):
+    """P[t] = a P[t-1] + (1-a) psd[t] over axis -2 (frames)."""
+    def combine(l, r):
+        lv, lp = l
+        rv, rp = r
+        return rp * lv + rv, lp * rp
+
+    v, _ = jax.lax.associative_scan(
+        combine, ((1 - a) * psd, jnp.full_like(psd, a)), axis=-2
+    )
+    return v
+
+
+def suppress(
+    x: jnp.ndarray,
+    nfft: int = _DEF_NFFT,
+    noise_frames: int = 8,
+    smooth: float = 0.7,
+    floor: float = _DEF_FLOOR,
+    noise_psd: jnp.ndarray | None = None,
+):
+    """Suppress stationary noise in (..., n) float PCM. Jittable."""
+    in_dtype = x.dtype
+    X = stft(x.astype(jnp.float32), nfft)
+    psd = jnp.square(jnp.abs(X))
+    P = _onepole_frames(psd, jnp.float32(smooth))
+    if noise_psd is None:
+        noise = jnp.median(psd[..., :noise_frames, :], axis=-2, keepdims=True)
+    else:
+        noise = jnp.asarray(noise_psd, jnp.float32)[..., None, :]
+    snr = jnp.maximum(P / jnp.maximum(noise, 1e-20) - 1.0, 0.0)
+    G = jnp.maximum(snr / (1.0 + snr), jnp.float32(floor))
+    y = istft(X * G, x.shape[-1], nfft)
+    return y.astype(in_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Numpy oracle (float64) — mirrors the pinned math exactly.
+# ---------------------------------------------------------------------------
+
+
+def suppress_np(x, nfft=_DEF_NFFT, noise_frames=8, smooth=0.7,
+                floor=_DEF_FLOOR, noise_psd=None):
+    x = np.asarray(x, np.float64)
+    hop = nfft // 2
+    n = x.shape[-1]
+    T = _frame_count(n, nfft)
+    pad = [(0, 0)] * (x.ndim - 1) + [(hop, (T - 1) * hop + nfft - (n + hop))]
+    xp = np.pad(x, pad)
+    w = _win(nfft)
+    frames = np.stack([xp[..., t * hop : t * hop + nfft] for t in range(T)],
+                      axis=-2)
+    X = np.fft.rfft(frames * w, axis=-1)
+    psd = np.abs(X) ** 2
+    P = np.empty_like(psd)
+    acc = np.zeros_like(psd[..., 0, :])
+    for t in range(T):
+        acc = smooth * acc + (1 - smooth) * psd[..., t, :]
+        P[..., t, :] = acc
+    noise = (np.median(psd[..., :noise_frames, :], axis=-2, keepdims=True)
+             if noise_psd is None else np.asarray(noise_psd)[..., None, :])
+    snr = np.maximum(P / np.maximum(noise, 1e-20) - 1.0, 0.0)
+    G = np.maximum(snr / (1.0 + snr), floor)
+    yf = np.fft.irfft(X * G, n=nfft, axis=-1) * w
+    total = (T - 1) * hop + nfft
+    out = np.zeros(x.shape[:-1] + (total,))
+    for t in range(T):
+        out[..., t * hop : t * hop + nfft] += yf[..., t, :]
+    return out[..., hop : hop + n]
