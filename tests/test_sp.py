@@ -1,0 +1,118 @@
+"""Sequence-parallelism tests: one clip time-sharded over an 8-device
+virtual mesh must equal the single-device ops (SURVEY.md §2.2 SP row).
+
+These tests require multiple devices; they skip themselves unless the
+suite runs with XLA_FLAGS=--xla_force_host_platform_device_count=8 (or
+on a real multi-chip mesh). `tests/run_sp_cpu.sh`-style invocation:
+PYTHONPATH= JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+    python -m pytest tests/test_sp.py
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import xmtpu  # noqa: F401
+from .conftest import rms_db
+
+if len(jax.devices()) < 2:
+    pytest.skip("needs a multi-device mesh (virtual CPU devices ok)",
+                allow_module_level=True)
+
+from xmtpu.ops import biquad, limiter, reverb
+from xmtpu.parallel import sp_biquad, sp_effects_chain, sp_envelope, sp_fir
+
+SR = 48000
+BANDS = [
+    {"freq_hz": 100.0, "gain_db": 4.0, "q": 1.0},
+    {"freq_hz": 400.0, "gain_db": -3.0, "q": 1.2},
+    {"freq_hz": 1000.0, "gain_db": 2.5, "q": 0.9},
+    {"freq_hz": 4000.0, "gain_db": -2.0, "q": 1.1},
+    {"freq_hz": 12000.0, "gain_db": 3.0, "q": 0.8},
+]
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    devs = jax.devices()
+    return jax.sharding.Mesh(np.array(devs), ("sp",))
+
+
+def test_sp_fir_equals_local(mesh, rng):
+    n = 8 * 2048
+    x = (0.3 * rng.standard_normal(n)).astype(np.float32)
+    taps = reverb.synthetic_ir(0.01, SR).astype(np.float32)  # 480 taps
+    ref = np.asarray(
+        reverb.fir_convolve_full(jnp.asarray(x), jnp.asarray(taps))
+    )[: n]
+    got = np.asarray(sp_fir(jnp.asarray(x), taps, mesh))
+    db = rms_db(got.astype(np.float64) - ref, ref)
+    assert db <= -100.0, db
+
+
+def test_sp_fir_halo_crosses_boundary(mesh):
+    """Impulse at the end of shard 0 must ring into shard 1."""
+    n_sh = len(jax.devices())
+    n = n_sh * 1024
+    x = np.zeros(n, np.float32)
+    x[1023] = 1.0  # last sample of shard 0
+    taps = np.zeros(64, np.float32)
+    taps[10] = 1.0  # pure delay of 10
+    got = np.asarray(sp_fir(jnp.asarray(x), taps, mesh))
+    assert got[1033] == pytest.approx(1.0, abs=1e-4)  # landed in shard 1
+    assert np.sum(np.abs(got)) == pytest.approx(1.0, abs=1e-2)  # FFT noise
+
+
+def test_sp_biquad_equals_scan(mesh, rng):
+    n = 8 * 4096
+    x = (0.3 * rng.standard_normal(n)).astype(np.float32)
+    sos = biquad.eq_sos(BANDS, SR)
+    ref, _ = biquad.sosfilt_scan(sos, jnp.asarray(x))
+    got = np.asarray(sp_biquad(sos, jnp.asarray(x), mesh))
+    db = rms_db(got.astype(np.float64) - np.asarray(ref, np.float64),
+                np.asarray(ref, np.float64))
+    assert db <= -100.0, db
+
+
+def test_sp_envelope_equals_scan(mesh, rng):
+    n = 8 * 2048
+    d = np.abs(2.0 * rng.standard_normal(n)).astype(np.float64)
+    k_rel = limiter._release_coeff(100.0, SR)
+    c_att = limiter._attack_coeff(1.0, SR)
+    env_ref, _ = limiter.decaying_max_scan(jnp.asarray(d), k_rel,
+                                           jnp.zeros((), jnp.float64))
+    e2_ref, _ = limiter.onepole_scan(env_ref, c_att,
+                                     jnp.zeros((), jnp.float64))
+    got = np.asarray(sp_envelope(jnp.asarray(d), SR, mesh,
+                                 attack_ms=1.0, release_ms=100.0))
+    ref = np.asarray(e2_ref, np.float64)
+    db = rms_db(got - ref, ref)
+    assert db <= -100.0, db
+
+
+def test_sp_effects_chain_equals_single_device(mesh, rng):
+    """Config-3 chain on one long stereo clip, time-sharded, equals the
+    single-device ops chain."""
+    n = 8 * 4096
+    x = np.stack([
+        (0.5 * rng.standard_normal(n)).astype(np.float32),
+        (0.5 * rng.standard_normal(n)).astype(np.float32),
+    ])  # (2, n)
+    sos = biquad.eq_sos(BANDS, SR)
+    ir = reverb.synthetic_ir(0.02, SR).astype(np.float32)
+
+    # single-device reference via ops twins
+    y_ref, _ = biquad.sosfilt_scan(sos, jnp.asarray(x))
+    y_ref = reverb.reverb(y_ref, jnp.asarray(ir), wet=0.3, dry=0.7)
+    y_ref, _ = limiter.limiter(y_ref, SR, threshold_db=-6.0)
+    y_ref = np.asarray(y_ref, np.float64)
+
+    got = np.asarray(sp_effects_chain(
+        jnp.asarray(x), SR, mesh, bands=sos, ir=ir, wet=0.3, dry=0.7,
+        threshold_db=-6.0,
+    ), np.float64)
+    db = rms_db(got - y_ref, y_ref)
+    assert db <= -80.0, db

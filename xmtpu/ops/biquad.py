@@ -148,12 +148,12 @@ def _affine_combine(lhs, rhs):
     )
 
 
-def _section_scan(x, b0, b1, b2, a1, a2, zi):
-    """One biquad section over the last axis via associative scan.
+def section_cums(x, b0, b1, b2, a1, a2):
+    """Cumulative affine maps of one section: z[n] = M[n] z[-1] + v[n].
 
-    ``x``: (..., n) float64. ``zi``: (..., 2) float64 initial DF2T state.
-    Returns (y, zf) with zf the final state (for streaming block carry,
-    SURVEY.md §5 "IIR across blocks").
+    Returns (m11, m12, m21, m22, v1, v2), each shaped like ``x`` —
+    the building block shared by :func:`_section_scan` and the
+    sequence-parallel cross-shard state chain (xmtpu.parallel.sp).
     """
     g1 = b1 - a1 * b0
     g2 = b2 - a2 * b0
@@ -167,9 +167,17 @@ def _section_scan(x, b0, b1, b2, a1, a2, zi):
         g1 * x,  # v1
         g2 * x,  # v2
     )
-    m11, m12, m21, m22, v1, v2 = jax.lax.associative_scan(
-        _affine_combine, elems, axis=-1
-    )
+    return jax.lax.associative_scan(_affine_combine, elems, axis=-1)
+
+
+def _section_scan(x, b0, b1, b2, a1, a2, zi):
+    """One biquad section over the last axis via associative scan.
+
+    ``x``: (..., n) float64. ``zi``: (..., 2) float64 initial DF2T state.
+    Returns (y, zf) with zf the final state (for streaming block carry,
+    SURVEY.md §5 "IIR across blocks").
+    """
+    m11, m12, m21, m22, v1, v2 = section_cums(x, b0, b1, b2, a1, a2)
     zi1 = zi[..., 0:1]
     zi2 = zi[..., 1:2]
     z1 = m11 * zi1 + m12 * zi2 + v1
