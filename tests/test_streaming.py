@@ -149,3 +149,21 @@ def test_session_public_api(two_tracks):
     f = s.read()
     assert f.shape == (320, 1)
     assert "frame_idx" in s.state
+
+
+def test_streaming_state_file_roundtrip(tmp_path, two_tracks):
+    voice, bgm = two_tracks
+    chain = (EffectConfig("limiter", {"threshold_db": -6.0}),)
+    cfg = _config(effects=chain)
+    src = {"voice": (voice, 44100), "bgm": (bgm, SR)}
+    s1 = StreamSession(cfg, frame_ms=20.0, sources=src,
+                       output_dtype=np.float32)
+    for _ in range(5):
+        s1.read()
+    p = str(tmp_path / "sess.npz")
+    s1.save_state(p)
+    nxt = s1.read()
+    s2 = StreamSession(cfg, frame_ms=20.0, sources=src,
+                       output_dtype=np.float32)
+    s2.load_state_file(p)
+    np.testing.assert_array_equal(s2.read(), nxt)

@@ -37,6 +37,7 @@ from xmtpu.api import (  # noqa: E402
     process_file,
     Session,
 )
+from xmtpu import io  # noqa: E402  (xmtpu.io.read_wav / write_wav / open_audio)
 from xmtpu.config.schema import (  # noqa: E402
     PipelineConfig,
     TrackConfig,

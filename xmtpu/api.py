@@ -109,3 +109,12 @@ class Session:
     @property
     def state(self):
         return self._impl.state
+
+    def load_state(self, st):
+        return self._impl.load_state(st)
+
+    def save_state(self, path):
+        return self._impl.save_state(path)
+
+    def load_state_file(self, path):
+        return self._impl.load_state_file(path)

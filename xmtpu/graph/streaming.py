@@ -145,6 +145,11 @@ class StreamSession:
         self.fx_state = _fx.chain_init_state(self.effects, self.nch)
         self.frame_idx = 0
         self._step = jax.jit(self._make_step())
+        # double-buffered prefetch (BASELINE.json:11): the NEXT frame's
+        # step is dispatched before the current frame's host fetch, so
+        # device compute overlaps the device->host transfer. JAX's async
+        # dispatch chains on device values without host sync.
+        self._pending = None  # (frame_idx, out_device, state_after)
 
     # -- device step ---------------------------------------------------------
 
@@ -181,11 +186,11 @@ class StreamSession:
         self.frame_idx = sample // self.frame_out
         self.fx_state = _fx.chain_init_state(self.effects, self.nch)
 
-    def read(self) -> np.ndarray:
-        """Next (frame_out, ch) PCM frame."""
+    def _dispatch(self, frame_idx: int, fx_state):
+        """Enqueue one frame's device step (non-blocking)."""
         windows, offsets = [], []
         for ts in self.tracks:
-            fi = ts.window(self.frame_idx)
+            fi = ts.window(frame_idx)
             if fi is None:
                 windows.append(None)
                 offsets.append(jnp.float32(0))
@@ -193,10 +198,18 @@ class StreamSession:
                 w, t0 = fi
                 windows.append(jnp.asarray(w))
                 offsets.append(jnp.float32(t0))
-        out, self.fx_state = self._step(tuple(windows), tuple(offsets),
-                                        self.fx_state)
-        self.frame_idx += 1
-        out = np.asarray(out).T  # (frame, ch)
+        out, state = self._step(tuple(windows), tuple(offsets), fx_state)
+        return (frame_idx, out, state)
+
+    def read(self) -> np.ndarray:
+        """Next (frame_out, ch) PCM frame (prefetches the one after)."""
+        if self._pending is None or self._pending[0] != self.frame_idx:
+            self._pending = self._dispatch(self.frame_idx, self.fx_state)
+        idx, out_dev, state = self._pending
+        self.fx_state = state
+        self.frame_idx = idx + 1
+        self._pending = self._dispatch(self.frame_idx, state)  # overlap
+        out = np.asarray(out_dev).T  # (frame, ch) — blocks; next computes
         if self.output_dtype == np.int16:
             out = _convert.f32_to_pcm16_np(out)
         return out
@@ -215,6 +228,33 @@ class StreamSession:
             raise ConfigError("state frame size mismatch")
         self.frame_idx = int(st["frame_idx"])
         self.fx_state = st["fx_state"]
+        self._pending = None
+
+    def save_state(self, path) -> None:
+        """Persist the session state to disk (npz of pytree leaves; the
+        tree structure is reconstructed from the config on load)."""
+        leaves = jax.tree_util.tree_leaves(self.fx_state)
+        np.savez(
+            path,
+            frame_idx=self.frame_idx,
+            frame_out=self.frame_out,
+            **{f"leaf_{i}": np.asarray(v) for i, v in enumerate(leaves)},
+        )
+
+    def load_state_file(self, path) -> None:
+        z = np.load(path)
+        if int(z["frame_out"]) != self.frame_out:
+            raise ConfigError("state frame size mismatch")
+        template = _fx.chain_init_state(self.effects, self.nch)
+        treedef = jax.tree_util.tree_structure(template)
+        t_leaves = jax.tree_util.tree_leaves(template)
+        leaves = [
+            jnp.asarray(z[f"leaf_{i}"], t_leaves[i].dtype)
+            for i in range(len(t_leaves))
+        ]
+        self.fx_state = jax.tree_util.tree_unflatten(treedef, leaves)
+        self.frame_idx = int(z["frame_idx"])
+        self._pending = None
 
 
 def _track_env(y, ts: _TrackStream, off):
