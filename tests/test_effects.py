@@ -291,3 +291,36 @@ def test_unknown_effect_raises():
 
     with pytest.raises(ConfigError):
         fxg.build_chain(SR, [{"name": "flanger"}])
+
+
+# --- compressor (finite-ratio compand; shares limiter machinery) -----------
+
+
+def test_compressor_matches_oracle(signals):
+    x = (2.0 * signals(4800, SR)["noise"]).reshape(1, -1)
+    kw = dict(threshold_db=-12.0, knee_db=6.0, attack_ms=2.0,
+              release_ms=80.0, ratio=4.0, makeup_db=3.0)
+    ref, _ = limiter.limiter_np(x, SR, **kw)
+    y, _ = limiter.limiter(jnp.asarray(x), SR, **kw)
+    assert rms_db(np.asarray(y, np.float64) - ref, ref) <= -80.0
+
+
+def test_compressor_ratio_semantics():
+    """A steady tone R dB above threshold comes out reduced by
+    R*(1-1/ratio) dB (static curve, past the knee)."""
+    sr = SR
+    t = np.arange(sr) / sr
+    x = (10 ** (-6.0 / 20.0) * np.sin(2 * np.pi * 997 * t)).astype(np.float32)
+    y, _ = limiter.limiter(jnp.asarray(x.reshape(1, -1)), sr,
+                           threshold_db=-18.0, knee_db=2.0, ratio=4.0,
+                           attack_ms=0.0, release_ms=50.0)
+    # steady state: level = -6 dB, over = 12 dB, reduction = 9 dB
+    out_db = 20 * np.log10(np.max(np.abs(np.asarray(y)[0, sr // 2:])))
+    assert abs(out_db - (-15.0)) < 0.3, out_db  # -6 - 9 = -15 dB
+
+
+def test_compressor_in_chain(signals):
+    x = signals(4800, SR)["noise"]
+    y = fxg.apply_chain(x, SR, [{"name": "compressor",
+                                 "threshold_db": -20.0, "ratio": 3.0}])
+    assert y.shape == x.shape and np.all(np.isfinite(y))

@@ -98,6 +98,21 @@ class LimiterFx:
         return _limiter.limiter(x, self.sr, state=state, **self.kw)
 
 
+class CompressorFx(LimiterFx):
+    """SoX-compand-style downward compressor (finite ratio + makeup).
+
+    params: threshold_db, ratio, knee_db, attack_ms, release_ms,
+    makeup_db, ceiling_db. Shares the limiter's envelope machinery
+    (reference: the compand-style limiter/compressor, SURVEY.md §2.1).
+    """
+
+    def __init__(self, sample_rate: int, params):
+        p = dict(params)
+        super().__init__(sample_rate, p)
+        self.kw["ratio"] = float(p.get("ratio", 4.0))
+        self.kw["makeup_db"] = float(p.get("makeup_db", 0.0))
+
+
 class NoiseSuppressFx:
     """STFT Wiener noise suppression (offline whole-clip effect).
 
@@ -152,6 +167,7 @@ _EFFECTS = {
     "eq": lambda sr, p: EqualizerFx(sr, p.get("bands", [])),
     "reverb": ReverbFx,
     "limiter": LimiterFx,
+    "compressor": CompressorFx,
     "volume": VolumeFx,
     "noise_suppression": NoiseSuppressFx,
     "ns": NoiseSuppressFx,

@@ -95,13 +95,21 @@ def onepole_scan(u, c: float, init):
     return e, e[..., -1]
 
 
-def soft_knee_gain_db(level_db, threshold_db: float, knee_db: float):
-    """Gain (<= 0 dB) from the soft-knee static curve. Elementwise."""
+def soft_knee_gain_db(level_db, threshold_db: float, knee_db: float,
+                      ratio: float = float("inf")):
+    """Gain (<= 0 dB) from the soft-knee static curve. Elementwise.
+
+    ``ratio``: compression ratio. inf = limiter (reduction == overshoot);
+    finite r reduces by ``over * (1 - 1/r)`` above threshold — the
+    SoX-compand-style downward compressor (SURVEY.md §2.1 "Limiter /
+    compressor" row). The knee blends quadratically in both cases.
+    """
+    slope = 1.0 if ratio == float("inf") else 1.0 - 1.0 / float(ratio)
     over = level_db - threshold_db
     w = max(float(knee_db), 1e-6)
-    in_knee = (over + 0.5 * w) ** 2 / (2.0 * w)
+    in_knee = slope * (over + 0.5 * w) ** 2 / (2.0 * w)
     red = jnp.where(
-        over <= -0.5 * w, 0.0, jnp.where(over >= 0.5 * w, over, in_knee)
+        over <= -0.5 * w, 0.0, jnp.where(over >= 0.5 * w, slope * over, in_knee)
     )
     return -red
 
@@ -116,6 +124,8 @@ def limiter(
     ceiling_db: float = 0.0,
     state=None,
     backend: str = "scan",
+    ratio: float = float("inf"),
+    makeup_db: float = 0.0,
 ):
     """Soft-knee limit ``x`` shaped (..., channels, n). Jittable.
 
@@ -152,7 +162,11 @@ def limiter(
     else:
         raise ValueError(f"unknown limiter backend {backend!r}")
     level_db = 20.0 * jnp.log10(jnp.maximum(e2, _EPS))
-    g = jnp.power(10.0, soft_knee_gain_db(level_db, threshold_db, knee_db) / 20.0)
+    g = jnp.power(
+        10.0,
+        (soft_knee_gain_db(level_db, threshold_db, knee_db, ratio) + makeup_db)
+        / 20.0,
+    )
     ceil_amp = 10.0 ** (ceiling_db / 20.0)
     y = jnp.clip(xf * g[..., None, :], -ceil_amp, ceil_amp)
     return y.astype(in_dtype), (env_last, sm_last)
@@ -172,6 +186,8 @@ def limiter_np(
     release_ms=100.0,
     ceiling_db=0.0,
     state=(0.0, 0.0),
+    ratio=float("inf"),
+    makeup_db=0.0,
 ):
     x = np.asarray(x, np.float64)
     k_rel = _release_coeff(release_ms, sr)
@@ -188,12 +204,15 @@ def limiter_np(
         sm_prev = (1.0 - c_att) * sm_prev + c_att * env_prev if c_att < 1.0 else env_prev
         e2[..., i] = sm_prev
     level_db = 20.0 * np.log10(np.maximum(e2, _EPS))
+    slope = 1.0 if ratio == float("inf") else 1.0 - 1.0 / float(ratio)
     over = level_db - threshold_db
     w = max(float(knee_db), 1e-6)
     red = np.where(
-        over <= -0.5 * w, 0.0, np.where(over >= 0.5 * w, over, (over + 0.5 * w) ** 2 / (2 * w))
+        over <= -0.5 * w, 0.0,
+        np.where(over >= 0.5 * w, slope * over,
+                 slope * (over + 0.5 * w) ** 2 / (2 * w))
     )
-    g = 10.0 ** (-red / 20.0)
+    g = 10.0 ** ((-red + makeup_db) / 20.0)
     ceil_amp = 10.0 ** (ceiling_db / 20.0)
     y = np.clip(x * g[..., None, :], -ceil_amp, ceil_amp)
     return y, (env_prev, sm_prev)
