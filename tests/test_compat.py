@@ -1,0 +1,83 @@
+"""Handle-style compat API tests (reference call-shape parity) + raw PCM."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+import pytest
+
+import xmtpu  # noqa: F401
+from xmtpu import compat
+from xmtpu.io import open_audio
+from xmtpu.io.wav import write_wav
+
+
+@pytest.fixture()
+def wav_fixture(tmp_path, rng):
+    sr = 16000
+    pcm = (rng.standard_normal(sr) * 9000).astype(np.int16)  # 1 s
+    p = tmp_path / "v.wav"
+    write_wav(str(p), pcm, sr)
+    return str(p), pcm, sr
+
+
+def test_mixer_handle_flow(wav_fixture):
+    path, pcm, sr = wav_fixture
+    cfg = json.dumps({"sampleRate": sr,
+                      "tracks": [{"url": path, "volume": 1.0}]})
+    h = compat.XmAudioUtils()
+    assert h.mixer_init(cfg) == 0
+    assert h.mixer_seek(100.0) == 0
+    f = h.mixer_get_frame()
+    assert f is not None and f.dtype == np.int16
+    h.mixer_seek(0.0)
+    frames = []
+    while True:
+        f = h.mixer_get_frame()
+        if f is None:
+            break
+        frames.append(f)
+        assert len(frames) < 200  # 1 s / 20 ms = 50 + slack
+    total = np.concatenate(frames)[: len(pcm), 0]
+    # mixer passthrough of a single full-gain track == input samples
+    np.testing.assert_allclose(total.astype(np.int32), pcm.astype(np.int32),
+                               atol=1)
+    h.freep()
+
+
+def test_generator_async_flow(tmp_path, wav_fixture):
+    path, pcm, sr = wav_fixture
+    out = str(tmp_path / "out.wav")
+    cfg = json.dumps({"sampleRate": sr, "normalize": "peak",
+                      "tracks": [{"url": path, "volume": 0.8,
+                                  "fadeInTimeMs": 10}]})
+    g = compat.XmAudioGenerator()
+    assert g.start(cfg, out) == 0
+    status = g.wait(120)
+    assert status == compat.GS_COMPLETED, (status, g.error)
+    assert g.get_progress() == 100.0
+    got, got_sr = xmtpu.io.read_wav(out)
+    assert got_sr == sr and got.shape[0] == len(pcm)
+
+
+def test_generator_error_pollable(tmp_path):
+    cfg = json.dumps({"sampleRate": 16000,
+                      "tracks": [{"url": "/nonexistent/x.wav"}]})
+    g = compat.XmAudioGenerator()
+    g.start(cfg, str(tmp_path / "o.wav"))
+    assert g.wait(60) == compat.GS_ERROR
+    assert g.error is not None
+
+
+def test_raw_pcm_decoder(tmp_path, rng):
+    pcm = (rng.standard_normal(4000) * 9000).astype(np.int16)
+    p = tmp_path / "a.pcm"
+    pcm.tofile(str(p))
+    with open_audio(str(p), sample_rate=8000) as d:
+        assert d.sample_rate == 8000
+        got = d.read_all()
+    np.testing.assert_array_equal(got[:, 0], pcm)
+    with pytest.raises(ValueError):
+        open_audio(str(p))  # missing sample_rate

@@ -1,0 +1,140 @@
+"""Handle-style compatibility facade over the functional API.
+
+Reference analogue: the public C surface of the upstream —
+``xm_audio_utils_create / mixer_init / mixer_seek / mixer_get_frame /
+freep`` (``src/xm_audio_utils.c``) and ``xm_audio_generator_start /
+get_progress / stop`` (``src/xm_audio_generator.c``) [upstream,
+SURVEY.md §2.1/§3.1/§3.2]. A user of the reference can keep their
+call shape; each method maps onto the TPU-native machinery
+(StreamSession, pipeline.process_file).
+
+The generator runs asynchronously on a host thread with a pollable
+progress/status, mirroring the reference's pthread + atomic-progress
+design (the DSP itself is one fused device computation, so progress is
+stage-grained — SURVEY.md §3.1 note).
+"""
+
+from __future__ import annotations
+
+import threading
+
+import numpy as np
+
+from xmtpu.config.schema import load_config
+from xmtpu.utils.errors import XmtpuError
+
+# reference-style status codes (generator)
+GS_IDLE = 0
+GS_RUNNING = 1
+GS_COMPLETED = 2
+GS_ERROR = -1
+GS_STOPPED = -2
+
+
+class XmAudioUtils:
+    """Interactive handle: mixer/effects session with seek + frame reads."""
+
+    def __init__(self):
+        self._session = None
+
+    # -- mixer path (xm_audio_utils_mixer_*) --
+    def mixer_init(self, config_json, sources=None, frame_ms: float = 20.0):
+        """Parse a mixer JSON config and open decoders (reference:
+        ``xm_audio_utils_mixer_init``)."""
+        from xmtpu.graph.streaming import StreamSession
+
+        cfg = load_config(config_json)
+        self._session = StreamSession(cfg, frame_ms=frame_ms, sources=sources)
+        return 0
+
+    def mixer_seek(self, ms: float) -> int:
+        self._require().seek(float(ms))
+        return 0
+
+    def mixer_get_frame(self) -> np.ndarray | None:
+        """Next int16 frame, or None at end-of-stream (reference returns
+        <= 0 byte count)."""
+        s = self._require()
+        # end-of-stream BEFORE reading: every non-loop track is already
+        # past its end at the frame about to be produced
+        end = all(
+            not ts.cfg.loop
+            and (s.frame_idx * s.frame_out - ts.start_bus) >= ts.n_out
+            for ts in s.tracks
+        )
+        if end:
+            return None
+        return s.read()
+
+    def _require(self):
+        if self._session is None:
+            raise XmtpuError("call mixer_init first")
+        return self._session
+
+    def freep(self) -> None:
+        self._session = None
+
+
+class XmAudioGenerator:
+    """One-shot async generator: config -> mixed file, pollable progress."""
+
+    def __init__(self):
+        self._thread = None
+        self._progress = 0.0
+        self._status = GS_IDLE
+        self._error = None
+        self._stop = threading.Event()
+
+    def start(self, config_json, out_path, inputs=None) -> int:
+        """Begin processing on a host thread (reference:
+        ``xm_audio_generator_start``; pthread analogue)."""
+        if self._status == GS_RUNNING:
+            return -1
+        cfg = load_config(config_json)
+        self._progress = 0.0
+        self._error = None
+        self._stop.clear()
+        self._status = GS_RUNNING
+
+        def work():
+            from xmtpu.graph import pipeline
+
+            def report(p):
+                self._progress = float(p)
+                if self._stop.is_set():
+                    raise InterruptedError("stopped")
+
+            try:
+                pipeline.process_file(inputs, cfg, out_path, progress=report)
+                self._status = GS_COMPLETED
+            except InterruptedError:
+                self._status = GS_STOPPED
+            except Exception as e:  # pollable error, reference-style
+                self._error = e
+                self._status = GS_ERROR
+
+        self._thread = threading.Thread(target=work, daemon=True)
+        self._thread.start()
+        return 0
+
+    def get_progress(self) -> float:
+        """0..100 (reference: ``xm_audio_generator_get_progress``)."""
+        return self._progress
+
+    @property
+    def status(self) -> int:
+        return self._status
+
+    @property
+    def error(self):
+        return self._error
+
+    def stop(self) -> None:
+        """Request cancellation (takes effect at the next stage boundary —
+        the device computation itself is not interruptible)."""
+        self._stop.set()
+
+    def wait(self, timeout: float | None = None) -> int:
+        if self._thread is not None:
+            self._thread.join(timeout)
+        return self._status

@@ -71,21 +71,44 @@ class Decoder:
         self.close()
 
 
-def _wav_backend(path: str) -> Decoder:
+def _wav_backend(path: str, **kw) -> Decoder:
     pcm, sr = read_wav(path)
     return Decoder(pcm, sr)
 
 
-_BACKENDS: dict[str, Callable[[str], Decoder]] = {"wav": _wav_backend}
+def _raw_pcm_backend(path: str, sample_rate: int | None = None,
+                     channels: int = 1, dtype="int16", **kw) -> Decoder:
+    """Headerless PCM (reference: the raw-PCM reader in ``src/tools/``
+    [upstream, SURVEY.md §2.1]); the caller supplies the format."""
+    if sample_rate is None:
+        raise ValueError("raw PCM needs sample_rate= (headerless format)")
+    data = np.fromfile(path, dtype=np.dtype(dtype))
+    n = data.size // channels
+    pcm = data[: n * channels].reshape(n, channels)
+    if pcm.dtype != np.int16:
+        from xmtpu.ops.convert import f32_to_pcm16_np
+
+        pcm = f32_to_pcm16_np(pcm.astype(np.float32))
+    return Decoder(pcm, int(sample_rate))
 
 
-def register_backend(extension: str, factory: Callable[[str], Decoder]) -> None:
+_BACKENDS: dict[str, Callable[..., Decoder]] = {
+    "wav": _wav_backend,
+    "pcm": _raw_pcm_backend,
+    "raw": _raw_pcm_backend,
+}
+
+
+def register_backend(extension: str, factory: Callable[..., Decoder]) -> None:
     """Register a decoder backend for a file extension (e.g. an FFmpeg shim)."""
     _BACKENDS[extension.lower().lstrip(".")] = factory
 
 
-def open_audio(path) -> Decoder:
-    """Open an audio file with the backend registered for its extension."""
+def open_audio(path, **kw) -> Decoder:
+    """Open an audio file with the backend registered for its extension.
+
+    Extra kwargs go to the backend (raw PCM needs ``sample_rate=``,
+    optional ``channels=``, ``dtype=``)."""
     ext = str(path).rsplit(".", 1)[-1].lower()
     backend = _BACKENDS.get(ext)
     if backend is None:
@@ -93,4 +116,4 @@ def open_audio(path) -> Decoder:
             f"no decoder backend for '.{ext}' (available: {sorted(_BACKENDS)}); "
             "WAV is always supported; register an FFmpeg shim for compressed formats"
         )
-    return backend(str(path))
+    return backend(str(path), **kw)
