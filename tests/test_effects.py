@@ -324,3 +324,24 @@ def test_compressor_in_chain(signals):
     y = fxg.apply_chain(x, SR, [{"name": "compressor",
                                  "threshold_db": -20.0, "ratio": 3.0}])
     assert y.shape == x.shape and np.all(np.isfinite(y))
+
+
+# --- N3 block scheduler: block-size invariance (SURVEY.md §4.2) -------------
+
+
+def test_apply_chain_block_size_invariance(signals):
+    x = signals(9600, SR)["noise"]
+    whole = fxg.apply_chain(x, SR, CHAIN)
+    for blk in (1024, 4096):
+        got = fxg.apply_chain(x, SR, CHAIN, block_size=blk)
+        db = rms_db(got.astype(np.float64) - whole.astype(np.float64),
+                    whole.astype(np.float64))
+        assert db <= -100.0, (blk, db)
+
+
+def test_apply_chain_blocked_rejects_ns(signals):
+    from xmtpu.utils.errors import ConfigError
+
+    with pytest.raises(ConfigError):
+        fxg.apply_chain(signals(4800, SR)["noise"], SR,
+                        [{"name": "noise_suppression"}], block_size=1024)

@@ -244,15 +244,39 @@ def get_compiled_chain(sample_rate: int, chain):
     return hit
 
 
-def apply_chain(pcm, sample_rate: int, chain):
+def apply_chain(pcm, sample_rate: int, chain, block_size: int | None = None):
     """Public effects entry (BASELINE.json:9 config 3).
 
     ``pcm``: int16 or f32, (n,) or (n, ch); returns the same format.
+    ``block_size``: process in fixed blocks with carried state (the N3
+    block scheduler, SURVEY.md §1.2 — constant device memory for
+    arbitrarily long clips; one compiled shape, last block zero-padded).
+    Output is block-size invariant (SURVEY.md §4.2) because every effect
+    carries exact state. Offline-only effects (noise suppression) reject
+    blocked mode.
     """
     from xmtpu.api import _from_f32_device, _to_f32_device
 
     x, was_i16, was_1d = _to_f32_device(pcm)
     effects, fn = get_compiled_chain(sample_rate, chain)
     states = chain_init_state(effects, x.shape[0])
-    y, _ = fn(x, states)
-    return _from_f32_device(y, was_i16, was_1d)
+    n = x.shape[-1]
+    if block_size is None or block_size >= n:
+        y, _ = fn(x, states)
+        return _from_f32_device(y, was_i16, was_1d)
+
+    for e in effects:
+        if isinstance(e, NoiseSuppressFx):
+            raise ConfigError(
+                "noise_suppression needs the whole clip (offline-only); "
+                "run it unblocked or before the blocked chain"
+            )
+    outs = []
+    for i in range(0, n, block_size):
+        blk = jax.lax.slice_in_dim(x, i, min(i + block_size, n), axis=-1)
+        pad = block_size - blk.shape[-1]
+        if pad:  # keep ONE compiled shape; zero tail only feeds past-end state
+            blk = jnp.pad(blk, [(0, 0)] * (blk.ndim - 1) + [(0, pad)])
+        y, states = fn(blk, states)
+        outs.append(y[..., : block_size - pad] if pad else y)
+    return _from_f32_device(jnp.concatenate(outs, axis=-1), was_i16, was_1d)

@@ -92,8 +92,15 @@ def process(inputs, config: PipelineConfig, progress=None) -> np.ndarray:
     if config.master_effects:
         from xmtpu.graph import fx as _fx
 
-        mixed = _fx.apply_chain(mixed, config.sample_rate,
-                                list(config.master_effects))
+        # long clips run through the N3 block scheduler (constant memory)
+        blk = config.block_size if mixed.shape[0] > config.block_size else None
+        try:
+            mixed = _fx.apply_chain(mixed, config.sample_rate,
+                                    list(config.master_effects),
+                                    block_size=blk)
+        except ConfigError:  # offline-only effect (NS): whole-clip fallback
+            mixed = _fx.apply_chain(mixed, config.sample_rate,
+                                    list(config.master_effects))
     if mixed.dtype != np.int16:
         import jax.numpy as jnp
 
