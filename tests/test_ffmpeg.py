@@ -1,0 +1,84 @@
+"""FFmpeg shim tests: compressed encode/decode round trips.
+
+These run for real in this environment (libav* 59 present); they skip
+cleanly where FFmpeg libraries are missing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import xmtpu  # noqa: F401
+from xmtpu.native import ffmpeg as ff
+
+pytestmark = pytest.mark.skipif(not ff.available(),
+                                reason="no FFmpeg libraries")
+
+SR = 44100
+
+
+def _tone(seconds=1.0, freq=440.0, amp=12000):
+    t = np.arange(int(SR * seconds)) / SR
+    return (np.sin(2 * np.pi * freq * t) * amp).astype(np.int16)
+
+
+def _dominant(pcm, sr):
+    x = pcm.reshape(-1).astype(np.float64)
+    f = np.fft.rfftfreq(len(x), 1 / sr)
+    return f[np.argmax(np.abs(np.fft.rfft(x)))]
+
+
+@pytest.mark.parametrize("ext", ["mp3", "m4a", "flac"])
+def test_encode_decode_roundtrip(tmp_path, ext):
+    pcm = _tone()
+    p = str(tmp_path / f"tone.{ext}")
+    ff.encode(p, pcm, SR)
+    got, sr = ff.decode(p)
+    assert sr == SR
+    # duration within codec padding tolerance (±60 ms)
+    assert abs(got.shape[0] - len(pcm)) < 0.06 * SR
+    assert abs(_dominant(got, sr) - 440.0) < 2.0
+    if ext == "flac":  # lossless: sample-accurate after priming trim
+        n = min(got.shape[0], len(pcm))
+        np.testing.assert_allclose(got[:n, 0], pcm[:n], atol=1)
+
+
+def test_io_registry_roundtrip(tmp_path):
+    from xmtpu.io import HAVE_FFMPEG, encode_audio, open_audio
+
+    assert HAVE_FFMPEG
+    pcm = _tone(0.5)
+    p = str(tmp_path / "t.mp3")
+    encode_audio(p, pcm, SR)
+    with open_audio(p) as d:
+        assert d.sample_rate == SR
+        got = d.read_all()
+    assert abs(_dominant(got, SR) - 440.0) < 2.0
+
+
+def test_pipeline_with_mp3_input(tmp_path):
+    """Generator parity: compressed input through the full pipeline."""
+    import json
+
+    from xmtpu import compat
+
+    pcm = _tone(0.6)
+    mp3 = str(tmp_path / "voice.mp3")
+    ff.encode(mp3, pcm, SR)
+    cfg = json.dumps({"sampleRate": 16000,
+                      "tracks": [{"url": mp3, "volume": 1.0}]})
+    out = str(tmp_path / "out.wav")
+    g = compat.XmAudioGenerator()
+    g.start(cfg, out)
+    assert g.wait(180) == compat.GS_COMPLETED, g.error
+    got, sr = xmtpu.io.read_wav(out)
+    assert sr == 16000
+    assert abs(_dominant(got, sr) - 440.0) < 2.0
+
+
+def test_decode_rejects_garbage(tmp_path):
+    p = tmp_path / "junk.mp3"
+    p.write_bytes(b"\x00" * 100)
+    with pytest.raises(ValueError):
+        ff.decode(str(p))

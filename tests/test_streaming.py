@@ -167,3 +167,20 @@ def test_streaming_state_file_roundtrip(tmp_path, two_tracks):
                        output_dtype=np.float32)
     s2.load_state_file(p)
     np.testing.assert_array_equal(s2.read(), nxt)
+
+
+def test_read_many_equals_sequential_reads(two_tracks):
+    voice, bgm = two_tracks
+    cfg = _config(effects=(EffectConfig("limiter", {"threshold_db": -6.0}),))
+    src = {"voice": (voice, 44100), "bgm": (bgm, SR)}
+    s1 = StreamSession(cfg, frame_ms=20.0, sources=src,
+                       output_dtype=np.float32)
+    seq = np.concatenate([s1.read() for _ in range(12)], axis=0)
+    s2 = StreamSession(cfg, frame_ms=20.0, sources=src,
+                       output_dtype=np.float32)
+    s2.read()  # engage the prefetch path
+    first = s2.read_many(5)
+    rest = s2.read_many(6)
+    got = np.concatenate([seq[:320], first, rest], axis=0)  # frame 0 + 11
+    np.testing.assert_allclose(got, seq, atol=1e-7)
+    assert s2.frame_idx == 12

@@ -214,6 +214,35 @@ class StreamSession:
             out = _convert.f32_to_pcm16_np(out)
         return out
 
+    def read_many(self, k: int) -> np.ndarray:
+        """Read k frames with ONE host fetch -> (k*frame_out, ch).
+
+        Same per-20ms-frame math as :meth:`read` (state chains on
+        device); the k outputs concatenate on-device so only one
+        device->host transfer pays the link round-trip — the throughput
+        mode for high-RTT links (the axon tunnel's ~33 ms RTT otherwise
+        caps frame reads at ~RTT per frame).
+        """
+        outs = []
+        state = self.fx_state
+        idx = self.frame_idx
+        if self._pending is not None and self._pending[0] == idx:
+            idx0, out0, state = self._pending
+            outs.append(out0)
+            idx += 1
+        while len(outs) < k:
+            _, out, state = self._dispatch(idx, state)
+            outs.append(out)
+            idx += 1
+        self.fx_state = state
+        self.frame_idx = idx
+        self._pending = self._dispatch(idx, state)
+        big = jnp.concatenate(outs, axis=-1)
+        out = np.asarray(big).T
+        if self.output_dtype == np.int16:
+            out = _convert.f32_to_pcm16_np(out)
+        return out
+
     @property
     def state(self):
         """Serializable session state — pause/resume (SURVEY.md §5)."""

@@ -11,6 +11,15 @@ from xmtpu.io.wav import read_wav, write_wav
 from xmtpu.io.decoder import open_audio, Decoder, register_backend
 from xmtpu.io.encoder import encode_audio, register_encoder
 
+# Compressed formats via the native FFmpeg shim when buildable (mp3/aac/
+# m4a/ogg/... decode, aac/mp3/... encode); silently WAV-only otherwise.
+try:  # pragma: no cover - environment-dependent
+    from xmtpu.native import ffmpeg as _ff
+
+    HAVE_FFMPEG = _ff.register()
+except Exception:  # noqa: BLE001
+    HAVE_FFMPEG = False
+
 __all__ = [
     "read_wav", "write_wav", "open_audio", "Decoder", "register_backend",
     "encode_audio", "register_encoder",

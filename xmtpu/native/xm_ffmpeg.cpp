@@ -1,0 +1,210 @@
+// xmtpu FFmpeg shim: compressed-audio decode/encode (host front end).
+//
+// Reference analogue: `src/codec/audio_decoder.c` / `audio_encoder.c` /
+// `ffmpeg_utils.c` [upstream, SURVEY.md §2.1] — FFmpeg-based demux +
+// decode to interleaved int16 PCM, and PCM -> AAC/M4A/MP3 encode. Per
+// BASELINE.json:5 the decoder stays a THIN host front end: it converts
+// sample format only (swresample to s16 interleaved) and never resamples
+// the rate — rate conversion is the on-chip polyphase op.
+//
+// Build: g++ -O2 -shared -fPIC xm_ffmpeg.cpp -lavformat -lavcodec
+//        -lavutil -lswresample  (FFmpeg 5.x, lavc 59 ch_layout API)
+
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <vector>
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/channel_layout.h>
+#include <libavutil/opt.h>
+#include <libswresample/swresample.h>
+}
+
+namespace {
+
+struct DecodeCtx {
+  AVFormatContext* fmt = nullptr;
+  AVCodecContext* dec = nullptr;
+  SwrContext* swr = nullptr;
+  AVPacket* pkt = nullptr;
+  AVFrame* frame = nullptr;
+  ~DecodeCtx() {
+    if (frame) av_frame_free(&frame);
+    if (pkt) av_packet_free(&pkt);
+    if (swr) swr_free(&swr);
+    if (dec) avcodec_free_context(&dec);
+    if (fmt) avformat_close_input(&fmt);
+  }
+};
+
+int drain_frames(DecodeCtx& c, std::vector<int16_t>& out, int nch) {
+  int rc;
+  while ((rc = avcodec_receive_frame(c.dec, c.frame)) == 0) {
+    int out_samples = swr_get_out_samples(c.swr, c.frame->nb_samples);
+    std::vector<int16_t> buf((size_t)out_samples * nch);
+    uint8_t* outp = (uint8_t*)buf.data();
+    int got = swr_convert(c.swr, &outp, out_samples,
+                          (const uint8_t**)c.frame->extended_data,
+                          c.frame->nb_samples);
+    if (got < 0) return got;
+    out.insert(out.end(), buf.begin(), buf.begin() + (size_t)got * nch);
+    av_frame_unref(c.frame);
+  }
+  return rc == AVERROR(EAGAIN) || rc == AVERROR_EOF ? 0 : rc;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode any FFmpeg-supported audio file to interleaved int16 at the
+// file's NATIVE sample rate. Caller frees *out with xm_free (malloc'd).
+int xm_ff_decode(const char* path, int16_t** out, int64_t* n_frames,
+                 int32_t* channels, int32_t* sample_rate) {
+  DecodeCtx c;
+  if (avformat_open_input(&c.fmt, path, nullptr, nullptr) < 0) return -1;
+  if (avformat_find_stream_info(c.fmt, nullptr) < 0) return -1;
+  const AVCodec* codec = nullptr;
+  int sidx = av_find_best_stream(c.fmt, AVMEDIA_TYPE_AUDIO, -1, -1, &codec, 0);
+  if (sidx < 0 || !codec) return -2;
+  AVStream* st = c.fmt->streams[sidx];
+  c.dec = avcodec_alloc_context3(codec);
+  if (!c.dec) return -3;
+  if (avcodec_parameters_to_context(c.dec, st->codecpar) < 0) return -3;
+  if (avcodec_open2(c.dec, codec, nullptr) < 0) return -3;
+
+  int nch = c.dec->ch_layout.nb_channels;
+  int rate = c.dec->sample_rate;
+  if (nch <= 0 || rate <= 0) return -4;
+  if (swr_alloc_set_opts2(&c.swr, &c.dec->ch_layout, AV_SAMPLE_FMT_S16, rate,
+                          &c.dec->ch_layout, c.dec->sample_fmt, rate, 0,
+                          nullptr) < 0)
+    return -5;
+  if (swr_init(c.swr) < 0) return -5;
+
+  c.pkt = av_packet_alloc();
+  c.frame = av_frame_alloc();
+  std::vector<int16_t> pcm;
+  while (av_read_frame(c.fmt, c.pkt) >= 0) {
+    if (c.pkt->stream_index == sidx) {
+      if (avcodec_send_packet(c.dec, c.pkt) == 0) {
+        if (drain_frames(c, pcm, nch) < 0) { av_packet_unref(c.pkt); return -6; }
+      }
+    }
+    av_packet_unref(c.pkt);
+  }
+  avcodec_send_packet(c.dec, nullptr);  // flush decoder
+  if (drain_frames(c, pcm, nch) < 0) return -6;
+  // flush swresample's tail
+  for (;;) {
+    std::vector<int16_t> buf((size_t)4096 * nch);
+    uint8_t* outp = (uint8_t*)buf.data();
+    int got = swr_convert(c.swr, &outp, 4096, nullptr, 0);
+    if (got <= 0) break;
+    pcm.insert(pcm.end(), buf.begin(), buf.begin() + (size_t)got * nch);
+  }
+  if (pcm.empty()) return -7;
+
+  int16_t* res = (int16_t*)malloc(pcm.size() * 2);
+  if (!res) return -3;
+  memcpy(res, pcm.data(), pcm.size() * 2);
+  *out = res;
+  *n_frames = (int64_t)(pcm.size() / nch);
+  *channels = nch;
+  *sample_rate = rate;
+  return 0;
+}
+
+// Encode interleaved int16 PCM to `path`; container/codec guessed from
+// the extension (aac/m4a -> AAC, mp3 -> libmp3lame, ogg -> vorbis...).
+int xm_ff_encode(const char* path, const int16_t* pcm, int64_t n_frames,
+                 int32_t channels, int32_t sample_rate) {
+  AVFormatContext* oc = nullptr;
+  if (avformat_alloc_output_context2(&oc, nullptr, nullptr, path) < 0 || !oc)
+    return -1;
+  const AVCodec* codec = avcodec_find_encoder(oc->oformat->audio_codec);
+  if (!codec) { avformat_free_context(oc); return -2; }
+
+  AVCodecContext* enc = avcodec_alloc_context3(codec);
+  AVStream* st = avformat_new_stream(oc, nullptr);
+  SwrContext* swr = nullptr;
+  AVFrame* frame = nullptr;
+  AVPacket* pkt = av_packet_alloc();
+  int rc = -3;
+
+  do {
+    if (!enc || !st || !pkt) break;
+    enc->sample_rate = sample_rate;
+    av_channel_layout_default(&enc->ch_layout, channels);
+    enc->sample_fmt = codec->sample_fmts ? codec->sample_fmts[0]
+                                         : AV_SAMPLE_FMT_S16;
+    enc->bit_rate = 128000;
+    enc->time_base = {1, sample_rate};
+    if (oc->oformat->flags & AVFMT_GLOBALHEADER)
+      enc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+    if (avcodec_open2(enc, codec, nullptr) < 0) break;
+    if (avcodec_parameters_from_context(st->codecpar, enc) < 0) break;
+    st->time_base = enc->time_base;
+
+    if (swr_alloc_set_opts2(&swr, &enc->ch_layout, enc->sample_fmt,
+                            sample_rate, &enc->ch_layout, AV_SAMPLE_FMT_S16,
+                            sample_rate, 0, nullptr) < 0 ||
+        swr_init(swr) < 0)
+      break;
+    if (!(oc->oformat->flags & AVFMT_NOFILE) &&
+        avio_open(&oc->pb, path, AVIO_FLAG_WRITE) < 0)
+      break;
+    if (avformat_write_header(oc, nullptr) < 0) break;
+
+    int fs = enc->frame_size > 0 ? enc->frame_size : 1024;
+    frame = av_frame_alloc();
+    frame->format = enc->sample_fmt;
+    av_channel_layout_copy(&frame->ch_layout, &enc->ch_layout);
+    frame->sample_rate = sample_rate;
+    frame->nb_samples = fs;
+    if (av_frame_get_buffer(frame, 0) < 0) break;
+
+    int64_t pos = 0, pts = 0;
+    bool fail = false;
+    auto send_and_mux = [&](AVFrame* f) -> bool {
+      if (avcodec_send_frame(enc, f) < 0) return false;
+      int r;
+      while ((r = avcodec_receive_packet(enc, pkt)) == 0) {
+        av_packet_rescale_ts(pkt, enc->time_base, st->time_base);
+        pkt->stream_index = st->index;
+        if (av_interleaved_write_frame(oc, pkt) < 0) return false;
+      }
+      return r == AVERROR(EAGAIN) || r == AVERROR_EOF;
+    };
+    while (pos < n_frames && !fail) {
+      int chunk = (int)((n_frames - pos) < fs ? (n_frames - pos) : fs);
+      if (av_frame_make_writable(frame) < 0) { fail = true; break; }
+      const uint8_t* in = (const uint8_t*)(pcm + pos * channels);
+      int got = swr_convert(swr, frame->data, chunk, &in, chunk);
+      if (got < 0) { fail = true; break; }
+      frame->nb_samples = got;
+      frame->pts = pts;
+      pts += got;
+      if (!send_and_mux(frame)) { fail = true; break; }
+      pos += chunk;
+    }
+    if (!fail && send_and_mux(nullptr) && av_write_trailer(oc) == 0) rc = 0;
+  } while (false);
+
+  if (frame) av_frame_free(&frame);
+  if (pkt) av_packet_free(&pkt);
+  if (swr) swr_free(&swr);
+  if (enc) avcodec_free_context(&enc);
+  if (oc) {
+    if (!(oc->oformat->flags & AVFMT_NOFILE) && oc->pb) avio_closep(&oc->pb);
+    avformat_free_context(oc);
+  }
+  return rc;
+}
+
+void xm_ff_free(void* p) { free(p); }
+
+}  // extern "C"
