@@ -56,7 +56,7 @@ def test_decoder_handle_seek_read(tmp_path):
 
 def test_open_audio_unknown_extension(tmp_path):
     with pytest.raises(ValueError, match="no decoder backend"):
-        open_audio(tmp_path / "x.mp3")
+        open_audio(tmp_path / "x.xyzcodec")
 
 
 def test_write_wav_rejects_float(tmp_path):
