@@ -90,3 +90,43 @@ def test_iir_kernel_compiled_on_tpu(sos, rng):
     y, _ = sosfilt_pallas(sos, jnp.asarray(x), time_chunk=1024)
     db = rms_db(np.asarray(y, np.float64) - ref, ref)
     assert db <= -80.0, db
+
+
+# --- Pallas resample kernel (SURVEY §2.3 strided-conv row) -------------------
+
+
+def test_resample_kernel_matches_ops_twin(rng):
+    from xmtpu.kernels.resample import resample_pallas
+    from xmtpu.ops.resample import polyphase_resample
+
+    x = (0.3 * rng.standard_normal((3, 44100))).astype(np.float32)
+    y = np.asarray(resample_pallas(x, 44100, 16000, interpret=True))
+    ref = np.asarray(polyphase_resample(jnp.asarray(x), 44100, 16000))
+    # same plan/table; accumulation grouping differs (per-slab matmuls)
+    db = rms_db(y.astype(np.float64) - ref.astype(np.float64),
+                ref.astype(np.float64))
+    assert db <= -120.0, db
+
+
+def test_resample_kernel_vs_oracle_multiple_ratios(rng):
+    from xmtpu.kernels.resample import resample_pallas
+    from xmtpu.ops.resample import resample_oracle_np
+
+    x = (0.3 * rng.standard_normal((2, 22050))).astype(np.float32)
+    for sr_in, sr_out in ((44100, 16000), (48000, 16000), (16000, 48000)):
+        y = np.asarray(resample_pallas(x, sr_in, sr_out, interpret=True))
+        ref = resample_oracle_np(x.astype(np.float64), sr_in, sr_out)
+        db = rms_db(y.astype(np.float64) - ref, ref)
+        assert db <= -100.0, (sr_in, sr_out, db)
+
+
+@pytest.mark.skipif(not _on_tpu(), reason="needs a real TPU")
+def test_resample_kernel_compiled_on_tpu(rng):
+    from xmtpu.kernels.resample import resample_pallas
+    from xmtpu.ops.resample import resample_oracle_np
+
+    x = (0.3 * rng.standard_normal((4, 44100))).astype(np.float32)
+    y = np.asarray(resample_pallas(x, 44100, 16000))
+    ref = resample_oracle_np(x.astype(np.float64), 44100, 16000)
+    db = rms_db(y.astype(np.float64) - ref, ref)
+    assert db <= -100.0, db

@@ -52,6 +52,7 @@ def make_flagship_step(
     fade_ms: float = 250.0,
     threshold_db: float = -3.0,
     iir_backend: str = "pallas",
+    resample_backend: str = "xla",
     interpret: bool | None = None,
 ):
     """Build the full-chain step fn(voice_i16[B,n], bgm_i16[B,n]) -> i16[B,m].
@@ -86,14 +87,26 @@ def make_flagship_step(
         else "scan"
     )
 
+    def _rs(x, a, b):
+        # measured: the Pallas resample wins standalone (68k vs 53k
+        # audio-sec/s at 128x10s) but loses inside the fused chain where
+        # XLA overlaps the einsum with neighboring stages (24.3k vs
+        # 29.5k chain total) — so the chain default stays XLA and the
+        # kernel is opt-in.
+        if resample_backend == "pallas":
+            from xmtpu.kernels.resample import resample_pallas
+
+            return resample_pallas(x, a, b, interpret=interpret)
+        return _resample.polyphase_resample(x, a, b)
+
     def step(voice_i16: jnp.ndarray, bgm_i16: jnp.ndarray) -> jnp.ndarray:
         from xmtpu.utils.profiling import stage
 
         with stage("resample"):
             v = _convert.pcm16_to_f32(voice_i16)
             b = _convert.pcm16_to_f32(bgm_i16)
-            v = _resample.polyphase_resample(v, sr_in, sr_bus)
-            b = _resample.polyphase_resample(b, sr_in, sr_bus)
+            v = _rs(v, sr_in, sr_bus)
+            b = _rs(b, sr_in, sr_bus)
         n = v.shape[-1]
         with stage("mix"):
             fade = int(round(fade_ms * sr_bus / 1000.0))

@@ -1,0 +1,136 @@
+"""Pallas kernel: polyphase resampling as a strided MXU convolution.
+
+Reference analogue: the resampler C inner loop (``src/effects/``
+[upstream, SURVEY.md §2.1]); the SURVEY §2.3 mapping row "Resampler C
+loop -> Pallas strided-convolution kernel".
+
+The ops twin (``ops.resample``) materializes the frame tensor
+``F[c, u] = x[c*M + u]`` in HBM (~width/M ≈ 3.5x the input bytes) and
+lets XLA matmul it. This kernel builds each F tile ON THE FLY in VMEM:
+the wrapper views the padded input as M-sample rows ``(R, rows, M)``;
+per grid step the kernel DMAs the ``tj + nslab`` rows its tile needs
+(consecutive tiles OVERLAP by nslab rows, which BlockSpec index maps
+can't express — hence input in ANY/HBM + manual async copy), forms the
+(tj, width) frame tile with static slices, and hits the MXU with
+``(tj, width) @ (width, L)`` against the same zero-banked filter table
+as the ops twin — identical math, ~3.5x less HBM traffic.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from xmtpu.ops import resample as _ops
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _resample_kernel(x_hbm, hbank_ref, o_ref, slab_ref, sem, *,
+                     tj, nslab, rows_dma):
+    r = pl.program_id(0)
+    c = pl.program_id(1)
+    dma = pltpu.make_async_copy(  # rows_dma is 8-aligned (Mosaic tiling)
+        x_hbm.at[r, pl.ds(c * tj, rows_dma), :], slab_ref, sem
+    )
+    dma.start()
+    dma.wait()
+    # F @ hbank decomposed per slab: F = [A_0 | A_1 | ...] with
+    # A_i = slab[i : i+tj, :], so F @ hbank = sum_i A_i @ hbank[i] where
+    # hbank[i] holds filter rows [i*m, (i+1)*m) (host-padded). Mosaic
+    # can't concatenate offset row-slices, but it can feed them to the
+    # MXU directly.
+    # precision=HIGHEST: TPU default-precision matmul is bf16, which
+    # costs ~90 dB of accuracy here (measured -52 dB vs -142 dB;
+    # SURVEY.md §7.4① rule — every DSP dot product must set this)
+    acc = jnp.zeros(o_ref.shape[1:], jnp.float32)
+    for i in range(nslab):
+        acc = acc + jnp.dot(
+            slab_ref[i : i + tj, :],
+            hbank_ref[i],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    o_ref[0, :, :] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("L", "M", "taps_per_phase",
+                                             "beta", "tj", "interpret"))
+def _resample_pallas_2d(x2d, L, M, taps_per_phase=24, beta=9.0, tj=128,
+                        interpret=False):
+    """x2d: (R, n) f32 -> (R, out_len) f32. Same pinned semantics as
+    ops.resample._apply_plan (shared plan/hbank)."""
+    plan = _ops.make_plan(L, M, taps_per_phase, beta)
+    R, n = x2d.shape
+    out_len = _ops.resample_output_len(n, L, M)
+    nj = _cdiv(out_len, L)
+    njp = _cdiv(nj, tj) * tj  # output blocks padded to a tile multiple
+    width = plan.width
+    nslab = _cdiv(width, M) + 1
+    rows_dma = _cdiv(tj + nslab, 8) * 8  # sublane-aligned DMA block
+    rows_total = njp + (rows_dma - tj)
+
+    m_pad = _cdiv(M, 128) * 128  # lane-aligned row width (Mosaic DMA rule)
+
+    # host-side pre-pad: xs[k] = x[k + base - pad_left], then view as
+    # M-sample rows (tile c needs rows [c*tj, c*tj + rows_dma)), each row
+    # zero-extended to m_pad lanes; the filter pieces get matching zero
+    # rows so the padding contributes nothing to the matmul.
+    need = rows_total * M
+    pad_l = plan.pad_left
+    pad_r = max(0, plan.base + need - (n + pad_l))
+    xs = jnp.pad(x2d.astype(jnp.float32), ((0, 0), (pad_l, pad_r)))
+    xs = jax.lax.slice_in_dim(xs, plan.base, plan.base + need, axis=-1)
+    xs3 = jnp.pad(xs.reshape(R, rows_total, M),
+                  ((0, 0), (0, 0), (0, m_pad - M)))
+
+    hbank = jnp.asarray(plan.hbank, jnp.float32)
+    hbank = jnp.pad(hbank, ((0, nslab * M - width), (0, 0)))
+    hbank3 = jnp.pad(hbank.reshape(nslab, M, plan.L),
+                     ((0, 0), (0, m_pad - M), (0, 0)))
+    kern = functools.partial(_resample_kernel, tj=tj, nslab=nslab,
+                             rows_dma=rows_dma)
+    with jax.enable_x64(False):  # Mosaic rejects i64 index types
+        out = pl.pallas_call(
+            kern,
+            grid=(R, njp // tj),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),  # xs3 in HBM, manual DMA
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # hbank whole
+            ],
+            out_specs=pl.BlockSpec((1, tj, plan.L), lambda r, c: (r, c, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((R, njp, plan.L), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((rows_dma, m_pad), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            interpret=interpret,
+        )(xs3, hbank3)
+    return out.reshape(R, njp * plan.L)[:, :out_len]
+
+
+def resample_pallas(x, sr_in: int, sr_out: int, taps_per_phase: int = 24,
+                    beta: float = 9.0, tj: int = 128, interpret: bool = False):
+    """Drop-in twin of ops.resample.polyphase_resample (f32)."""
+    g = math.gcd(int(sr_in), int(sr_out))
+    L, M = sr_out // g, sr_in // g
+    x = jnp.asarray(x)
+    if L == M:
+        return x.astype(jnp.float32)
+    if M < 64:  # lane padding M->128 would dominate; XLA path wins there
+        return _ops.polyphase_resample(x, sr_in, sr_out, taps_per_phase, beta)
+    batch = x.shape[:-1]
+    n = x.shape[-1]
+    R = int(np.prod(batch)) if batch else 1
+    y = _resample_pallas_2d(x.reshape(R, n), L, M, taps_per_phase, beta,
+                            tj=tj, interpret=interpret)
+    return y.reshape(*batch, y.shape[-1]).astype(x.dtype)
