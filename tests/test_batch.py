@@ -116,3 +116,27 @@ def test_batch_runner_with_bgm(tmp_path, rng):
     assert rep.done == 1
     pcm, _ = read_wav(str(tmp_path / "o.wav"))
     assert np.max(np.abs(pcm)) > 1000  # non-silent mix
+
+
+def test_batch_runner_mixed_rates(tmp_path, rng):
+    """Clips at different native rates bucket by rate and all succeed."""
+    c44 = _clips(rng, [22050])[0]
+    c22 = (rng.standard_normal(11025) * 9000).astype(np.int16)
+    p44 = tmp_path / "a44.wav"
+    p22 = tmp_path / "a22.wav"
+    write_wav(str(p44), c44, 44100)
+    write_wav(str(p22), c22, 22050)
+    rep = run_batch(
+        [
+            ClipJob(voice=str(p44), out=str(tmp_path / "o44.wav")),
+            ClipJob(voice=str(p22), out=str(tmp_path / "o22.wav")),
+        ],
+        sr_in=44100, sr_bus=SR_BUS, step_kw={"interpret": True},
+    )
+    assert rep.done == 2 and not rep.failed
+    assert rep.buckets == 2  # one per rate
+    for name, n, rate in (("o44.wav", 22050, 44100), ("o22.wav", 11025, 22050)):
+        pcm, sr = read_wav(str(tmp_path / name))
+        assert sr == SR_BUS
+        g = np.gcd(rate, SR_BUS)
+        assert pcm.shape[0] == -(-n * (SR_BUS // g)) // (rate // g)

@@ -47,19 +47,35 @@ def _env_kernel(coef_ref, init_ref, d_ref, o_ref, zf_ref, st_ref, *, n_total, tc
 
     state = (st_ref[0:1, :], st_ref[1:2, :])  # (env, e2), each (1, LANES)
 
-    def body(i, st):
+    UNROLL = 8  # amortize VMEM traffic/loop overhead (see kernels/iir.py)
+
+    def update(di, st):
         env, e2 = st
-        di = d_ref[pl.ds(i, 1), :]
         env = jnp.maximum(di, k_rel * env)
         e2 = a_att * e2 + c_att * env
-        o_ref[pl.ds(i, 1), :] = e2
-        return (env, e2)
+        return e2, (env, e2)
+
+    def body8(i, st):
+        tile = d_ref[pl.ds(i * UNROLL, UNROLL), :]
+        ys = []
+        for j in range(UNROLL):
+            y, st = update(tile[j : j + 1, :], st)
+            ys.append(y)
+        o_ref[pl.ds(i * UNROLL, UNROLL), :] = jnp.concatenate(ys, axis=0)
+        return st
+
+    def body1(i, st):
+        y, st = update(d_ref[pl.ds(i, 1), :], st)
+        o_ref[pl.ds(i, 1), :] = y
+        return st
 
     # int32 throughout — x64 mode is on package-wide and Mosaic rejects i64
     rem = jnp.minimum(
         jnp.int32(tc), jnp.int32(n_total) - t.astype(jnp.int32) * jnp.int32(tc)
     )
-    env, e2 = jax.lax.fori_loop(jnp.int32(0), rem, body, state)
+    full = rem // jnp.int32(UNROLL)
+    state = jax.lax.fori_loop(jnp.int32(0), full, body8, state)
+    env, e2 = jax.lax.fori_loop(full * jnp.int32(UNROLL), rem, body1, state)
     st_ref[0:1, :] = env
     st_ref[1:2, :] = e2
     zf_ref[:] = st_ref[:]

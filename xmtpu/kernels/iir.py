@@ -51,8 +51,10 @@ def _iir_kernel(sos_ref, zi_ref, x_ref, o_ref, zf_ref, st_ref, *, n_total, tc, n
         st_ref[s, z : z + 1, :] for s in range(ns) for z in range(2)
     )  # 2*ns arrays of (1, LANES)
 
-    def body(i, st):
-        v = x_ref[pl.ds(i, 1), :]  # (1, LANES)
+    UNROLL = 8  # one (8, LANES) load/store per iteration: full vreg traffic,
+    # 8x fewer loop steps; the recurrence itself stays sequential per sample
+
+    def cascade(v, st):
         new = []
         for s in range(ns):
             b0, b1, b2, a1, a2 = coef[s]
@@ -62,15 +64,30 @@ def _iir_kernel(sos_ref, zi_ref, x_ref, o_ref, zf_ref, st_ref, *, n_total, tc, n
             new.append(b1 * v - a1 * y + z2)
             new.append(b2 * v - a2 * y)
             v = y
+        return v, tuple(new)
+
+    def body8(i, st):
+        tile = x_ref[pl.ds(i * UNROLL, UNROLL), :]  # (8, LANES)
+        ys = []
+        for j in range(UNROLL):
+            v, st = cascade(tile[j : j + 1, :], st)
+            ys.append(v)
+        o_ref[pl.ds(i * UNROLL, UNROLL), :] = jnp.concatenate(ys, axis=0)
+        return st
+
+    def body1(i, st):
+        v, st = cascade(x_ref[pl.ds(i, 1), :], st)
         o_ref[pl.ds(i, 1), :] = v
-        return tuple(new)
+        return st
 
     # Dynamic bound: don't advance state through zero-padded tail samples.
     # (int32 throughout — x64 mode is on package-wide and Mosaic rejects i64.)
     rem = jnp.minimum(
         jnp.int32(tc), jnp.int32(n_total) - t.astype(jnp.int32) * jnp.int32(tc)
     )
-    state = jax.lax.fori_loop(jnp.int32(0), rem, body, state)
+    full = rem // jnp.int32(UNROLL)
+    state = jax.lax.fori_loop(jnp.int32(0), full, body8, state)
+    state = jax.lax.fori_loop(full * jnp.int32(UNROLL), rem, body1, state)
 
     for s in range(ns):
         st_ref[s, 0:1, :] = state[2 * s]

@@ -83,28 +83,23 @@ def _bucket_edge(n: int, base: int = 16384) -> int:
     return e
 
 
-def _load_mono_i16(src, sr_expect: int) -> np.ndarray:
-    """Decode to mono int16 at the job's input rate (host-side, thin)."""
+def _load_mono_i16(src, sr_default: int):
+    """Decode to mono int16 (host-side, thin). -> (pcm, native_rate)."""
     if isinstance(src, tuple):
         pcm, sr = src
     elif isinstance(src, np.ndarray):
-        pcm, sr = src, sr_expect
+        pcm, sr = src, sr_default
     else:
         with open_audio(src) as d:
             pcm, sr = d.read_all(), d.sample_rate
     pcm = np.asarray(pcm)
     if pcm.ndim > 1:
         pcm = pcm.mean(axis=1) if pcm.dtype != np.int16 else pcm[:, 0]
-    if sr != sr_expect:
-        raise XmtpuError(
-            f"batch runner expects {sr_expect} Hz input, got {sr} "
-            "(mixed-rate batches bucket by rate in a future round)"
-        )
     if pcm.dtype != np.int16:
         from xmtpu.ops.convert import f32_to_pcm16_np
 
         pcm = f32_to_pcm16_np(pcm.astype(np.float32))
-    return pcm
+    return pcm, int(sr)
 
 
 def run_batch(
@@ -125,7 +120,9 @@ def run_batch(
     t_start = time.perf_counter()
 
     # -- resolve + decode (failure-isolated), assign buckets ---------------
-    pending = []  # (job, voice_i16, bgm_i16_or_None, bucket_edge)
+    # mixed input rates are supported: clips bucket by (native_rate,
+    # length edge) so each bucket compiles one masked step for its rate
+    pending = []  # (job, voice_i16, bgm_i16_or_None, (rate, edge))
     for job in jobs:
         if not isinstance(job, ClipJob):
             job = ClipJob(**job)
@@ -133,33 +130,45 @@ def run_batch(
             report.skipped_resume += 1
             continue
         try:
-            v = _load_mono_i16(job.voice, sr_in)
-            b = _load_mono_i16(job.bgm, sr_in) if job.bgm is not None else None
+            v, v_sr = _load_mono_i16(job.voice, sr_in)
+            if job.bgm is not None:
+                b, b_sr = _load_mono_i16(job.bgm, sr_in)
+                if b_sr != v_sr:  # align bgm to the voice's rate on host
+                    from xmtpu.ops.convert import (f32_to_pcm16_np,
+                                                   pcm16_to_f32_np)
+                    from xmtpu.ops.resample import resample_oracle_np
+
+                    b = f32_to_pcm16_np(
+                        resample_oracle_np(
+                            pcm16_to_f32_np(b).astype(np.float64), b_sr, v_sr
+                        ).astype(np.float32)
+                    )
+            else:
+                b = None
             if len(v) == 0:
                 raise XmtpuError("empty clip")
         except Exception as e:  # isolate per-clip decode failures
             log.warning("clip %s failed to decode: %s", job.out, e)
             report.failed.append((job.out, str(e)))
             continue
-        pending.append((job, v, b, _bucket_edge(len(v))))
+        pending.append((job, v, b, (v_sr, _bucket_edge(len(v)))))
 
     # -- group by bucket, process in device batches -------------------------
     step_cache: dict = {}
-    buckets: dict[int, list] = {}
+    buckets: dict[tuple, list] = {}
     for item in pending:
         buckets.setdefault(item[3], []).append(item)
     report.buckets = len(buckets)
 
-    g = math.gcd(sr_in, sr_bus)
-    L, M = sr_bus // g, sr_in // g
-
-    for edge, items in sorted(buckets.items()):
-        if edge not in step_cache:
-            step_cache[edge] = jax.jit(
-                xbatch.make_batch_step(sr_in=sr_in, sr_bus=sr_bus,
+    for (rate, edge), items in sorted(buckets.items()):
+        g = math.gcd(rate, sr_bus)
+        L, M = sr_bus // g, rate // g
+        if rate not in step_cache:
+            step_cache[rate] = jax.jit(
+                xbatch.make_batch_step(sr_in=rate, sr_bus=sr_bus,
                                        **(step_kw or {}))
             )
-        step = step_cache[edge]
+        step = step_cache[rate]
         for i in range(0, len(items), batch_size):
             chunk = items[i : i + batch_size]
             B = len(chunk)
@@ -182,7 +191,7 @@ def run_batch(
                     with open(job.out + ".done", "w") as f:
                         f.write("ok\n")
                 report.done += 1
-                report.audio_sec += int(lengths[r]) / sr_in
+                report.audio_sec += int(lengths[r]) / rate
 
     report.wall_sec = time.perf_counter() - t_start
     log.info("batch: %s", report.to_json())
