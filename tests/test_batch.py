@@ -140,3 +140,21 @@ def test_batch_runner_mixed_rates(tmp_path, rng):
         assert sr == SR_BUS
         g = np.gcd(rate, SR_BUS)
         assert pcm.shape[0] == -(-n * (SR_BUS // g)) // (rate // g)
+
+
+def test_batch_runner_rejects_unreasonable_rate(tmp_path, rng):
+    """A coprime/corrupt header rate fails that clip only (SURVEY.md §5)."""
+    good = _clips(rng, [16000])[0]
+    pg = tmp_path / "g.wav"
+    write_wav(str(pg), good, SR_IN)
+    weird = tmp_path / "weird.wav"
+    write_wav(str(weird), good, 44123)  # coprime with 16000
+    rep = run_batch(
+        [
+            ClipJob(voice=str(pg), out=str(tmp_path / "og.wav")),
+            ClipJob(voice=str(weird), out=str(tmp_path / "ow.wav")),
+        ],
+        sr_in=SR_IN, sr_bus=SR_BUS, step_kw={"interpret": True},
+    )
+    assert rep.done == 1
+    assert len(rep.failed) == 1 and "unreasonable" in rep.failed[0][1]

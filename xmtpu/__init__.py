@@ -38,6 +38,7 @@ from xmtpu.api import (  # noqa: E402
     Session,
 )
 from xmtpu import io  # noqa: E402  (xmtpu.io.read_wav / write_wav / open_audio)
+from xmtpu import compat  # noqa: E402  (handle-style reference-parity API)
 from xmtpu.config.schema import (  # noqa: E402
     PipelineConfig,
     TrackConfig,

@@ -93,7 +93,14 @@ def process_file(inputs, config: PipelineConfig, out_path, progress=None):
 
 
 class Session:
-    """Streaming session — implemented in milestone M6 (SURVEY.md §7.2)."""
+    """Streaming session: seek + frame reads with carried DSP state.
+
+    Wraps :class:`xmtpu.graph.streaming.StreamSession` (reference
+    analogue: the ``xm_audio_utils`` mixer handle API). ``read()``
+    returns one frame (double-buffered prefetch); ``read_many(k)``
+    fuses k frames into one device dispatch for throughput; state is a
+    serializable pytree (``save_state``/``load_state_file``).
+    """
 
     def __init__(self, *a, **kw):
         from xmtpu.graph.streaming import StreamSession
@@ -118,3 +125,6 @@ class Session:
 
     def load_state_file(self, path):
         return self._impl.load_state_file(path)
+
+    def read_many(self, k: int):
+        return self._impl.read_many(k)

@@ -8,7 +8,8 @@ SURVEY.md §2.1]) plus the Android demo flows. Subcommands:
     xmtpu mix config.json out.wav
     xmtpu effects in.wav out.wav --chain fx.json
     xmtpu generate config.json out.wav        # full pipeline, progress %
-    xmtpu bench [--config N]
+    xmtpu batch manifest.json                  # many clips, bucketed (config 4)
+    xmtpu bench [--config N] [--profile DIR]
 """
 
 from __future__ import annotations

@@ -6,9 +6,9 @@ clip by the caller [upstream, SURVEY.md §2.2]; the batch axis IS the
 rebuild's data-parallel strategy.
 
 Mechanics (SURVEY.md §5/§7.3):
-* **bucketing by length** — clips are padded to geometric bucket edges
-  (ratio 1.25) so the jitted masked step compiles once per bucket, not
-  per clip length;
+* **bucketing by (native rate, length)** — clips group by their native
+  sample rate and pad to geometric length edges (ratio 1.25) so the
+  jitted masked step compiles once per rate and bucket, not per clip;
 * **failure isolation** — a clip that fails to decode is skipped and
   reported; the batch never dies (SURVEY.md §5 failure detection);
 * **resume** — a done-marker (``<out>.done``) is written per clip; a
@@ -111,7 +111,15 @@ def run_batch(
     step_kw: dict | None = None,
     write_done_markers: bool = True,
 ) -> BatchReport:
-    """Run clips through the fused masked pipeline, bucketed by length."""
+    """Run clips through the fused masked pipeline.
+
+    Clips bucket by (native rate, length edge); mixed-rate manifests
+    are fine. ``sr_in`` is only the assumed rate for bare-ndarray
+    inputs (files carry their own). A clip whose rate would produce an
+    unreasonable polyphase ratio is failed individually, and a bucket
+    that errors fails only its own clips — the batch never dies
+    (SURVEY.md §5 failure isolation).
+    """
     import jax
     import jax.numpy as jnp
     from xmtpu import batch as xbatch
@@ -147,6 +155,12 @@ def run_batch(
                 b = None
             if len(v) == 0:
                 raise XmtpuError("empty clip")
+            g = math.gcd(v_sr, sr_bus)
+            if not (4000 <= v_sr <= 192000) or v_sr // g > 2048:
+                raise XmtpuError(
+                    f"unreasonable input rate {v_sr} (polyphase ratio "
+                    f"{sr_bus // g}/{v_sr // g})"
+                )
         except Exception as e:  # isolate per-clip decode failures
             log.warning("clip %s failed to decode: %s", job.out, e)
             report.failed.append((job.out, str(e)))
@@ -161,14 +175,20 @@ def run_batch(
     report.buckets = len(buckets)
 
     for (rate, edge), items in sorted(buckets.items()):
-        g = math.gcd(rate, sr_bus)
-        L, M = sr_bus // g, rate // g
-        if rate not in step_cache:
-            step_cache[rate] = jax.jit(
-                xbatch.make_batch_step(sr_in=rate, sr_bus=sr_bus,
-                                       **(step_kw or {}))
-            )
-        step = step_cache[rate]
+        try:
+            g = math.gcd(rate, sr_bus)
+            L, M = sr_bus // g, rate // g
+            if rate not in step_cache:
+                step_cache[rate] = jax.jit(
+                    xbatch.make_batch_step(sr_in=rate, sr_bus=sr_bus,
+                                           **(step_kw or {}))
+                )
+            step = step_cache[rate]
+        except Exception as e:  # a bad bucket fails only its own clips
+            log.warning("bucket (%s Hz, %s) failed to build: %s", rate, edge, e)
+            for (job, _, _, _) in items:
+                report.failed.append((job.out, f"bucket build failed: {e}"))
+            continue
         for i in range(0, len(items), batch_size):
             chunk = items[i : i + batch_size]
             B = len(chunk)
@@ -181,9 +201,17 @@ def run_batch(
                 if b is not None and len(b) > 0:
                     reps = -(-len(v) // len(b))
                     bgm[r, : len(v)] = np.tile(b, reps)[: len(v)]
-            out = np.asarray(
-                step(jnp.asarray(voice), jnp.asarray(bgm), jnp.asarray(lengths))
-            )
+            try:
+                out = np.asarray(
+                    step(jnp.asarray(voice), jnp.asarray(bgm),
+                         jnp.asarray(lengths))
+                )
+            except Exception as e:
+                log.warning("bucket (%s Hz, %s) chunk failed: %s",
+                            rate, edge, e)
+                for (job, _, _, _) in chunk:
+                    report.failed.append((job.out, f"device step failed: {e}"))
+                continue
             for r, (job, v, b, _) in enumerate(chunk):
                 m = -(-int(lengths[r]) * L) // M
                 write_wav(job.out, out[r, :m], sr_bus)
