@@ -345,3 +345,17 @@ def test_apply_chain_blocked_rejects_ns(signals):
     with pytest.raises(ConfigError):
         fxg.apply_chain(signals(4800, SR)["noise"], SR,
                         [{"name": "noise_suppression"}], block_size=1024)
+
+
+def test_reverb_overlap_save_matches_full(signals):
+    x = signals(SR, SR)["noise"]
+    ir = jnp.asarray(reverb.synthetic_ir(0.1, SR), jnp.float32)
+    full = np.asarray(reverb.reverb(jnp.asarray(x), ir))
+    for blk in (16384, 32768):
+        got = np.asarray(reverb.reverb(jnp.asarray(x), ir, block=blk))
+        db = rms_db(got.astype(np.float64) - full.astype(np.float64),
+                    full.astype(np.float64))
+        assert db <= -110.0, (blk, db)
+    # degenerate block sizes fall back to the full transform
+    tiny = np.asarray(reverb.reverb(jnp.asarray(x), ir, block=1024))
+    np.testing.assert_array_equal(tiny, full)
