@@ -189,7 +189,8 @@ def resample_window(xs: jnp.ndarray, plan: ResamplePlan, nj: int, dtype=jnp.floa
     return out2d.reshape(*batch, nj * L)
 
 
-def _apply_plan(x: jnp.ndarray, plan: ResamplePlan, dtype) -> jnp.ndarray:
+def _apply_plan(x: jnp.ndarray, plan: ResamplePlan, dtype,
+                method: str = "conv") -> jnp.ndarray:
     L, M = plan.L, plan.M
     n = x.shape[-1]
     out_len = resample_output_len(n, L, M)
@@ -203,6 +204,20 @@ def _apply_plan(x: jnp.ndarray, plan: ResamplePlan, dtype) -> jnp.ndarray:
     pad_r = max(0, plan.base + need - (n + plan.pad_left))
     xpad = jnp.pad(x, [(0, 0)] * len(batch) + [(plan.pad_left, pad_r)])
     xs = jax.lax.slice_in_dim(xpad, plan.base, plan.base + need, axis=-1)
+    if method == "conv":
+        # out[.., c, r] = sum_u xs[.., c*M + u] * hbank[u, r]: a stride-M
+        # conv with L output channels — XLA's TPU conv never materializes
+        # the frame tensor (the matmul path writes ~3.5x the input bytes)
+        R = int(np.prod(batch)) if batch else 1
+        lhs = xs.reshape(R, -1, 1)  # NWC
+        rhs = jnp.asarray(plan.hbank, dtype)[:, None, :]  # WIO (width,1,L)
+        out = jax.lax.conv_general_dilated(
+            lhs, rhs, window_strides=(M,), padding="VALID",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (R, nj', L) with nj' >= nj
+        out = out[:, :nj, :].reshape(*batch, nj * L)
+        return out[..., :out_len]
     return resample_window(xs, plan, nj, dtype)[..., :out_len]
 
 
