@@ -72,3 +72,53 @@ def test_ns_in_effect_chain(signals):
     y = fxg.apply_chain(x, SR, [{"name": "noise_suppression"}])
     assert y.shape == x.shape and y.dtype == np.float32
     assert np.all(np.isfinite(y))
+
+
+# --- streaming (causal) NS ---------------------------------------------------
+
+
+def test_stream_ns_block_invariance_and_offline_match(signals):
+    import jax
+    from xmtpu.ops import ns as _ns
+
+    rng = np.random.default_rng(5)
+    n = 16384
+    noisy = (signals(n, SR)["sine"] * 0.5
+             + 0.03 * rng.standard_normal(n)).astype(np.float32)[None]
+    off = np.asarray(_ns.suppress(jnp.asarray(noisy)))
+
+    def run(blk):
+        st = _ns.stream_init(1)
+        outs = []
+        for i in range(0, n, blk):
+            y, st = _ns.stream_suppress(jnp.asarray(noisy[:, i:i + blk]), st)
+            outs.append(np.asarray(y))
+        return np.concatenate(outs, -1)
+
+    y1, y2 = run(512), run(1024)
+    np.testing.assert_array_equal(y1, y2)  # bit-exact block invariance
+    # after the lead-in, streaming == offline shifted by the hop delay
+    delay, skip = 256, 10 * 256
+    a = y1[0, delay + skip:].astype(np.float64)
+    b = off[0, skip: n - delay].astype(np.float64)
+    assert rms_db(a - b, b) <= -100.0
+
+
+def test_stream_ns_in_session(signals):
+    from xmtpu.config.schema import EffectConfig, PipelineConfig, TrackConfig
+    from xmtpu.graph.streaming import StreamSession
+
+    rng = np.random.default_rng(9)
+    voice = (signals(16000, SR)["sine"]
+             + 0.05 * rng.standard_normal(16000)).astype(np.float32)
+    cfg = PipelineConfig(
+        tracks=(TrackConfig(url="v"),),
+        master_effects=(EffectConfig("noise_suppression", {}),),
+        sample_rate=SR, normalize=None,
+    )
+    s = StreamSession(cfg, frame_ms=20.0, sources={"v": (voice, SR)},
+                      output_dtype=np.float32)
+    frames = np.concatenate([s.read() for _ in range(40)], axis=0)[:, 0]
+    assert np.all(np.isfinite(frames))
+    # noise floor in the delayed silence... just check output is non-trivial
+    assert np.max(np.abs(frames)) > 0.1

@@ -114,12 +114,15 @@ class CompressorFx(LimiterFx):
 
 
 class NoiseSuppressFx:
-    """STFT Wiener noise suppression (offline whole-clip effect).
+    """STFT Wiener noise suppression.
 
-    params: nfft, noise_frames, smooth, floor. Streaming is unsupported
-    in this round (the reference's NS is also the first chain stage of
-    its offline voice-effects path; frame-carry streaming NS is future
-    work) — ``init_state`` raises under a streaming session.
+    params: nfft, noise_frames, smooth, floor. Offline chains process
+    the whole clip in one transform stack; under a streaming session
+    (:meth:`set_streaming`) it switches to the causal frame-carry twin
+    (``ops.ns.stream_suppress``: nfft adapts to the session frame so
+    the hop divides every block; output delayed by nfft/2 samples,
+    lead-in frames pass at unity while the noise estimate builds —
+    matches the offline gains exactly after the lead-in, tested).
     """
 
     def __init__(self, sample_rate: int, params):
@@ -130,19 +133,31 @@ class NoiseSuppressFx:
             smooth=float(p.get("smooth", 0.7)),
             floor=float(p.get("floor", 0.1)),
         )
-        self._streaming_guard = False
+        self._stream_nfft = None
+
+    def set_streaming(self, frame_len: int) -> None:
+        if frame_len % 2:
+            raise ConfigError(
+                f"streaming noise_suppression needs an even frame, got {frame_len}"
+            )
+        self._stream_nfft = int(frame_len)
 
     def init_state(self, nch: int):
-        if self._streaming_guard:
-            raise ConfigError(
-                "noise_suppression is offline-only (no streaming state yet)"
-            )
-        return ()
+        if self._stream_nfft is None:
+            return ()
+        from xmtpu.ops import ns as _ns
+
+        return _ns.stream_init(nch, nfft=self._stream_nfft,
+                               noise_frames=self.kw["noise_frames"])
 
     def apply(self, x, state):
         from xmtpu.ops import ns as _ns
 
-        return _ns.suppress(x, **self.kw), state
+        if self._stream_nfft is None:
+            return _ns.suppress(x, **self.kw), state
+        kw = dict(self.kw)
+        kw["nfft"] = self._stream_nfft
+        return _ns.stream_suppress(x, state, **kw)
 
 
 class VolumeFx:

@@ -149,6 +149,9 @@ class StreamSession:
         self.effects = _fx.build_chain(
             self.sr, list(config.master_effects) or list(config.effects)
         )
+        for e in self.effects:  # effects that need the frame geometry
+            if hasattr(e, "set_streaming"):
+                e.set_streaming(self.frame_out)
         self.fx_state = _fx.chain_init_state(self.effects, self.nch)
         self.frame_idx = 0
         self._step = jax.jit(self._make_step())

@@ -129,6 +129,90 @@ def suppress(
 
 
 # ---------------------------------------------------------------------------
+# Streaming (causal) suppression with carried state.
+# ---------------------------------------------------------------------------
+
+
+def stream_init(nch: int, nfft: int = _DEF_NFFT, noise_frames: int = 8):
+    """Initial streaming-NS state pytree.
+
+    Fields: input carry (last nfft-hop samples), output OLA tail,
+    lead-in PSD buffer (median -> frozen noise estimate, same pinned
+    rule as offline), PSD smoother state, frame counter.
+    """
+    hop = nfft // 2
+    F = nfft // 2 + 1
+    return {
+        "carry": jnp.zeros((nch, nfft - hop), jnp.float32),
+        "ola": jnp.zeros((nch, nfft - hop), jnp.float32),
+        "lead": jnp.zeros((noise_frames, nch, F), jnp.float32),
+        "psd_s": jnp.zeros((nch, F), jnp.float32),
+        "count": jnp.zeros((), jnp.int32),
+    }
+
+
+def stream_suppress(x, state, nfft: int = _DEF_NFFT, noise_frames: int = 8,
+                    smooth: float = 0.7, floor: float = _DEF_FLOOR):
+    """Causal streaming twin of :func:`suppress` for (ch, n) blocks.
+
+    Semantics (pinned): output is DELAYED by nfft-hop samples (the OLA
+    synthesis latency); frames seen during the ``noise_frames`` lead-in
+    pass through at unity gain while their PSDs build the (then frozen)
+    median noise estimate — identical to the offline estimate, so after
+    the lead-in the streaming gains equal the offline gains exactly
+    (tested). ``n`` must be a multiple of hop (= nfft/2).
+
+    Returns (y (ch, n), new_state).
+    """
+    hop = nfft // 2
+    n = x.shape[-1]
+    if n % hop:
+        raise ValueError(f"stream_suppress needs n % {hop} == 0, got {n}")
+    nch = x.shape[0]
+    w = jnp.asarray(_win(nfft), jnp.float32)
+    k = n // hop
+    xf = x.astype(jnp.float32)
+    buf = jnp.concatenate([state["carry"], xf], axis=-1)
+    frames = jnp.stack(
+        [jax.lax.dynamic_slice_in_dim(buf, j * hop, nfft, axis=-1)
+         for j in range(k)], axis=0
+    )  # (k, ch, nfft)
+
+    def step(st, frame):
+        X = jnp.fft.rfft(frame * w, axis=-1)
+        psd = jnp.square(jnp.abs(X))
+        psd_s = smooth * st["psd_s"] + (1.0 - smooth) * psd
+        cnt = st["count"]
+        in_lead = cnt < noise_frames
+        lead = jax.lax.cond(
+            in_lead,
+            lambda l: jax.lax.dynamic_update_index_in_dim(
+                l, psd, jnp.minimum(cnt, noise_frames - 1), 0),
+            lambda l: l,
+            st["lead"],
+        )
+        noise = jnp.median(lead, axis=0)
+        snr = jnp.maximum(psd_s / jnp.maximum(noise, 1e-20) - 1.0, 0.0)
+        G = jnp.maximum(snr / (1.0 + snr), jnp.float32(floor))
+        G = jnp.where(in_lead, 1.0, G)  # unity during lead-in
+        yf = jnp.fft.irfft(X * G, n=nfft, axis=-1) * w
+        out = yf[:, :hop] + st["ola"]  # at 50% hop, ola is exactly hop wide
+        new = dict(st)
+        new["psd_s"] = psd_s
+        new["lead"] = lead
+        new["count"] = cnt + 1
+        new["ola"] = yf[:, hop:]
+        return new, out
+
+    st = {k2: v for k2, v in state.items() if k2 != "carry"}
+    st, outs = jax.lax.scan(step, st, frames)
+    y = jnp.moveaxis(outs, 0, 1).reshape(nch, k * hop)
+    new_state = dict(st)
+    new_state["carry"] = buf[:, -(nfft - hop):]
+    return y.astype(x.dtype), new_state
+
+
+# ---------------------------------------------------------------------------
 # Numpy oracle (float64) — mirrors the pinned math exactly.
 # ---------------------------------------------------------------------------
 
