@@ -28,7 +28,7 @@ import numpy as np  # noqa: E402
 TARGET_RT = 500.0  # x realtime per chip (BASELINE.json:5)
 
 
-def main(batch: int = 128, clip_seconds: float = 10.0, iters: int = 3,
+def main(batch: int = 256, clip_seconds: float = 10.0, iters: int = 3,
          iir_backend: str = "pallas") -> dict:
     import jax
     import jax.numpy as jnp
