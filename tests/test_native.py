@@ -139,3 +139,28 @@ def test_fifo_threaded_stress():
     tp.start(); tc.start(); tp.join(); tc.join()
     assert bytes(out) == src.tobytes()
     f.close()
+
+
+def test_24bit_wav_via_ffmpeg_fallback(tmp_path, rng):
+    """24-bit PCM WAV (stdlib+native both punt) decodes via the shim."""
+    import struct
+
+    from xmtpu.native import ffmpeg as ff
+
+    if not ff.available():
+        pytest.skip("no FFmpeg shim")
+    n = 2000
+    x = np.clip(rng.standard_normal(n) * 2e6, -8e6, 8e6).astype(np.int32)
+    b = bytearray()
+    for v in x:
+        b += int(v).to_bytes(3, "little", signed=True)
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(b)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 16000 * 3, 3, 24)
+    hdr += b"data" + struct.pack("<I", len(b))
+    p = tmp_path / "x24.wav"
+    p.write_bytes(hdr + bytes(b))
+    pcm, sr = wavio.read_wav(str(p))
+    assert sr == 16000 and pcm.shape[0] == n and pcm.dtype == np.int16
+    # 24->16 bit: top bytes should match to rounding
+    ref = (x >> 8).astype(np.int16)
+    assert np.max(np.abs(pcm[:, 0].astype(np.int32) - ref.astype(np.int32))) <= 1

@@ -49,6 +49,22 @@ def read_wav(path) -> tuple[np.ndarray, int]:
             return n.read_wav_native(str(path))
         except ValueError:
             pass  # exotic width / malformed per native parser: stdlib decides
+    try:
+        return _read_wav_stdlib(path)
+    except Exception:
+        # exotic encodings (24-bit, a-law, ...): the FFmpeg shim decodes
+        # them when present; re-raise the stdlib error otherwise
+        try:
+            from xmtpu.native import ffmpeg as _ff
+
+            if _ff.available():
+                return _ff.decode(str(path))
+        except Exception:
+            pass
+        raise
+
+
+def _read_wav_stdlib(path) -> tuple[np.ndarray, int]:
     with wave.open(str(path), "rb") as w:
         nch = w.getnchannels()
         width = w.getsampwidth()
