@@ -359,3 +359,15 @@ def test_reverb_overlap_save_matches_full(signals):
     # degenerate block sizes fall back to the full transform
     tiny = np.asarray(reverb.reverb(jnp.asarray(x), ir, block=1024))
     np.testing.assert_array_equal(tiny, full)
+
+
+def test_chain_cache_distinguishes_array_params(signals):
+    """Two IRs sharing a long prefix must NOT share a compiled chain."""
+    x = signals(4800, SR)["noise"]
+    ir_a = np.zeros(64, np.float32); ir_a[0] = 1.0
+    ir_b = ir_a.copy(); ir_b[60] = 0.5  # differs deep in the array
+    ya = fxg.apply_chain(x, SR, [{"name": "reverb", "ir": ir_a,
+                                  "wet": 1.0, "dry": 0.0}])
+    yb = fxg.apply_chain(x, SR, [{"name": "reverb", "ir": ir_b,
+                                  "wet": 1.0, "dry": 0.0}])
+    assert not np.array_equal(ya, yb)  # the delayed echo must show up

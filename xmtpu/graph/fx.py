@@ -234,11 +234,16 @@ def _chain_key(sample_rate: int, chain) -> str:
             d = dict(e)
             name = d.pop("name")
             params = d.pop("params", d)
-        clean = {
-            k: (f"<array:{np.asarray(v).tobytes()[:64].hex()}:{np.asarray(v).shape}>"
-                if isinstance(v, (np.ndarray, jnp.ndarray)) else v)
-            for k, v in dict(params).items()
-        }
+        import hashlib
+
+        def _canon_val(v):
+            if isinstance(v, (np.ndarray, jnp.ndarray)):
+                a = np.asarray(v)
+                digest = hashlib.sha1(a.tobytes()).hexdigest()  # full content
+                return f"<array:{digest}:{a.shape}:{a.dtype}>"
+            return v
+
+        clean = {k: _canon_val(v) for k, v in dict(params).items()}
         return {"name": name, "params": clean}
 
     return json.dumps(
