@@ -184,3 +184,35 @@ def test_read_many_equals_sequential_reads(two_tracks):
     got = np.concatenate([seq[:320], first, rest], axis=0)  # frame 0 + 11
     np.testing.assert_allclose(got, seq, atol=1e-7)
     assert s2.frame_idx == 12
+
+
+def test_streaming_side_duck_equals_offline(two_tracks):
+    """BGM ducking in the streaming session == offline mixer ducking
+    (envelope state carried across frames)."""
+    voice, bgm = two_tracks
+    dk = {"depth_db": 12.0, "threshold_db": -40.0, "attack_ms": 5.0,
+          "release_ms": 50.0}
+    cfg = PipelineConfig(
+        tracks=(
+            TrackConfig(url="voice", volume=0.9),
+            TrackConfig(url="bgm", kind="bgm", volume=0.4, loop=True,
+                        side_duck=True),
+        ),
+        sample_rate=SR, normalize=None,
+    )
+    sess = StreamSession(cfg, frame_ms=20.0,
+                         sources={"voice": (voice, 44100), "bgm": (bgm, SR)},
+                         output_dtype=np.float32, duck_params=dk)
+    n_frames = 100
+    got = _read_frames(sess, n_frames)[:, 0]
+    ref = mixg.mix(
+        [
+            mixg.MixTrack(pcm=voice, sr=44100, gain=0.9),
+            mixg.MixTrack(pcm=bgm, sr=SR, gain=0.4, loop=True,
+                          kind="bgm", side_duck=True),
+        ],
+        SR, normalize=None, duration_ms=n_frames * 20.0, duck_params=dk,
+    )
+    ref = np.asarray(ref[: len(got)], np.float64)
+    db = rms_db(got.astype(np.float64) - ref, ref)
+    assert db <= -80.0, db

@@ -114,7 +114,7 @@ class StreamSession:
     """Streaming mixer+effects session (reference handle-API parity)."""
 
     def __init__(self, config, frame_ms: float = 20.0, sources=None,
-                 output_dtype=np.int16):
+                 output_dtype=np.int16, duck_params: dict | None = None):
         if isinstance(config, dict):
             config = config_from_dict(config)
         if not isinstance(config, PipelineConfig):
@@ -152,7 +152,11 @@ class StreamSession:
         for e in self.effects:  # effects that need the frame geometry
             if hasattr(e, "set_streaming"):
                 e.set_streaming(self.frame_out)
-        self.fx_state = _fx.chain_init_state(self.effects, self.nch)
+        # side-chain ducking (reference BGM-under-voice) carries its own
+        # envelope state; chain it into the session state pytree
+        self.has_duck = any(ts.cfg.side_duck for ts in self.tracks)
+        self.duck_params = dict(duck_params or {})
+        self.fx_state = self._init_state()
         self.frame_idx = 0
         self._step = jax.jit(self._make_step())
         # double-buffered prefetch (BASELINE.json:11): the NEXT frame's
@@ -162,6 +166,14 @@ class StreamSession:
         self._pending = None  # (frame_idx, out_device, state_after)
         self._scan_step = None  # lazy jitted k-frame scan (read_many)
 
+    def _init_state(self):
+        """Session state pytree: (fx chain states, duck envelope state)."""
+        fx = _fx.chain_init_state(self.effects, self.nch)
+        if not self.has_duck:
+            return (fx, ())
+        z = jnp.zeros((self.nch,), jnp.float64)
+        return (fx, (z, z))
+
     # -- device step ---------------------------------------------------------
 
     def _make_step(self):
@@ -169,9 +181,14 @@ class StreamSession:
         effects = self.effects
         nch = self.nch
         frame_out = self.frame_out
+        has_duck = self.has_duck
+        duck_params = self.duck_params
+        sr = self.sr
 
-        def step(windows, offsets, fx_state):
-            acc = jnp.zeros((nch, frame_out), jnp.float32)
+        def step(windows, offsets, state):
+            fx_state, duck_state = state
+            voice = jnp.zeros((nch, frame_out), jnp.float32)
+            ducked = jnp.zeros((nch, frame_out), jnp.float32)
             for ts, w, off in zip(tracks, windows, offsets):
                 if w is None:
                     continue
@@ -183,8 +200,20 @@ class StreamSession:
                 y = _track_env(y, ts, off)
                 if y.shape[0] == 1 and nch > 1:
                     y = jnp.broadcast_to(y, (nch, frame_out))
-                acc = acc + y
-            return _fx.chain_apply(effects, acc, fx_state)
+                if has_duck and ts.cfg.side_duck:
+                    ducked = ducked + y
+                else:
+                    voice = voice + y
+            if has_duck:
+                from xmtpu.ops.mix import duck_gain_block
+
+                g, duck_state = duck_gain_block(voice, sr, duck_state,
+                                                **duck_params)
+                acc = voice + ducked * g.astype(jnp.float32)
+            else:
+                acc = voice
+            out, fx_state = _fx.chain_apply(effects, acc, fx_state)
+            return out, (fx_state, duck_state)
 
         return step
 
@@ -195,7 +224,7 @@ class StreamSession:
         filter state — reference semantics (SURVEY.md §3.2)."""
         sample = int(round(ms * self.sr / 1000.0))
         self.frame_idx = sample // self.frame_out
-        self.fx_state = _fx.chain_init_state(self.effects, self.nch)
+        self.fx_state = self._init_state()
 
     def _dispatch(self, frame_idx: int, fx_state):
         """Enqueue one frame's device step (non-blocking)."""
@@ -306,7 +335,7 @@ class StreamSession:
         z = np.load(path)
         if int(z["frame_out"]) != self.frame_out:
             raise ConfigError("state frame size mismatch")
-        template = _fx.chain_init_state(self.effects, self.nch)
+        template = self._init_state()
         treedef = jax.tree_util.tree_structure(template)
         t_leaves = jax.tree_util.tree_leaves(template)
         leaves = [

@@ -101,6 +101,37 @@ def db_to_amp(db: float) -> float:
     return float(10.0 ** (db / 20.0))
 
 
+def duck_gain_block(
+    voice_bus: jnp.ndarray,
+    sr: int,
+    state,
+    threshold_db: float = -40.0,
+    depth_db: float = 12.0,
+    knee_db: float = 10.0,
+    attack_ms: float = 10.0,
+    release_ms: float = 300.0,
+):
+    """Stateful ducking gain for one block (..., n) -> (gain, state).
+
+    ``state``: (env_last, smooth_last) shaped (...,) f64 — the streaming
+    session carries it across frames so streaming ducking == offline
+    (same scans as :func:`duck_gain`, which is this with zero state).
+    """
+    from xmtpu.ops import limiter as _lim
+
+    d = jnp.abs(voice_bus.astype(jnp.float64))
+    k_rel = _lim._release_coeff(release_ms, sr)
+    c_att = _lim._attack_coeff(attack_ms, sr)
+    if state is None:
+        z = jnp.zeros(d.shape[:-1], d.dtype)
+        state = (z, z)
+    env, env_last = _lim.decaying_max_scan(d, k_rel, state[0])
+    e2, sm_last = _lim.onepole_scan(env, c_att, state[1])
+    env_db = 20.0 * jnp.log10(jnp.maximum(e2, 1e-12))
+    x = jnp.clip((env_db - threshold_db) / knee_db + 0.5, 0.0, 1.0)
+    return jnp.power(10.0, -depth_db * x / 20.0), (env_last, sm_last)
+
+
 def duck_gain(
     voice_bus: jnp.ndarray,
     sr: int,
@@ -125,16 +156,9 @@ def duck_gain(
        clearly above threshold, unity when clearly below, linear blend
        across the knee.
     """
-    from xmtpu.ops import limiter as _lim
-
-    d = jnp.abs(voice_bus.astype(jnp.float64))
-    k_rel = _lim._release_coeff(release_ms, sr)
-    c_att = _lim._attack_coeff(attack_ms, sr)
-    env, _ = _lim.decaying_max_scan(d, k_rel, jnp.zeros(d.shape[:-1], d.dtype))
-    e2, _ = _lim.onepole_scan(env, c_att, jnp.zeros(d.shape[:-1], d.dtype))
-    env_db = 20.0 * jnp.log10(jnp.maximum(e2, 1e-12))
-    x = jnp.clip((env_db - threshold_db) / knee_db + 0.5, 0.0, 1.0)
-    return jnp.power(10.0, -depth_db * x / 20.0)
+    g, _ = duck_gain_block(voice_bus, sr, None, threshold_db, depth_db,
+                           knee_db, attack_ms, release_ms)
+    return g
 
 
 def duck_gain_np(voice_bus, sr, threshold_db=-40.0, depth_db=12.0,
