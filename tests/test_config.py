@@ -1,0 +1,77 @@
+"""Config schema tests: JSON round trip, reference field names, errors."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from xmtpu.config.schema import (
+    EffectConfig,
+    PipelineConfig,
+    TrackConfig,
+    config_from_dict,
+    config_to_dict,
+    dump_config,
+    load_config,
+)
+
+
+def _full_cfg() -> PipelineConfig:
+    return PipelineConfig(
+        tracks=(
+            TrackConfig(url="v.wav", kind="voice", volume=0.9,
+                        start_time_ms=100.0, end_time_ms=5000.0,
+                        fade_in_ms=50.0, fade_out_ms=100.0),
+            TrackConfig(url="b.mp3", kind="bgm", volume=0.4, loop=True,
+                        side_duck=True),
+        ),
+        effects=(EffectConfig("noise_suppression", {}),),
+        master_effects=(
+            EffectConfig("equalizer", {"bands": [
+                {"freq_hz": 1000.0, "gain_db": 3.0, "q": 1.0}]}),
+            EffectConfig("limiter", {"threshold_db": -3.0}),
+        ),
+        sample_rate=16000,
+        normalize="loudness",
+        normalize_target_db=-16.0,
+        block_size=32768,
+    )
+
+
+def test_json_round_trip():
+    cfg = _full_cfg()
+    cfg2 = config_from_dict(config_to_dict(cfg))
+    assert cfg2 == cfg
+
+
+def test_dump_and_load_file(tmp_path):
+    cfg = _full_cfg()
+    p = tmp_path / "cfg.json"
+    dump_config(cfg, p)
+    assert load_config(p) == cfg
+    # also from a JSON string (the reference passes config as a string)
+    assert load_config(dump_config(cfg)) == cfg
+
+
+def test_reference_field_names():
+    """The JSON vocabulary matches the reference's mixer-config fields."""
+    d = config_to_dict(_full_cfg())
+    t = d["tracks"][0]
+    for key in ("url", "volume", "startTimeMs", "endTimeMs",
+                "fadeInTimeMs", "fadeOutTimeMs", "loop", "sideDuck"):
+        assert key in t, key
+    assert "sampleRate" in d and "masterEffects" in d
+
+
+def test_defaults_and_partial_json():
+    cfg = config_from_dict(json.loads('{"tracks": [{"url": "a.wav"}]}'))
+    assert cfg.sample_rate == 16000
+    assert cfg.normalize == "peak"
+    assert cfg.tracks[0].volume == 1.0
+    assert not cfg.tracks[0].loop
+
+
+def test_negative_volume_rejected():
+    with pytest.raises(ValueError):
+        TrackConfig(url="x.wav", volume=-0.1)
