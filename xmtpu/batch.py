@@ -14,7 +14,6 @@ SURVEY.md §2.2.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

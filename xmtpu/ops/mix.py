@@ -27,7 +27,6 @@ Normalization (``BASELINE.json:5,8``):
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
