@@ -51,7 +51,7 @@ def test_masked_batch_matches_unbatched(rng):
         solo = np.asarray(solo_step_cache[n](
             jnp.asarray(c[None]), jnp.asarray(np.zeros_like(c)[None]),
             jnp.asarray([n], jnp.int32)))[0]
-        m = -(-n * (SR_BUS // 100)) // (SR_IN // 100)
+        m = -(-(n * (SR_BUS // 100)) // (SR_IN // 100))  # ceil
         a = out[i, :m].astype(np.float64)
         b = solo[:m].astype(np.float64)
         db = rms_db(a - b, b)
@@ -74,7 +74,7 @@ def test_batch_runner_end_to_end(tmp_path, rng):
     for i, n in enumerate(lengths):
         pcm, sr = read_wav(str(tmp_path / f"out_{i}.wav"))
         assert sr == SR_BUS
-        assert pcm.shape[0] == -(-n * 160) // 441
+        assert pcm.shape[0] == -(-(n * 160) // 441)  # ceil(n*L/M)
 
 
 def test_batch_runner_failure_isolation_and_resume(tmp_path, rng):
@@ -139,7 +139,7 @@ def test_batch_runner_mixed_rates(tmp_path, rng):
         pcm, sr = read_wav(str(tmp_path / name))
         assert sr == SR_BUS
         g = np.gcd(rate, SR_BUS)
-        assert pcm.shape[0] == -(-n * (SR_BUS // g)) // (rate // g)
+        assert pcm.shape[0] == -(-(n * (SR_BUS // g)) // (rate // g))
 
 
 def test_batch_runner_rejects_unreasonable_rate(tmp_path, rng):
@@ -158,3 +158,30 @@ def test_batch_runner_rejects_unreasonable_rate(tmp_path, rng):
     )
     assert rep.done == 1
     assert len(rep.failed) == 1 and "unreasonable" in rep.failed[0][1]
+
+
+def test_batch_step_zero_fade_no_nan(rng):
+    """Regression: fade_ms=0 must not 0/0-NaN the normalize."""
+    c = (rng.standard_normal(20000) * 9000).astype(np.int16)
+    step = jax.jit(xbatch.make_batch_step(sr_in=SR_IN, sr_bus=SR_BUS,
+                                          fade_ms=0.0, interpret=True))
+    out = np.asarray(step(jnp.asarray(c[None]),
+                          jnp.asarray(np.zeros_like(c)[None]),
+                          jnp.asarray([15000], jnp.int32)))
+    assert np.all(np.isfinite(out)) and np.max(np.abs(out)) > 1000
+
+
+def test_batch_output_length_is_ceil(rng):
+    """Regression: out_len must be ceil(n*L/M) — the last sample of a
+    clip whose length isn't a multiple of M/gcd must survive."""
+    n = 44101  # 44101*160/441 = 16000.36 -> ceil 16001
+    c = (rng.standard_normal(n) * 9000).astype(np.int16)
+    step = jax.jit(xbatch.make_batch_step(sr_in=SR_IN, sr_bus=SR_BUS,
+                                          interpret=True))
+    out = np.asarray(step(jnp.asarray(c[None]),
+                          jnp.asarray(np.zeros_like(c)[None]),
+                          jnp.asarray([n], jnp.int32)))
+    m = -(-(n * 160) // 441)
+    assert m == 16001
+    assert np.any(out[0, m - 3 : m] != 0)  # tail samples survive
+    assert np.all(out[0, m:] == 0)

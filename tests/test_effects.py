@@ -371,3 +371,13 @@ def test_chain_cache_distinguishes_array_params(signals):
     yb = fxg.apply_chain(x, SR, [{"name": "reverb", "ir": ir_b,
                                   "wet": 1.0, "dry": 0.0}])
     assert not np.array_equal(ya, yb)  # the delayed echo must show up
+
+
+def test_chain_key_handles_np_scalars(signals):
+    """Regression: np scalars nested in band dicts must not crash the
+    chain-cache key builder."""
+    x = signals(4800, SR)["noise"]
+    y = fxg.apply_chain(x, SR, [{"name": "equalizer", "bands": [
+        {"freq_hz": np.float32(300.0), "gain_db": np.float64(2.0),
+         "q": np.float32(1.0)}]}])
+    assert np.all(np.isfinite(y))

@@ -164,3 +164,20 @@ def test_mix_side_duck_attenuates_bgm(signals):
     tail = (out - voice)[n // 2 + 2000 :]
     ratio_db = 20 * np.log10(np.abs(tail).max() / np.abs(head).max())
     assert -13.5 < ratio_db < -10.5, ratio_db
+
+
+def test_mix_track_placed_past_end_is_silence(signals):
+    """Regression: a track starting at/after the mix end must contribute
+    silence, not crash the jitted build."""
+    from xmtpu.graph import mixer as mixg
+
+    x = signals(8000, 16000)["noise"]
+    out = mixg.mix(
+        [
+            mixg.MixTrack(pcm=x, sr=16000),
+            mixg.MixTrack(pcm=x, sr=16000, start_ms=2000.0),  # past 1 s end
+        ],
+        16000, normalize=None, duration_ms=500.0,
+    )
+    ref = x[:8000][: len(out)]
+    np.testing.assert_allclose(out, ref[: len(out)], atol=1e-6)

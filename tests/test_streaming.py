@@ -216,3 +216,40 @@ def test_streaming_side_duck_equals_offline(two_tracks):
     ref = np.asarray(ref[: len(got)], np.float64)
     db = rms_db(got.astype(np.float64) - ref, ref)
     assert db <= -80.0, db
+
+
+def test_seek_invalidates_prefetch(two_tracks):
+    """Regression: seek() must drop the prefetched frame (stale state)."""
+    voice, bgm = two_tracks
+    cfg = _config(effects=(EffectConfig("limiter", {"threshold_db": -6.0}),))
+    src = {"voice": (voice, 44100), "bgm": (bgm, SR)}
+    s1 = StreamSession(cfg, frame_ms=20.0, sources=src,
+                       output_dtype=np.float32)
+    s1.read()  # consume frame 0, prefetch frame 1 with post-frame-0 state
+    s1.seek(20.0)  # frame 1 — state must RESET
+    got = s1.read()
+    s2 = StreamSession(cfg, frame_ms=20.0, sources=src,
+                       output_dtype=np.float32)
+    s2.seek(20.0)
+    np.testing.assert_array_equal(got, s2.read())
+
+
+def test_voice_effects_apply_pre_mix(two_tracks):
+    """config.effects run on the voice bus BEFORE bgm joins the mix."""
+    voice, bgm = two_tracks
+    cfg = PipelineConfig(
+        tracks=(
+            TrackConfig(url="voice", volume=1.0),
+            TrackConfig(url="bgm", kind="bgm", volume=0.5, loop=True),
+        ),
+        effects=(EffectConfig("volume", {"gain_db": -100.0}),),  # kill voice
+        sample_rate=SR, normalize=None,
+    )
+    sess = StreamSession(cfg, frame_ms=20.0,
+                         sources={"voice": (voice, 44100), "bgm": (bgm, SR)},
+                         output_dtype=np.float32)
+    got = _read_frames(sess, 25)[:, 0]
+    # voice muted pre-mix: output is just the bgm at 0.5 gain
+    ref = 0.5 * bgm[: len(got)].astype(np.float64)
+    db = rms_db(got.astype(np.float64) - ref, ref)
+    assert db <= -80.0, db

@@ -173,14 +173,18 @@ def make_batch_step(
         b = _resample.polyphase_resample(b, sr_in, sr_bus)
         n = v.shape[-1]
         # per-clip output lengths at the bus rate: ceil(len * L / M)
-        out_len = -(-lengths * L) // M  # [B]
+        out_len = -(-(lengths * L) // M)  # [B] ceil — parens matter:
+        # -(-a*L)//M is floor((a*L)/M), which silently drops the last sample
         i = jnp.arange(n, dtype=jnp.float32)[None, :]  # [1, n]
         lenf = out_len.astype(jnp.float32)[:, None]  # [B, 1]
         mask = i < lenf
         fade = float(round(fade_ms * sr_bus / 1000.0))
-        ramp = jnp.minimum((i + 1.0) / fade, 1.0) * jnp.clip(
-            (lenf - i) / fade, 0.0, 1.0
-        )
+        if fade > 0:
+            ramp = jnp.minimum((i + 1.0) / fade, 1.0) * jnp.clip(
+                (lenf - i) / fade, 0.0, 1.0
+            )
+        else:  # no 0/0 NaN (would poison the peak normalize)
+            ramp = jnp.float32(1.0)
         out = (v + jnp.float32(bgm_gain) * b) * ramp * mask
         peak = jnp.max(jnp.abs(out), axis=-1, keepdims=True)  # pad is 0
         out = out * jnp.where(

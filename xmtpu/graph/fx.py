@@ -234,20 +234,22 @@ def _chain_key(sample_rate: int, chain) -> str:
             d = dict(e)
             name = d.pop("name")
             params = d.pop("params", d)
+        return {"name": name, "params": dict(params)}
+
+    def _default(v):
+        # np scalars / arrays anywhere in the tree (nested band lists etc.)
         import hashlib
 
-        def _canon_val(v):
-            if isinstance(v, (np.ndarray, jnp.ndarray)):
-                a = np.asarray(v)
-                digest = hashlib.sha1(a.tobytes()).hexdigest()  # full content
-                return f"<array:{digest}:{a.shape}:{a.dtype}>"
-            return v
-
-        clean = {k: _canon_val(v) for k, v in dict(params).items()}
-        return {"name": name, "params": clean}
+        if isinstance(v, (np.ndarray, jnp.ndarray)):
+            a = np.asarray(v)
+            return f"<array:{hashlib.sha1(a.tobytes()).hexdigest()}:{a.shape}:{a.dtype}>"
+        if isinstance(v, np.generic):
+            return v.item()
+        raise TypeError(f"unhashable effect param: {type(v)}")
 
     return json.dumps(
-        {"sr": sample_rate, "chain": [canon(e) for e in chain]}, sort_keys=True
+        {"sr": sample_rate, "chain": [canon(e) for e in chain]},
+        sort_keys=True, default=_default,
     )
 
 

@@ -106,12 +106,16 @@ def mix(tracks, sample_rate: int, normalize: str | None = "peak",
             y = x  # (ch, n) f32 at native rate
             if sr != sample_rate:
                 y = _resample.polyphase_resample(y, sr, sample_rate)
-            start = _ms_to_samples(t.start_ms, sample_rate)
-            if t.loop and y.shape[-1] < total - start:
+            start = min(_ms_to_samples(t.start_ms, sample_rate), total)
+            track_len = max(0, min(y.shape[-1], total - start))
+            if t.loop and track_len and y.shape[-1] < total - start:
                 reps = -(-(total - start) // y.shape[-1])
                 y = jnp.tile(y, (1, reps))
-            track_len = min(y.shape[-1], total - start)
+                track_len = total - start
             y = y[..., :track_len]
+            if track_len == 0:  # placed at/after the end: pure silence
+                placed.append(jnp.zeros((nch, total), jnp.float32))
+                continue
             y = _mix.apply_gain_fade(
                 y,
                 t.gain,

@@ -37,10 +37,13 @@ def _resolve_tracks(inputs, config: PipelineConfig):
                 pcm, sr = d.read_all(), d.sample_rate
         else:
             raise ConfigError(f"track {i}: no url and no in-memory input")
+        # endTimeMs is a point on the OUTPUT timeline (schema.py), so the
+        # playable content is end - start ms (matches the streaming path)
         end = t.end_time_ms
-        dur_ms = pcm.shape[0] * 1000.0 / sr
-        if end is not None and end < dur_ms:
-            pcm = pcm[: int(round(end * sr / 1000.0))]
+        if end is not None:
+            keep_ms = max(0.0, end - t.start_time_ms)
+            if keep_ms < pcm.shape[0] * 1000.0 / sr:
+                pcm = pcm[: int(round(keep_ms * sr / 1000.0))]
         tracks.append(
             _mixer.MixTrack(
                 pcm=pcm,

@@ -146,14 +146,24 @@ class StreamSession:
         ]
 
         self.nch = max((ts.nch for ts in self.tracks), default=config.channels)
-        self.effects = _fx.build_chain(
-            self.sr, list(config.master_effects) or list(config.effects)
-        )
-        for e in self.effects:  # effects that need the frame geometry
-            if hasattr(e, "set_streaming"):
+        # reference chain placement (SURVEY.md §3.1): config.effects run on
+        # the VOICE bus pre-mix; master_effects run post-mix. (Offline
+        # applies voice effects per-track at native rate; the session
+        # applies them to the summed voice bus at the bus rate — identical
+        # for the single-voice-track-at-bus-rate case, documented
+        # approximation otherwise.)
+        self.voice_effects = _fx.build_chain(self.sr, list(config.effects))
+        self.master_effects = _fx.build_chain(self.sr,
+                                              list(config.master_effects))
+        for e in self.voice_effects + self.master_effects:
+            if hasattr(e, "set_streaming"):  # needs the frame geometry
                 e.set_streaming(self.frame_out)
         # side-chain ducking (reference BGM-under-voice) carries its own
-        # envelope state; chain it into the session state pytree
+        # envelope state; chain it into the session state pytree.
+        # NOTE (documented divergence from the offline mixer): looped
+        # tracks never fade out under a session (no known end), and loop
+        # seams are resampled as a continuous stream (mod-wrap before
+        # resampling) rather than tiling the resampled clip.
         self.has_duck = any(ts.cfg.side_duck for ts in self.tracks)
         self.duck_params = dict(duck_params or {})
         self.fx_state = self._init_state()
@@ -167,18 +177,20 @@ class StreamSession:
         self._scan_step = None  # lazy jitted k-frame scan (read_many)
 
     def _init_state(self):
-        """Session state pytree: (fx chain states, duck envelope state)."""
-        fx = _fx.chain_init_state(self.effects, self.nch)
+        """Session state pytree: (voice fx, master fx, duck envelope)."""
+        vfx = _fx.chain_init_state(self.voice_effects, self.nch)
+        mfx = _fx.chain_init_state(self.master_effects, self.nch)
         if not self.has_duck:
-            return (fx, ())
+            return (vfx, mfx, ())
         z = jnp.zeros((self.nch,), jnp.float64)
-        return (fx, (z, z))
+        return (vfx, mfx, (z, z))
 
     # -- device step ---------------------------------------------------------
 
     def _make_step(self):
         tracks = self.tracks
-        effects = self.effects
+        voice_effects = self.voice_effects
+        master_effects = self.master_effects
         nch = self.nch
         frame_out = self.frame_out
         has_duck = self.has_duck
@@ -186,9 +198,12 @@ class StreamSession:
         sr = self.sr
 
         def step(windows, offsets, state):
-            fx_state, duck_state = state
+            vfx_state, mfx_state, duck_state = state
+            # three buses: voice-kind tracks (get config.effects and drive
+            # the duck envelope), side-ducked tracks, everything else
             voice = jnp.zeros((nch, frame_out), jnp.float32)
             ducked = jnp.zeros((nch, frame_out), jnp.float32)
+            other = jnp.zeros((nch, frame_out), jnp.float32)
             for ts, w, off in zip(tracks, windows, offsets):
                 if w is None:
                     continue
@@ -200,20 +215,26 @@ class StreamSession:
                 y = _track_env(y, ts, off)
                 if y.shape[0] == 1 and nch > 1:
                     y = jnp.broadcast_to(y, (nch, frame_out))
-                if has_duck and ts.cfg.side_duck:
+                if ts.cfg.side_duck:
                     ducked = ducked + y
-                else:
+                elif ts.cfg.kind == "voice":
                     voice = voice + y
+                else:
+                    other = other + y
+            voice, vfx_state = _fx.chain_apply(voice_effects, voice,
+                                               vfx_state)
             if has_duck:
                 from xmtpu.ops.mix import duck_gain_block
 
-                g, duck_state = duck_gain_block(voice, sr, duck_state,
-                                                **duck_params)
-                acc = voice + ducked * g.astype(jnp.float32)
+                # offline parity: the envelope keys off ALL non-ducked
+                # tracks (mixer.py builds its voice bus the same way)
+                g, duck_state = duck_gain_block(voice + other, sr,
+                                                duck_state, **duck_params)
+                acc = voice + other + ducked * g.astype(jnp.float32)
             else:
-                acc = voice
-            out, fx_state = _fx.chain_apply(effects, acc, fx_state)
-            return out, (fx_state, duck_state)
+                acc = voice + other
+            out, mfx_state = _fx.chain_apply(master_effects, acc, mfx_state)
+            return out, (vfx_state, mfx_state, duck_state)
 
         return step
 
@@ -225,6 +246,7 @@ class StreamSession:
         sample = int(round(ms * self.sr / 1000.0))
         self.frame_idx = sample // self.frame_out
         self.fx_state = self._init_state()
+        self._pending = None  # drop any prefetched frame (stale DSP state)
 
     def _dispatch(self, frame_idx: int, fx_state):
         """Enqueue one frame's device step (non-blocking)."""
@@ -354,8 +376,10 @@ def _track_env(y, ts: _TrackStream, off):
     t = ts.cfg
     n = y.shape[-1]
     sr = ts.sr_bus
-    i = jnp.arange(n, dtype=jnp.float32) + off
-    g = jnp.full((n,), float(t.volume), jnp.float32)
+    # f64 indices: f32 loses integer precision past 2^24 samples (~6 min
+    # at 48 kHz), which would step the ramps and shift the placement mask
+    i = jnp.arange(n, dtype=jnp.float64) + off.astype(jnp.float64)
+    g = jnp.full((n,), float(t.volume), jnp.float64)
     fade_in = int(round(t.fade_in_ms * sr / 1000.0))
     fade_out = int(round(t.fade_out_ms * sr / 1000.0))
     if fade_in > 0:
@@ -366,4 +390,4 @@ def _track_env(y, ts: _TrackStream, off):
         g = jnp.where(i >= 0, g, 0.0)
     else:
         g = jnp.where((i >= 0) & (i < float(ts.n_out)), g, 0.0)
-    return y * g[None, :]
+    return y * g[None, :].astype(y.dtype)

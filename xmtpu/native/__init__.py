@@ -136,6 +136,8 @@ def write_wav_native(path: str, pcm: np.ndarray, sample_rate: int) -> None:
 
 def i16_to_f32_native(x: np.ndarray) -> np.ndarray:
     lib = load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
     x = np.ascontiguousarray(x, np.int16)
     out = np.empty(x.shape, np.float32)
     lib.xm_i16_to_f32(x.ctypes.data, out.ctypes.data, x.size)
@@ -144,6 +146,8 @@ def i16_to_f32_native(x: np.ndarray) -> np.ndarray:
 
 def f32_to_i16_native(x: np.ndarray) -> np.ndarray:
     lib = load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
     x = np.ascontiguousarray(x, np.float32)
     out = np.empty(x.shape, np.int16)
     lib.xm_f32_to_i16(x.ctypes.data, out.ctypes.data, x.size)

@@ -213,7 +213,7 @@ def run_batch(
                     report.failed.append((job.out, f"device step failed: {e}"))
                 continue
             for r, (job, v, b, _) in enumerate(chunk):
-                m = -(-int(lengths[r]) * L) // M
+                m = -(-(int(lengths[r]) * L) // M)  # ceil (parens matter)
                 write_wav(job.out, out[r, :m], sr_bus)
                 if write_done_markers:
                     with open(job.out + ".done", "w") as f:
