@@ -2,9 +2,9 @@
 
 Reference analogue: the voice-effects chain (``xm_audio_effects.c``
 [upstream, SURVEY.md §2.1] — ordered NS -> EQ -> reverb -> volume ->
-limiter over a voice stream; rebuilt chain per ``BASELINE.json:9`` as
-EQ -> reverb -> limiter, plus volume; noise suppression is a documented
-stretch exclusion, SURVEY.md §7.5).
+limiter over a voice stream). All of those are implemented here (plus a
+finite-ratio compressor); the headline chain per ``BASELINE.json:9`` is
+EQ -> reverb -> limiter.
 
 Each effect is a small object with ``init_state`` / ``apply`` so the
 same code serves the offline whole-clip path and the streaming
