@@ -60,6 +60,24 @@ def test_masked_batch_matches_unbatched(rng):
         assert np.all(out[i, m:] == 0)
 
 
+def test_long_clip_length_no_int32_overflow(rng):
+    """Regression: lengths * L must not wrap int32 — a 13.4M-sample
+    (~304 s @44.1k) length used to produce a negative out_len and an
+    all-false mask, silently writing a silent WAV for long podcast
+    clips. The padded data here is short; only the length value is
+    huge, which is exactly where the old code wrapped. (n_pad reuses
+    the 44100 shape already compiled by the suite.)"""
+    n_pad = 44100
+    voice = (rng.standard_normal((1, n_pad)) * 9000).astype(np.int16)
+    bgm = np.zeros_like(voice)
+    step = jax.jit(xbatch.make_batch_step(sr_in=SR_IN, sr_bus=SR_BUS,
+                                          interpret=True))
+    out = np.asarray(step(jnp.asarray(voice), jnp.asarray(bgm),
+                          jnp.asarray([13_420_000], jnp.int32)))
+    # out_len >> n_pad, so every produced sample is in-range: non-silent
+    assert np.any(out != 0)
+
+
 def test_batch_runner_end_to_end(tmp_path, rng):
     lengths = [22050, 44100, 30000, 8000]
     jobs = []

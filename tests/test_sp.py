@@ -116,3 +116,31 @@ def test_sp_effects_chain_equals_single_device(mesh, rng):
     ), np.float64)
     db = rms_db(got - y_ref, y_ref)
     assert db <= -80.0, db
+
+
+def test_dpsp_2d_mesh_equals_single_device(rng):
+    """2-D (dp, sp) mesh: a BATCH of long clips sharded over clips AND
+    time (SURVEY.md §5 "optional (batch, block) mesh") equals the
+    single-device ops chain per clip."""
+    devs = jax.devices()
+    if len(devs) < 4 or len(devs) % 2:
+        pytest.skip("needs >=4 (even) devices for a 2-D mesh")
+    n_sp = len(devs) // 2
+    mesh_2d = jax.sharding.Mesh(np.array(devs).reshape(2, n_sp),
+                                ("dp", "sp"))
+    B, n = 4, n_sp * 4096
+    x = (0.5 * rng.standard_normal((B, 2, n))).astype(np.float32)
+    sos = biquad.eq_sos(BANDS, SR)
+    ir = reverb.synthetic_ir(0.02, SR).astype(np.float32)
+
+    y_ref, _ = biquad.sosfilt_scan(sos, jnp.asarray(x))
+    y_ref = reverb.reverb(y_ref, jnp.asarray(ir), wet=0.3, dry=0.7)
+    y_ref, _ = limiter.limiter(y_ref, SR, threshold_db=-6.0)
+    y_ref = np.asarray(y_ref, np.float64)
+
+    got = np.asarray(sp_effects_chain(
+        jnp.asarray(x), SR, mesh_2d, bands=sos, ir=ir, wet=0.3, dry=0.7,
+        threshold_db=-6.0, dp_axis="dp",
+    ), np.float64)
+    db = rms_db(got - y_ref, y_ref)
+    assert db <= -80.0, db

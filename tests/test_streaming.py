@@ -253,3 +253,45 @@ def test_voice_effects_apply_pre_mix(two_tracks):
     ref = 0.5 * bgm[: len(got)].astype(np.float64)
     db = rms_db(got.astype(np.float64) - ref, ref)
     assert db <= -80.0, db
+
+
+def test_streaming_voice_effects_parity_native_rate(two_tracks):
+    """The §4.2 invariant for ``config.effects`` with a 44.1k-NATIVE
+    voice track and a real EQ+reverb+limiter chain: both modes apply the
+    chain to the summed voice bus at the bus rate post-placement, so
+    they must agree (round-1 weak #3 — previously only a rate-invariant
+    volume effect was tested here)."""
+    voice, bgm = two_tracks
+    chain = (
+        EffectConfig("equalizer", {"bands": [
+            {"freq_hz": 120.0, "gain_db": 3.0, "q": 1.0},
+            {"freq_hz": 2500.0, "gain_db": -2.0, "q": 1.0},
+        ]}),
+        EffectConfig("reverb", {"ir_seconds": 0.2, "wet": 0.25, "dry": 0.75}),
+        EffectConfig("limiter", {"threshold_db": -6.0}),
+    )
+    cfg = PipelineConfig(
+        tracks=(
+            TrackConfig(url="voice", volume=0.9, fade_in_ms=50.0,
+                        fade_out_ms=100.0),
+            TrackConfig(url="bgm", kind="bgm", volume=0.4, loop=True),
+        ),
+        effects=chain, sample_rate=SR, normalize=None,
+    )
+    sess = StreamSession(cfg, frame_ms=20.0,
+                         sources={"voice": (voice, 44100), "bgm": (bgm, SR)},
+                         output_dtype=np.float32)
+    n_frames = 100
+    got = _read_frames(sess, n_frames)[:, 0]
+    ref = mixg.mix(
+        [
+            mixg.MixTrack(pcm=voice, sr=44100, gain=0.9,
+                          fade_in_ms=50.0, fade_out_ms=100.0),
+            mixg.MixTrack(pcm=bgm, sr=SR, gain=0.4, loop=True, kind="bgm"),
+        ],
+        SR, normalize=None, duration_ms=n_frames * 20.0,
+        voice_effects=list(chain),
+    )
+    ref = np.asarray(ref[: len(got)], np.float64)
+    db = rms_db(got.astype(np.float64) - ref, ref)
+    assert db <= -80.0, db

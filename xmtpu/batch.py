@@ -172,17 +172,20 @@ def make_batch_step(
         v = _resample.polyphase_resample(v, sr_in, sr_bus)
         b = _resample.polyphase_resample(b, sr_in, sr_bus)
         n = v.shape[-1]
-        # per-clip output lengths at the bus rate: ceil(len * L / M)
-        out_len = -(-(lengths * L) // M)  # [B] ceil — parens matter:
-        # -(-a*L)//M is floor((a*L)/M), which silently drops the last sample
-        i = jnp.arange(n, dtype=jnp.float32)[None, :]  # [1, n]
-        lenf = out_len.astype(jnp.float32)[:, None]  # [B, 1]
+        # per-clip output lengths at the bus rate: ceil(len * L / M).
+        # int64: int32 lengths*L wraps negative for clips >= ~304 s at
+        # 44.1k->16k (L=160), silently zero-masking the whole clip.
+        out_len = -(-(lengths.astype(jnp.int64) * L) // M)  # [B] ceil —
+        # parens matter: -(-a*L)//M is floor, dropping the last sample
+        # f64 index: f32 arange is exact only below 2^24 (~17 min @16k)
+        i = jnp.arange(n, dtype=jnp.float64)[None, :]  # [1, n]
+        lenf = out_len.astype(jnp.float64)[:, None]  # [B, 1]
         mask = i < lenf
         fade = float(round(fade_ms * sr_bus / 1000.0))
         if fade > 0:
-            ramp = jnp.minimum((i + 1.0) / fade, 1.0) * jnp.clip(
+            ramp = (jnp.minimum((i + 1.0) / fade, 1.0) * jnp.clip(
                 (lenf - i) / fade, 0.0, 1.0
-            )
+            )).astype(jnp.float32)
         else:  # no 0/0 NaN (would poison the peak normalize)
             ramp = jnp.float32(1.0)
         out = (v + jnp.float32(bgm_gain) * b) * ramp * mask

@@ -55,12 +55,20 @@ class XmAudioUtils:
         """Next int16 frame, or None at end-of-stream (reference returns
         <= 0 byte count)."""
         s = self._require()
-        # end-of-stream BEFORE reading: every non-loop track is already
-        # past its end at the frame about to be produced
+        # end-of-stream BEFORE reading: every NON-LOOP track is already
+        # past its end at the frame about to be produced. Loop tracks
+        # (BGM) never end on their own — the offline mixer ends at the
+        # non-loop tracks' end, so they must not keep the stream alive
+        # (a voice+looped-BGM config would otherwise never return None).
+        finite = [ts for ts in s.tracks if not ts.cfg.loop]
+        if not finite:
+            # all-loop (or empty) track list: no natural end; the caller
+            # bounds the stream (reference: loop-only configs play
+            # forever until seek/free)
+            return s.read() if s.tracks else None
         end = all(
-            not ts.cfg.loop
-            and (s.frame_idx * s.frame_out - ts.start_bus) >= ts.n_out
-            for ts in s.tracks
+            (s.frame_idx * s.frame_out - ts.start_bus) >= ts.n_out
+            for ts in finite
         )
         if end:
             return None

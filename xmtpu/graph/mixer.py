@@ -64,12 +64,18 @@ def _ms_to_samples(ms: float, sr: int) -> int:
 
 def mix(tracks, sample_rate: int, normalize: str | None = "peak",
         target_db: float = -1.0, duration_ms: float | None = None,
-        duck_params: dict | None = None):
+        duck_params: dict | None = None, voice_effects=None):
     """Mix tracks onto a common bus. Public entry (BASELINE.json:8).
 
     ``tracks``: list of dicts or :class:`MixTrack`. Output dtype follows
     the first track (int16 -> int16). Mono tracks are upmixed when any
     track is multichannel.
+
+    ``voice_effects``: optional effect-config list applied to the summed
+    VOICE bus (kind=="voice", non-ducked tracks) at the bus rate, after
+    placement/gain/fades and before ducking/mixdown — the SAME placement
+    as the streaming session's ``config.effects`` (SURVEY.md §4.2
+    streaming==offline invariant; one semantics, both modes).
     """
     if not tracks:
         raise ValueError("mix() needs at least one track")
@@ -128,24 +134,35 @@ def mix(tracks, sample_rate: int, normalize: str | None = "peak",
                 y = jnp.broadcast_to(y, (nch, track_len))
             y = jnp.pad(y, ((0, 0), (start, total - start - track_len)))
             placed.append(y)
+        # three buses, mirroring the streaming session's step: voice
+        # (gets voice_effects, drives the duck envelope), side-ducked,
+        # everything else
+        voice = [p for p, (_, _, _, t) in zip(placed, prepared)
+                 if t.kind == "voice" and not t.side_duck]
+        ducked = [p for p, (_, _, _, t) in zip(placed, prepared)
+                  if t.side_duck]
+        other = [p for p, (_, _, _, t) in zip(placed, prepared)
+                 if t.kind != "voice" and not t.side_duck]
+        zeros = jnp.zeros((nch, total), jnp.float32)
+        voice_bus = _mix.mix_sum(jnp.stack(voice)) if voice else zeros
+        other_bus = _mix.mix_sum(jnp.stack(other)) if other else zeros
+        if voice_effects and voice:
+            from xmtpu.graph import fx as _fx
+
+            effs = _fx.build_chain(sample_rate, list(voice_effects))
+            voice_bus, _ = _fx.chain_apply(
+                effs, voice_bus, _fx.chain_init_state(effs, nch)
+            )
         # side-chain ducking: tracks flagged side_duck are attenuated by
         # the voice-bus envelope (reference BGM-under-voice behaviour;
-        # pinned semantics in ops.mix.duck_gain)
-        if any(t.side_duck for (_, _, _, t) in prepared):
-            voice = [
-                p for p, (_, _, _, t) in zip(placed, prepared)
-                if not t.side_duck
-            ]
-            if voice:
-                g = _mix.duck_gain(
-                    _mix.mix_sum(jnp.stack(voice)), sample_rate,
-                    **(duck_params or {})
-                ).astype(jnp.float32)
-                placed = [
-                    p * g if t.side_duck else p
-                    for p, (_, _, _, t) in zip(placed, prepared)
-                ]
-        out = _mix.mix_sum(jnp.stack(placed))
+        # pinned semantics in ops.mix.duck_gain). The envelope keys off
+        # ALL non-ducked audio post-voice-effects (streaming parity).
+        out = voice_bus + other_bus
+        if ducked:
+            g = _mix.duck_gain(
+                out, sample_rate, **(duck_params or {})
+            ).astype(jnp.float32)
+            out = out + _mix.mix_sum(jnp.stack(ducked)) * g
         if normalize == "peak":
             out, _ = _mix.peak_normalize(out, _mix.db_to_amp(target_db))
         elif normalize == "loudness":

@@ -71,24 +71,16 @@ def process(inputs, config: PipelineConfig, progress=None) -> np.ndarray:
     tracks = _resolve_tracks(inputs, config)
     report(10.0)
 
-    if config.effects or config.master_effects:
-        from xmtpu.graph import fx as _fx  # local: effects are milestone M3+
-
-        # voice-bus effects: apply to tracks of kind "voice" pre-mix
-        voice_idx = [i for i, t in enumerate(config.tracks) if t.kind == "voice"]
-        for i in voice_idx:
-            out = _fx.apply_chain(
-                np.asarray(tracks[i].pcm), tracks[i].sr, list(config.effects)
-            )
-            import dataclasses
-            tracks[i] = dataclasses.replace(tracks[i], pcm=out)
-    report(40.0)
-
+    # voice-bus effects: applied to the summed voice bus AT THE BUS RATE
+    # inside the mixer, after placement/gain/fades — the same placement
+    # the streaming session uses, so streaming == offline holds for any
+    # effects chain and any track native rate (SURVEY.md §4.2).
     mixed = _mixer.mix(
         tracks,
         config.sample_rate,
         normalize=config.normalize,
         target_db=config.normalize_target_db,
+        voice_effects=list(config.effects) if config.effects else None,
     )
     report(80.0)
 

@@ -146,12 +146,11 @@ class StreamSession:
         ]
 
         self.nch = max((ts.nch for ts in self.tracks), default=config.channels)
-        # reference chain placement (SURVEY.md §3.1): config.effects run on
-        # the VOICE bus pre-mix; master_effects run post-mix. (Offline
-        # applies voice effects per-track at native rate; the session
-        # applies them to the summed voice bus at the bus rate — identical
-        # for the single-voice-track-at-bus-rate case, documented
-        # approximation otherwise.)
+        # reference chain placement (SURVEY.md §3.1): config.effects run
+        # on the summed VOICE bus at the bus rate, pre-mix;
+        # master_effects run post-mix. The offline pipeline applies them
+        # at the SAME point (mixer.mix voice_effects), so streaming ==
+        # offline holds for any chain and any track native rate (§4.2).
         self.voice_effects = _fx.build_chain(self.sr, list(config.effects))
         self.master_effects = _fx.build_chain(self.sr,
                                               list(config.master_effects))
@@ -255,11 +254,13 @@ class StreamSession:
             fi = ts.window(frame_idx)
             if fi is None:
                 windows.append(None)
-                offsets.append(jnp.float32(0))
+                offsets.append(jnp.float64(0))
             else:
                 w, t0 = fi
                 windows.append(jnp.asarray(w))
-                offsets.append(jnp.float32(t0))
+                # f64 offsets end-to-end: f32 truncates t0 above 2^24
+                # (~17.5 min @16k), shifting placement masks and fades
+                offsets.append(jnp.float64(t0))
         out, state = self._step(tuple(windows), tuple(offsets), fx_state)
         return (frame_idx, out, state)
 
@@ -295,7 +296,7 @@ class StreamSession:
             for j in range(k):
                 w, t0 = ts.window_always(self.frame_idx + j)
                 ws.append(w)
-                os_.append(np.float32(t0))
+                os_.append(np.float64(t0))
             wstacks.append(jnp.asarray(np.stack(ws)))
             ostacks.append(jnp.asarray(np.asarray(os_)))
         out_dev, state = self._scan_step(tuple(wstacks), tuple(ostacks),

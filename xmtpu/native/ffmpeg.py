@@ -55,9 +55,16 @@ def load():
                 return None
         try:
             lib = ctypes.CDLL(_SO)
-        except OSError as e:
-            log.info("ffmpeg shim load failed (%s)", e)
-            return None
+        except OSError:
+            # stale/foreign-ABI .so (e.g. built against another image's
+            # libav): rebuild in place and retry once
+            if not _build():
+                return None
+            try:
+                lib = ctypes.CDLL(_SO)
+            except OSError as e:
+                log.info("ffmpeg shim load failed after rebuild (%s)", e)
+                return None
         lib.xm_ff_decode.argtypes = [
             ctypes.c_char_p,
             ctypes.POINTER(ctypes.POINTER(ctypes.c_int16)),

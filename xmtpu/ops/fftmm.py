@@ -1,0 +1,156 @@
+"""MXU-DFT convolution: overlap-save FIR filtering whose FFTs are
+four-step Cooley-Tukey DFTs expressed as MATMULS (``precision=HIGHEST``),
+so the transform runs on the systolic array instead of the VPU.
+
+Reference analogue: the reverb convolution of ``src/effects/reverb/``
+[upstream, SURVEY.md §2.1]; this module is the TPU-first answer to its
+hot loop — route the FLOPs to the MXU (SURVEY.md §3.5 "DECIDE by
+benchmark"; measured round 2: ~3x the ``jnp.fft`` overlap-save path at
+the headline shapes).
+
+Math
+----
+Size-B complex DFT with B = N1*N2, input index n = n1*N2 + n2, output
+index k = k2*N1 + k1 kept in SCRAMBLED layout [k1, k2]:
+
+    A[k1, n2] = sum_n1 W_N1^(k1 n1) x[n1, n2]        (matmul, N1-DFT)
+    Bm[k1,n2] = A[k1, n2] * W_B^(k1 n2)              (twiddle)
+    X[k1, k2] = sum_n2 W_N2^(k2 n2) Bm[k1, n2]       (matmul, N2-DFT)
+
+The inverse consumes the scrambled layout symmetrically (inner inverse
+N2-DFT, conjugate twiddle, inverse N1-DFT, 1/B scale), so no
+bit-reversal or transpose is ever materialized. Spectral filtering
+multiplies by the IR spectrum pre-scrambled into the same [k1, k2]
+layout.
+
+Two-for-one real filtering: for REAL rows x0, x1 and REAL filter h,
+``ifft(fft(x0 + i x1) * H) = (x0*h) + i (x1*h)`` exactly (linearity;
+both outputs are real), so pairs of rows ride one complex transform
+with no Hermitian unpacking.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _split_factors(block: int) -> tuple[int, int]:
+    """Balanced power-of-two factorization N1*N2 = block (N1 <= N2)."""
+    assert block & (block - 1) == 0 and block >= 4, block
+    p = block.bit_length() - 1
+    return 1 << (p // 2), 1 << (p - p // 2)
+
+
+@lru_cache(maxsize=16)
+def _dft_consts(block: int):
+    """Host-precomputed f64->f32 DFT matrices + twiddles for one size."""
+    n1, n2 = _split_factors(block)
+    j1 = np.arange(n1)
+    j2 = np.arange(n2)
+    w1 = np.exp(-2j * np.pi * np.outer(j1, j1) / n1)  # [k1, n1]
+    w2 = np.exp(-2j * np.pi * np.outer(j2, j2) / n2)  # [k2, n2]
+    tw = np.exp(-2j * np.pi * np.outer(j1, j2) / block)  # [k1, n2]
+    f32 = lambda a: jnp.asarray(a.astype(np.float32))  # noqa: E731
+    return {
+        "n1": n1, "n2": n2,
+        "w1r": f32(w1.real), "w1i": f32(w1.imag),
+        "w2r": f32(w2.real), "w2i": f32(w2.imag),
+        "twr": f32(tw.real), "twi": f32(tw.imag),
+    }
+
+
+def _cmatmul(ar, ai, br, bi, sub: str):
+    """Complex einsum (4 real matmuls) at HIGHEST precision."""
+    rr = jnp.einsum(sub, ar, br, precision=_HI)
+    ii = jnp.einsum(sub, ai, bi, precision=_HI)
+    ri = jnp.einsum(sub, ar, bi, precision=_HI)
+    ir = jnp.einsum(sub, ai, br, precision=_HI)
+    return rr - ii, ri + ir
+
+
+def _dft_scrambled(zr, zi, c):
+    """(R, block) complex -> (R, n1, n2) scrambled spectrum."""
+    r = zr.shape[0]
+    zr = zr.reshape(r, c["n1"], c["n2"])
+    zi = zi.reshape(r, c["n1"], c["n2"])
+    # inner N1-DFT over n1: [k1,n1] x [r,n1,n2] -> [r,k1,n2]
+    ar, ai = _cmatmul(c["w1r"], c["w1i"], zr, zi, "kn,rnm->rkm")
+    # twiddle [k1, n2]
+    br = ar * c["twr"] - ai * c["twi"]
+    bi = ar * c["twi"] + ai * c["twr"]
+    # outer N2-DFT over n2: [k2,n2] x [r,k1,n2] -> [r,k1,k2]
+    return _cmatmul(c["w2r"], c["w2i"], br, bi, "lm,rkm->rkl")
+
+
+def _idft_scrambled(xr, xi, c):
+    """(R, n1, n2) scrambled spectrum -> (R, block) complex (scaled)."""
+    # inner inverse N2-DFT over k2 (conjugate matrix = transpose of w2
+    # conj; w2 symmetric so conj alone suffices)
+    ar, ai = _cmatmul(c["w2r"], -c["w2i"], xr, xi, "ml,rkl->rkm")
+    # conjugate twiddle
+    br = ar * c["twr"] + ai * c["twi"]
+    bi = -ar * c["twi"] + ai * c["twr"]
+    # inverse N1-DFT over k1
+    yr, yi = _cmatmul(c["w1r"], -c["w1i"], br, bi, "nk,rkm->rnm")
+    r = yr.shape[0]
+    block = c["n1"] * c["n2"]
+    s = jnp.float32(1.0 / block)
+    return (yr.reshape(r, block) * s, yi.reshape(r, block) * s)
+
+
+def scramble_spectrum(h_lin: np.ndarray, block: int):
+    """Linear length-``block`` complex spectrum -> scrambled [k1, k2]
+    layout (k = k2*n1 + k1)."""
+    n1, n2 = _split_factors(block)
+    hs = h_lin.reshape(n2, n1).T  # [k1, k2]
+    return (jnp.asarray(hs.real.astype(np.float32)),
+            jnp.asarray(hs.imag.astype(np.float32)))
+
+
+def fir_convolve_os_mxu(x: jnp.ndarray, ir, block: int = 16384):
+    """Same-length causal convolution: overlap-save with MXU DFTs.
+
+    ``x``: (..., n) f32; ``ir``: 1-D numpy/jnp array (host-known values
+    — its spectrum is precomputed in f64 on the host). Requires
+    ``block`` a power of two > 2*(len(ir)-1); batch*nblk rows pair up
+    two-for-one onto complex transforms.
+    """
+    ir_np = np.asarray(ir, np.float64)
+    m = ir_np.shape[-1]
+    n = x.shape[-1]
+    if block <= 2 * (m - 1):
+        raise ValueError(f"block {block} too small for {m}-tap IR")
+    c = _dft_consts(block)
+    hr, hi = scramble_spectrum(np.fft.fft(ir_np, block), block)
+
+    hop = block - (m - 1)
+    nblk = -(-n // hop)
+    batch = x.shape[:-1]
+    pad = [(0, 0)] * (x.ndim - 1) + [(m - 1, nblk * hop - n)]
+    xp = jnp.pad(x.astype(jnp.float32), pad)
+    frames = jnp.stack(
+        [jax.lax.dynamic_slice_in_dim(xp, b * hop, block, axis=-1)
+         for b in range(nblk)],
+        axis=-2,
+    )  # (..., nblk, block)
+    rows = frames.reshape(-1, block)
+    r = rows.shape[0]
+    if r % 2:
+        rows = jnp.concatenate([rows, jnp.zeros((1, block), rows.dtype)])
+    zr, zi = rows[0::2], rows[1::2]
+
+    xr_s, xi_s = _dft_scrambled(zr, zi, c)
+    yr_s = xr_s * hr - xi_s * hi
+    yi_s = xr_s * hi + xi_s * hr
+    yr, yi = _idft_scrambled(yr_s, yi_s, c)
+
+    y = jnp.stack([yr, yi], axis=1).reshape(-1, block)[:r]
+    y = y.reshape(*batch, nblk, block)[..., m - 1:]  # valid region
+    y = y.reshape(*batch, nblk * hop)[..., :n]
+    return y.astype(x.dtype)

@@ -206,11 +206,19 @@ def sp_envelope(d, sr: int, mesh, attack_ms=1.0, release_ms=100.0):
 
 def sp_effects_chain(x, sr: int, mesh, bands, ir, wet=0.3, dry=0.7,
                      threshold_db=-3.0, knee_db=6.0, attack_ms=1.0,
-                     release_ms=100.0, ceiling_db=0.0):
+                     release_ms=100.0, ceiling_db=0.0,
+                     dp_axis: str | None = None):
     """EQ -> FIR reverb -> soft-knee limiter on (ch, n) PCM, the time
     axis sharded over the mesh's ``sp`` axis. Collectives: one
     all_gather of 6 scalars per EQ section, one taps-1 ppermute halo,
     two tiny all_gathers for the limiter — everything else is local.
+
+    With ``dp_axis`` set (2-D ``(dp, sp)`` mesh — SURVEY.md §5
+    "optional (batch, block) mesh"), ``x`` is ``[B, ch, n]`` and the
+    leading clip axis shards over ``dp`` while time shards over ``sp``:
+    a batch of hour-long clips uses every chip along both axes. The
+    ``sp`` collectives are per-dp-row automatic (shard_map scopes
+    ``axis_name`` collectives to the named mesh axis).
 
     Output equals the single-device chain (ops twins) to f32 tolerance.
     """
@@ -237,7 +245,9 @@ def sp_effects_chain(x, sr: int, mesh, bands, ir, wet=0.3, dry=0.7,
                        -ceil_amp, ceil_amp)
         return out.astype(xl.dtype)
 
-    fn = jax.shard_map(body, mesh=mesh, in_specs=P(*(None,) * (x.ndim - 1), "sp"),
-                       out_specs=P(*(None,) * (x.ndim - 1), "sp"),
-                       check_vma=False)
+    spec = [None] * (x.ndim - 1) + ["sp"]
+    if dp_axis is not None:
+        spec[0] = dp_axis
+    fn = jax.shard_map(body, mesh=mesh, in_specs=P(*spec),
+                       out_specs=P(*spec), check_vma=False)
     return jax.jit(fn)(x)
