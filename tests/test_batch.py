@@ -119,6 +119,28 @@ def test_batch_runner_failure_isolation_and_resume(tmp_path, rng):
     assert len(rep2.failed) == 1
 
 
+def test_batch_runner_pipeline_equals_serial(tmp_path, rng):
+    """The PP mode (decode thread -> SPSC ring -> dispatch -> writer
+    thread, SURVEY.md §2.2 PP row) produces byte-identical WAVs to the
+    serial mode."""
+    lengths = [22050, 44100, 30000]
+    jobs_p, jobs_s = [], []
+    for i, c in enumerate(_clips(rng, lengths)):
+        p = tmp_path / f"in_{i}.wav"
+        write_wav(str(p), c, SR_IN)
+        jobs_p.append(ClipJob(voice=str(p), out=str(tmp_path / f"p_{i}.wav")))
+        jobs_s.append(ClipJob(voice=str(p), out=str(tmp_path / f"s_{i}.wav")))
+    rp = run_batch(jobs_p, sr_in=SR_IN, sr_bus=SR_BUS, batch_size=2,
+                   step_kw={"interpret": True}, pipeline=True)
+    rs = run_batch(jobs_s, sr_in=SR_IN, sr_bus=SR_BUS, batch_size=2,
+                   step_kw={"interpret": True}, pipeline=False)
+    assert rp.done == rs.done == 3 and not rp.failed and not rs.failed
+    for i in range(3):
+        a, _ = read_wav(str(tmp_path / f"p_{i}.wav"))
+        b, _ = read_wav(str(tmp_path / f"s_{i}.wav"))
+        np.testing.assert_array_equal(a, b)
+
+
 def test_batch_runner_with_bgm(tmp_path, rng):
     v = _clips(rng, [30000])[0]
     t = np.arange(11025) / SR_IN

@@ -361,6 +361,21 @@ def test_reverb_overlap_save_matches_full(signals):
     np.testing.assert_array_equal(tiny, full)
 
 
+def test_reverb_mxu_dft_matches_oracle(signals):
+    """MXU four-step-DFT overlap-save (ops/fftmm.py, the batch-path
+    backend) vs the f64 scipy oracle — this is the golden test that
+    would catch a bf16 regression in the DFT matmuls (SURVEY.md §7.3
+    matmul-precision rule: expect ~-40 dB if HIGHEST is lost)."""
+    s = signals(SR, SR)
+    x = np.stack([s["noise"], s["sweep"], s["sine"]])
+    ir = reverb.synthetic_ir(0.1, SR)  # 4800 taps < 16384/2
+    ref = reverb.reverb_np(x, ir, wet=0.3, dry=0.7)
+    y = reverb.reverb(jnp.asarray(x), ir.astype(np.float32),
+                      block=16384, backend="mxu")
+    db = rms_db(np.asarray(y, np.float64) - ref, ref)
+    assert db <= -90.0, db
+
+
 def test_chain_cache_distinguishes_array_params(signals):
     """Two IRs sharing a long prefix must NOT share a compiled chain."""
     x = signals(4800, SR)["noise"]

@@ -141,6 +141,46 @@ def test_fifo_threaded_stress():
     f.close()
 
 
+def test_pcm_channel_framed_stress():
+    """PcmChannel (the batch runner's decode->dispatch stage link,
+    SURVEY.md §2.2 PP) under load: random-size frames — including ones
+    LARGER than the ring — arrive intact and in order."""
+    import threading
+
+    chan = native.PcmChannel(capacity=1 << 16)  # 64 KiB ring
+    rng_ = np.random.default_rng(1)
+    frames = []
+    for i in range(60):
+        n = int(rng_.integers(1, 60000))  # up to ~120 KiB > ring size
+        frames.append([
+            (rng_.standard_normal(n) * 1000).astype(np.int16),
+            None if i % 3 == 0 else
+            (rng_.standard_normal(n // 2 + 1) * 1000).astype(np.int16),
+        ])
+
+    def producer():
+        try:
+            for i, arrs in enumerate(frames):
+                chan.put(arrs, i)
+        finally:
+            chan.close()
+
+    got = []
+    t = threading.Thread(target=producer)
+    t.start()
+    while (item := chan.get()) is not None:
+        got.append(item)
+    t.join()
+    assert len(got) == len(frames)
+    for (arrs, meta), i in zip(got, range(len(frames))):
+        assert meta == i  # in order
+        np.testing.assert_array_equal(arrs[0], frames[i][0])
+        if frames[i][1] is None:
+            assert arrs[1] is None
+        else:
+            np.testing.assert_array_equal(arrs[1], frames[i][1])
+
+
 def test_24bit_wav_via_ffmpeg_fallback(tmp_path, rng):
     """24-bit PCM WAV (stdlib+native both punt) decodes via the shim."""
     import struct

@@ -121,10 +121,11 @@ def make_flagship_step(
         with stage("eq"):
             out = eq(out)
         with stage("reverb"):
-            # overlap-save FFT blocks: 31% faster than one full-size
-            # transform at the headline shapes (measured on chip)
-            out = _reverb.reverb(out, jnp.asarray(ir), wet=wet, dry=dry,
-                                 block=16384)
+            # overlap-save blocks of MXU four-step DFTs: 1.46x the XLA
+            # FFT overlap-save at the headline shapes (measured on chip;
+            # ops/fftmm.py)
+            out = _reverb.reverb(out, ir, wet=wet, dry=dry,
+                                 block=16384, backend="mxu")
         with stage("limiter"):
             out, _ = _limiter.limiter(
                 out[..., None, :], sr_bus, threshold_db=threshold_db,
@@ -194,8 +195,8 @@ def make_batch_step(
             peak > 0, _mix.db_to_amp(-1.0) / jnp.maximum(peak, 1e-30), 1.0
         )
         out, _ = sosfilt_pallas(sos, out, interpret=interpret)
-        out = _reverb.reverb(out, jnp.asarray(ir), wet=wet, dry=dry,
-                             block=16384)
+        out = _reverb.reverb(out, ir, wet=wet, dry=dry,
+                             block=16384, backend="mxu")
         out, _ = _limiter.limiter(
             out[..., None, :], sr_bus, threshold_db=threshold_db,
             backend=("pallas_interpret" if interpret else "pallas"),

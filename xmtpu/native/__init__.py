@@ -196,3 +196,109 @@ class Fifo:
             self.close()
         except Exception:
             pass
+
+
+class PcmChannel:
+    """Blocking, framed SPSC channel: ONE producer thread streams numpy
+    arrays to ONE consumer thread through the native lock-free
+    :class:`Fifo` (the reference's inter-stage ring buffer,
+    ``src/tools/fifo.c`` [upstream, SURVEY.md §2.1]); a condition
+    variable adds the blocking discipline on top of the lock-free ring
+    (SURVEY.md §5 "host ring buffer ... guard with a lock").
+
+    Used by the batch runner's decode->device pipeline stage (SURVEY.md
+    §2.2 PP row). Frames may exceed the ring capacity: the producer
+    streams a frame in pieces while the consumer drains it (meta is
+    published first, so both sides loop concurrently — no deadlock).
+    Falls back to a plain deque when the native library is unavailable.
+    """
+
+    def __init__(self, capacity: int = 64 << 20):
+        import queue
+
+        self._meta = queue.Queue()
+        self._cv = threading.Condition()
+        self._closed = False
+        try:
+            self._fifo = Fifo(int(capacity))
+        except Exception:
+            self._fifo = None  # pure-Python fallback
+            self._deque = []
+
+    def put(self, arrays, meta) -> None:
+        """Producer side: enqueue a frame (list of ndarrays / None)."""
+        descs = []
+        for a in arrays:
+            if a is None:
+                descs.append(None)
+            else:
+                a = np.ascontiguousarray(a)
+                descs.append((a.dtype.str, a.shape))
+        self._meta.put((descs, meta))
+        if self._fifo is None:
+            with self._cv:
+                self._deque.append([None if a is None else a.copy()
+                                    for a in arrays])
+                self._cv.notify_all()
+            return
+        for a in arrays:
+            if a is None:
+                continue
+            buf = np.ascontiguousarray(a).view(np.uint8).reshape(-1)
+            off = 0
+            while off < buf.size:
+                wrote = int(self._fifo._lib.xm_fifo_write(
+                    self._fifo._h, buf.ctypes.data + off, buf.size - off
+                ))
+                if wrote > 0:
+                    off += wrote
+                    with self._cv:
+                        self._cv.notify_all()
+                else:  # ring full: wait for the consumer to drain
+                    with self._cv:
+                        self._cv.wait(timeout=0.1)
+
+    def get(self):
+        """Consumer side: -> (arrays, meta), or None when closed+empty.
+        Blocks until a whole frame is available."""
+        import queue
+
+        while True:
+            try:
+                descs, meta = self._meta.get(timeout=0.1)
+                break
+            except queue.Empty:
+                if self._closed and self._meta.empty():
+                    return None
+        if self._fifo is None:
+            with self._cv:
+                while not self._deque:
+                    self._cv.wait(timeout=0.1)
+                return self._deque.pop(0), meta
+        arrays = []
+        for d in descs:
+            if d is None:
+                arrays.append(None)
+                continue
+            dtype, shape = d
+            out = np.empty(int(np.prod(shape)) * np.dtype(dtype).itemsize,
+                           np.uint8)
+            off = 0
+            while off < out.size:
+                got = int(self._fifo._lib.xm_fifo_read(
+                    self._fifo._h, out.ctypes.data + off, out.size - off
+                ))
+                if got > 0:
+                    off += got
+                    with self._cv:
+                        self._cv.notify_all()
+                else:  # ring empty: wait for the producer
+                    with self._cv:
+                        self._cv.wait(timeout=0.1)
+            arrays.append(out.view(dtype).reshape(shape))
+        return arrays, meta
+
+    def close(self) -> None:
+        self._closed = True
+        with self._cv:
+            self._cv.notify_all()

@@ -49,14 +49,19 @@ def _split_factors(block: int) -> tuple[int, int]:
 
 @lru_cache(maxsize=16)
 def _dft_consts(block: int):
-    """Host-precomputed f64->f32 DFT matrices + twiddles for one size."""
+    """Host-precomputed f64->f32 DFT matrices + twiddles for one size.
+
+    Cached as NUMPY (never jnp): the first call may happen inside a jit
+    trace, and caching traced constants across traces leaks tracers.
+    ``jnp.asarray`` at the use site is free (constant-folded per trace).
+    """
     n1, n2 = _split_factors(block)
     j1 = np.arange(n1)
     j2 = np.arange(n2)
     w1 = np.exp(-2j * np.pi * np.outer(j1, j1) / n1)  # [k1, n1]
     w2 = np.exp(-2j * np.pi * np.outer(j2, j2) / n2)  # [k2, n2]
     tw = np.exp(-2j * np.pi * np.outer(j1, j2) / block)  # [k1, n2]
-    f32 = lambda a: jnp.asarray(a.astype(np.float32))  # noqa: E731
+    f32 = lambda a: np.ascontiguousarray(a, np.float32)  # noqa: E731
     return {
         "n1": n1, "n2": n2,
         "w1r": f32(w1.real), "w1i": f32(w1.imag),

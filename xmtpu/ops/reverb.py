@@ -77,15 +77,22 @@ def fir_convolve_os(x: jnp.ndarray, ir: jnp.ndarray, block: int = 65536):
 
 def reverb(
     x: jnp.ndarray, ir: jnp.ndarray, wet: float = 0.3, dry: float = 0.7,
-    block: int | None = None,
+    block: int | None = None, backend: str = "xla",
 ) -> jnp.ndarray:
     """Wet/dry reverb, output length == input length (tail truncated —
     the reference's same-length PCM-in/PCM-out convention).
 
     ``block``: use overlap-save FFT blocks of this size (perf option;
-    None = one full-size transform)."""
+    None = one full-size transform). ``backend``: "xla" (jnp.fft) or
+    "mxu" (four-step matmul DFTs on the systolic array — measured
+    1.2-1.5x the XLA FFT at the BASELINE shapes; requires ``ir`` to be
+    a host-known numpy array and a power-of-two ``block``)."""
     n = x.shape[-1]
-    if block is not None:
+    if backend == "mxu":
+        from xmtpu.ops.fftmm import fir_convolve_os_mxu
+
+        w = fir_convolve_os_mxu(x, np.asarray(ir), block or 16384)
+    elif block is not None:
         w = fir_convolve_os(x, ir, block)
     else:
         w = fir_convolve_full(x, ir)[..., :n]

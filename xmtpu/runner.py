@@ -102,6 +102,34 @@ def _load_mono_i16(src, sr_default: int):
     return pcm, int(sr)
 
 
+def _decode_job(job: ClipJob, sr_in: int, sr_bus: int):
+    """Decode + validate one job -> (voice_i16, bgm_i16_or_None, rate).
+    Raises on any per-clip failure (caller isolates)."""
+    v, v_sr = _load_mono_i16(job.voice, sr_in)
+    if job.bgm is not None:
+        b, b_sr = _load_mono_i16(job.bgm, sr_in)
+        if b_sr != v_sr:  # align bgm to the voice's rate on host
+            from xmtpu.ops.convert import f32_to_pcm16_np, pcm16_to_f32_np
+            from xmtpu.ops.resample import resample_oracle_np
+
+            b = f32_to_pcm16_np(
+                resample_oracle_np(
+                    pcm16_to_f32_np(b).astype(np.float64), b_sr, v_sr
+                ).astype(np.float32)
+            )
+    else:
+        b = None
+    if len(v) == 0:
+        raise XmtpuError("empty clip")
+    g = math.gcd(v_sr, sr_bus)
+    if not (4000 <= v_sr <= 192000) or v_sr // g > 2048:
+        raise XmtpuError(
+            f"unreasonable input rate {v_sr} (polyphase ratio "
+            f"{sr_bus // g}/{v_sr // g})"
+        )
+    return v, b, v_sr
+
+
 def run_batch(
     jobs,
     sr_in: int = 44100,
@@ -110,6 +138,7 @@ def run_batch(
     resume: bool = True,
     step_kw: dict | None = None,
     write_done_markers: bool = True,
+    pipeline: bool = True,
 ) -> BatchReport:
     """Run clips through the fused masked pipeline.
 
@@ -119,108 +148,217 @@ def run_batch(
     unreasonable polyphase ratio is failed individually, and a bucket
     that errors fails only its own clips — the batch never dies
     (SURVEY.md §5 failure isolation).
-    """
-    import jax
-    import jax.numpy as jnp
-    from xmtpu import batch as xbatch
 
+    ``pipeline=True`` (default) runs the three host stages CONCURRENTLY
+    — the SURVEY.md §2.2 PP row: a decode thread streams clips through
+    the native SPSC ring buffer (:class:`xmtpu.native.PcmChannel`)
+    while the main thread packs buckets and dispatches device steps
+    (async), and a writer thread fetches results and writes WAVs. Host
+    decode/write time hides behind device compute instead of adding to
+    it. ``pipeline=False`` keeps the serial decode-all -> step -> write
+    order (same outputs; the timing baseline).
+    """
     report = BatchReport(total=len(jobs))
     t_start = time.perf_counter()
 
-    # -- resolve + decode (failure-isolated), assign buckets ---------------
-    # mixed input rates are supported: clips bucket by (native_rate,
-    # length edge) so each bucket compiles one masked step for its rate
-    pending = []  # (job, voice_i16, bgm_i16_or_None, (rate, edge))
+    todo = []
     for job in jobs:
         if not isinstance(job, ClipJob):
             job = ClipJob(**job)
         if resume and os.path.exists(job.out + ".done"):
             report.skipped_resume += 1
             continue
-        try:
-            v, v_sr = _load_mono_i16(job.voice, sr_in)
-            if job.bgm is not None:
-                b, b_sr = _load_mono_i16(job.bgm, sr_in)
-                if b_sr != v_sr:  # align bgm to the voice's rate on host
-                    from xmtpu.ops.convert import (f32_to_pcm16_np,
-                                                   pcm16_to_f32_np)
-                    from xmtpu.ops.resample import resample_oracle_np
+        todo.append(job)
 
-                    b = f32_to_pcm16_np(
-                        resample_oracle_np(
-                            pcm16_to_f32_np(b).astype(np.float64), b_sr, v_sr
-                        ).astype(np.float32)
-                    )
-            else:
-                b = None
-            if len(v) == 0:
-                raise XmtpuError("empty clip")
-            g = math.gcd(v_sr, sr_bus)
-            if not (4000 <= v_sr <= 192000) or v_sr // g > 2048:
-                raise XmtpuError(
-                    f"unreasonable input rate {v_sr} (polyphase ratio "
-                    f"{sr_bus // g}/{v_sr // g})"
-                )
+    if pipeline:
+        _run_batch_pipelined(todo, report, sr_in, sr_bus, batch_size,
+                             step_kw, write_done_markers)
+    else:
+        _run_batch_serial(todo, report, sr_in, sr_bus, batch_size,
+                          step_kw, write_done_markers)
+    report.wall_sec = time.perf_counter() - t_start
+    log.info("batch: %s", report.to_json())
+    return report
+
+
+class _Dispatcher:
+    """Shared device-side logic: per-rate step cache + chunk dispatch."""
+
+    def __init__(self, sr_bus: int, step_kw):
+        self.sr_bus = sr_bus
+        self.step_kw = step_kw or {}
+        self.step_cache: dict = {}
+
+    def step_for(self, rate: int):
+        import jax
+        from xmtpu import batch as xbatch
+
+        if rate not in self.step_cache:
+            self.step_cache[rate] = jax.jit(
+                xbatch.make_batch_step(sr_in=rate, sr_bus=self.sr_bus,
+                                       **self.step_kw)
+            )
+        return self.step_cache[rate]
+
+    def dispatch(self, rate: int, edge: int, chunk):
+        """Pack + enqueue one device step (async dispatch; the result is
+        fetched later). ``chunk``: list of (job, voice, bgm). ->
+        (lengths, out_device)."""
+        import jax.numpy as jnp
+
+        B = len(chunk)
+        voice = np.zeros((B, edge), np.int16)
+        bgm = np.zeros((B, edge), np.int16)
+        lengths = np.zeros((B,), np.int32)
+        for r, (job, v, b) in enumerate(chunk):
+            voice[r, : len(v)] = v
+            lengths[r] = len(v)
+            if b is not None and len(b) > 0:
+                reps = -(-len(v) // len(b))
+                bgm[r, : len(v)] = np.tile(b, reps)[: len(v)]
+        out_dev = self.step_for(rate)(
+            jnp.asarray(voice), jnp.asarray(bgm), jnp.asarray(lengths)
+        )
+        return lengths, out_dev
+
+
+def _write_chunk(report, chunk, lengths, out, rate, sr_bus,
+                 write_done_markers):
+    """Write one completed chunk's WAVs + done markers (host side)."""
+    g = math.gcd(rate, sr_bus)
+    L, M = sr_bus // g, rate // g
+    for r, (job, v, b) in enumerate(chunk):
+        m = -(-(int(lengths[r]) * L) // M)  # ceil (parens matter)
+        write_wav(job.out, out[r, :m], sr_bus)
+        if write_done_markers:
+            with open(job.out + ".done", "w") as f:
+                f.write("ok\n")
+        report.done += 1
+        report.audio_sec += int(lengths[r]) / rate
+
+
+def _run_batch_serial(todo, report, sr_in, sr_bus, batch_size, step_kw,
+                      write_done_markers):
+    """Sequential decode-all -> per-bucket device steps -> write."""
+    pending = []
+    for job in todo:
+        try:
+            v, b, rate = _decode_job(job, sr_in, sr_bus)
         except Exception as e:  # isolate per-clip decode failures
             log.warning("clip %s failed to decode: %s", job.out, e)
             report.failed.append((job.out, str(e)))
             continue
-        pending.append((job, v, b, (v_sr, _bucket_edge(len(v)))))
+        pending.append((job, v, b, (rate, _bucket_edge(len(v)))))
 
-    # -- group by bucket, process in device batches -------------------------
-    step_cache: dict = {}
+    disp = _Dispatcher(sr_bus, step_kw)
     buckets: dict[tuple, list] = {}
-    for item in pending:
-        buckets.setdefault(item[3], []).append(item)
+    for (job, v, b, key) in pending:
+        buckets.setdefault(key, []).append((job, v, b))
     report.buckets = len(buckets)
 
     for (rate, edge), items in sorted(buckets.items()):
-        try:
-            g = math.gcd(rate, sr_bus)
-            L, M = sr_bus // g, rate // g
-            if rate not in step_cache:
-                step_cache[rate] = jax.jit(
-                    xbatch.make_batch_step(sr_in=rate, sr_bus=sr_bus,
-                                           **(step_kw or {}))
-                )
-            step = step_cache[rate]
-        except Exception as e:  # a bad bucket fails only its own clips
-            log.warning("bucket (%s Hz, %s) failed to build: %s", rate, edge, e)
-            for (job, _, _, _) in items:
-                report.failed.append((job.out, f"bucket build failed: {e}"))
-            continue
         for i in range(0, len(items), batch_size):
             chunk = items[i : i + batch_size]
-            B = len(chunk)
-            voice = np.zeros((B, edge), np.int16)
-            bgm = np.zeros((B, edge), np.int16)
-            lengths = np.zeros((B,), np.int32)
-            for r, (job, v, b, _) in enumerate(chunk):
-                voice[r, : len(v)] = v
-                lengths[r] = len(v)
-                if b is not None and len(b) > 0:
-                    reps = -(-len(v) // len(b))
-                    bgm[r, : len(v)] = np.tile(b, reps)[: len(v)]
             try:
-                out = np.asarray(
-                    step(jnp.asarray(voice), jnp.asarray(bgm),
-                         jnp.asarray(lengths))
-                )
+                lengths, out_dev = disp.dispatch(rate, edge, chunk)
+                out = np.asarray(out_dev)
             except Exception as e:
                 log.warning("bucket (%s Hz, %s) chunk failed: %s",
                             rate, edge, e)
-                for (job, _, _, _) in chunk:
-                    report.failed.append((job.out, f"device step failed: {e}"))
+                for (job, _, _) in chunk:
+                    report.failed.append(
+                        (job.out, f"device step failed: {e}"))
                 continue
-            for r, (job, v, b, _) in enumerate(chunk):
-                m = -(-(int(lengths[r]) * L) // M)  # ceil (parens matter)
-                write_wav(job.out, out[r, :m], sr_bus)
-                if write_done_markers:
-                    with open(job.out + ".done", "w") as f:
-                        f.write("ok\n")
-                report.done += 1
-                report.audio_sec += int(lengths[r]) / rate
+            _write_chunk(report, chunk, lengths, out, rate, sr_bus,
+                         write_done_markers)
 
-    report.wall_sec = time.perf_counter() - t_start
-    log.info("batch: %s", report.to_json())
-    return report
+
+def _run_batch_pipelined(todo, report, sr_in, sr_bus, batch_size, step_kw,
+                         write_done_markers):
+    """Three concurrent host stages (SURVEY.md §2.2 PP row):
+
+    decode thread --PcmChannel(SPSC ring)--> main (pack + dispatch)
+                                              --Queue--> writer thread
+
+    The device runs chunk k while the decode thread prepares k+1 and
+    the writer drains k-1 (JAX dispatch is async; the writer's
+    np.asarray is the only blocking fetch). Buckets fill greedily and
+    dispatch as soon as ``batch_size`` clips of one (rate, edge)
+    arrive; stragglers flush at end-of-stream. Failure isolation is
+    per-stage: decode errors are caught in the decode thread, device
+    errors at the writer's fetch.
+    """
+    import queue as _queue
+    import threading
+
+    from xmtpu.native import PcmChannel
+
+    chan = PcmChannel()
+    write_q: _queue.Queue = _queue.Queue(maxsize=4)  # bounds in-flight
+
+    def producer():
+        try:
+            for job in todo:
+                try:
+                    v, b, rate = _decode_job(job, sr_in, sr_bus)
+                except Exception as e:
+                    log.warning("clip %s failed to decode: %s", job.out, e)
+                    report.failed.append((job.out, str(e)))
+                    continue
+                chan.put([v, b], (job, rate))
+        finally:
+            chan.close()
+
+    def writer():
+        while True:
+            item = write_q.get()
+            if item is None:
+                return
+            chunk, lengths, out_dev, rate, edge = item
+            try:
+                out = np.asarray(out_dev)  # blocks until device done
+            except Exception as e:
+                log.warning("bucket (%s Hz, %s) chunk failed: %s",
+                            rate, edge, e)
+                for (job, _, _) in chunk:
+                    report.failed.append(
+                        (job.out, f"device step failed: {e}"))
+                continue
+            _write_chunk(report, chunk, lengths, out, rate, sr_bus,
+                         write_done_markers)
+
+    t_prod = threading.Thread(target=producer, name="xmtpu-decode")
+    t_write = threading.Thread(target=writer, name="xmtpu-write")
+    t_prod.start()
+    t_write.start()
+
+    disp = _Dispatcher(sr_bus, step_kw)
+    buckets: dict[tuple, list] = {}
+    seen_buckets: set = set()
+
+    def flush(key, items):
+        rate, edge = key
+        try:
+            lengths, out_dev = disp.dispatch(rate, edge, items)
+        except Exception as e:  # pack/compile/dispatch error: fail chunk
+            log.warning("bucket (%s Hz, %s) dispatch failed: %s",
+                        rate, edge, e)
+            for (job, _, _) in items:
+                report.failed.append((job.out, f"device step failed: {e}"))
+            return
+        write_q.put((items, lengths, out_dev, rate, edge))
+
+    while (item := chan.get()) is not None:
+        (v, b), (job, rate) = item
+        key = (rate, _bucket_edge(len(v)))
+        seen_buckets.add(key)
+        buckets.setdefault(key, []).append((job, v, b))
+        if len(buckets[key]) >= batch_size:
+            flush(key, buckets.pop(key))
+    for key in sorted(buckets):  # end-of-stream stragglers
+        flush(key, buckets[key])
+    report.buckets = len(seen_buckets)
+
+    t_prod.join()
+    write_q.put(None)
+    t_write.join()
