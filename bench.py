@@ -28,8 +28,12 @@ import numpy as np  # noqa: E402
 TARGET_RT = 500.0  # x realtime per chip (BASELINE.json:5)
 
 
-def main(batch: int = 256, clip_seconds: float = 10.0, iters: int = 3,
+def main(batch: int = 256, clip_seconds: float = 10.0, iters: int = 10,
          iir_backend: str = "pallas") -> dict:
+    # iters=10: the single end-of-region host fetch costs one tunnel RTT
+    # (~33 ms); at 3 iters that inflated every per-iter time by ~11 ms.
+    # 10 iters amortizes the same fetch to ~3 ms/iter — closer to true
+    # steady-state throughput, same one-fetch convention.
     import jax
     import jax.numpy as jnp
     from xmtpu import batch as xbatch

@@ -82,3 +82,68 @@ def test_decode_rejects_garbage(tmp_path):
     p.write_bytes(b"\x00" * 100)
     with pytest.raises(ValueError):
         ff.decode(str(p))
+
+
+def test_stream_decoder_chunked_flac_exact(tmp_path, rng):
+    """Handle-style chunked decode (xm_ff_open/seek/read/close,
+    reference audio_decoder_* parity): FLAC is sample-exact, so chunked
+    reads and sample-accurate seeks must reproduce the source PCM, and
+    the internal buffer must stay small (constant-memory streaming)."""
+    sr = 16000
+    pcm = (rng.standard_normal(sr * 60) * 8000).astype(np.int16)  # 60 s
+    p = str(tmp_path / "long.flac")
+    ff.encode(p, pcm, sr)
+    with ff.StreamDecoder(p) as d:
+        assert d.sample_rate == sr and d.num_channels == 1
+        assert abs(d.num_samples - len(pcm)) < 0.01 * sr  # duration known
+        np.testing.assert_array_equal(d.read(4000)[:, 0], pcm[:4000])
+        d.seek_sample(123_457)  # keyframe seek + decode-and-drop
+        np.testing.assert_array_equal(
+            d.read(5000)[:, 0], pcm[123_457:128_457])
+        d.seek(0.0)
+        total = 0
+        while True:
+            c = d.read(4096)
+            if not len(c):
+                break
+            total += len(c)
+        assert total == len(pcm)
+        # constant memory: never more than a codec frame + chunk buffered
+        assert d.max_buffered <= 16384, d.max_buffered
+
+
+def test_stream_decoder_registered_backend(tmp_path, rng):
+    """open_audio on a compressed file returns the CHUNKED decoder (the
+    session reads through read_all; direct users get seek/read)."""
+    from xmtpu.io import open_audio
+
+    sr = 16000
+    pcm = (rng.standard_normal(sr * 2) * 8000).astype(np.int16)
+    p = str(tmp_path / "x.flac")
+    ff.encode(p, pcm, sr)
+    with open_audio(p) as d:
+        assert isinstance(d, ff.StreamDecoder)
+        got = d.read_all()
+        np.testing.assert_array_equal(got[:, 0], pcm)
+
+
+def test_compat_decoder_surface(tmp_path, rng):
+    """XmAudioUtils decoder_create/seek/get_pcm/freep (the reference's
+    audio_decoder handle path through the utils facade)."""
+    from xmtpu.compat import XmAudioUtils
+
+    sr = 16000
+    pcm = (rng.standard_normal(sr * 3) * 8000).astype(np.int16)
+    p = str(tmp_path / "h.flac")
+    ff.encode(p, pcm, sr)
+    u = XmAudioUtils()
+    assert u.decoder_create(p) == 0
+    a = u.decoder_get_pcm(2000)
+    np.testing.assert_array_equal(a[:, 0], pcm[:2000])
+    assert u.decoder_seek(1000.0) == 0  # 1 s -> sample 16000
+    b = u.decoder_get_pcm(2000)
+    np.testing.assert_array_equal(b[:, 0], pcm[16000:18000])
+    # drain to EOF -> None
+    while u.decoder_get_pcm(1 << 16) is not None:
+        pass
+    u.freep()

@@ -49,16 +49,23 @@ def test_iir_kernel_matches_oracle_batched(sos, rng):
 
 def test_iir_kernel_state_carry_exact(sos, rng):
     """Blockwise output with carried zi must equal the one-shot run
-    bit-for-bit (same f32 sequence of operations)."""
+    bit-for-bit (same f32 sequence of operations; segments=1 pins the
+    unsegmented path — auto-segmentation reorders f32 arithmetic and
+    is gated at -80 dB instead, below)."""
     x = (0.3 * rng.standard_normal((3, 8192))).astype(np.float32)
     y_full, _ = sosfilt_pallas(sos, jnp.asarray(x), interpret=True,
-                               time_chunk=1024)
+                               time_chunk=1024, segments=1)
     y1, z1 = sosfilt_pallas(sos, jnp.asarray(x[:, :4096]), interpret=True,
-                            time_chunk=1024)
+                            time_chunk=1024, segments=1)
     y2, _ = sosfilt_pallas(sos, jnp.asarray(x[:, 4096:]), zi=z1,
-                           interpret=True, time_chunk=1024)
+                           interpret=True, time_chunk=1024, segments=1)
     ycat = np.concatenate([np.asarray(y1), np.asarray(y2)], axis=-1)
     np.testing.assert_array_equal(ycat, np.asarray(y_full))
+    # the auto (possibly segmented) one-shot run agrees within tolerance
+    y_auto, _ = sosfilt_pallas(sos, jnp.asarray(x), interpret=True,
+                               time_chunk=1024)
+    ref = np.asarray(y_full, np.float64)
+    assert rms_db(np.asarray(y_auto, np.float64) - ref, ref) <= -80.0
 
 
 def test_iir_kernel_ragged_tail(sos, rng):
@@ -93,6 +100,60 @@ def test_iir_kernel_compiled_on_tpu(sos, rng):
 
 
 # --- Pallas resample kernel (SURVEY §2.3 strided-conv row) -------------------
+
+
+def test_iir_kernel_segmented_exact(sos, rng):
+    """Small-batch time segmentation (lane-filling + exact affine state
+    corrections, the in-chip twin of parallel/sp.py) must equal the
+    unsegmented kernel and the f64 oracle, including the final state
+    and a nonzero incoming state."""
+    from xmtpu.kernels.iir import pick_segments
+
+    n = 32768
+    x = (0.4 * rng.standard_normal((2, n))).astype(np.float32)
+    assert pick_segments(2, n) > 1  # the auto path really segments here
+    y_seg, zf_seg = sosfilt_pallas(sos, jnp.asarray(x), interpret=True)
+    y_pl, zf_pl = sosfilt_pallas(sos, jnp.asarray(x), interpret=True,
+                                 segments=1)
+    ref = sps.sosfilt(sos, x.astype(np.float64), axis=-1)
+    assert rms_db(np.asarray(y_seg, np.float64) - ref, ref) <= -80.0
+    assert rms_db(np.asarray(y_seg, np.float64)
+                  - np.asarray(y_pl, np.float64),
+                  np.asarray(y_pl, np.float64)) <= -80.0
+    np.testing.assert_allclose(np.asarray(zf_seg), np.asarray(zf_pl),
+                               atol=1e-4)
+    zi = (0.1 * rng.standard_normal((5, 2, 2))).astype(np.float32)
+    ys, _ = sosfilt_pallas(sos, jnp.asarray(x), zi=jnp.asarray(zi),
+                           interpret=True)
+    yp, _ = sosfilt_pallas(sos, jnp.asarray(x), zi=jnp.asarray(zi),
+                           interpret=True, segments=1)
+    assert rms_db(np.asarray(ys, np.float64) - np.asarray(yp, np.float64),
+                  np.asarray(yp, np.float64)) <= -80.0
+
+
+def test_envelope_kernel_segmented_exact(rng):
+    """Segmented limiter envelope (max-plus + one-pole affine chains
+    across lane segments) == unsegmented kernel == f64 scans."""
+    from xmtpu.kernels.envelope import envelope_pallas
+    from xmtpu.ops import limiter as L
+
+    n = 32768
+    d = np.abs(rng.standard_normal((2, n))).astype(np.float64) * 1.5
+    k_rel = L._release_coeff(100.0, SR)
+    c_att = L._attack_coeff(1.0, SR)
+    e_seg, zf_seg = envelope_pallas(jnp.asarray(d), k_rel, c_att,
+                                    interpret=True)
+    e_pl, zf_pl = envelope_pallas(jnp.asarray(d), k_rel, c_att,
+                                  interpret=True, segments=1)
+    env_ref, _ = L.decaying_max_scan(jnp.asarray(d), k_rel,
+                                     jnp.zeros((2,), jnp.float64))
+    e2_ref, _ = L.onepole_scan(env_ref, c_att, jnp.zeros((2,), jnp.float64))
+    ref = np.asarray(e2_ref, np.float64)
+    assert rms_db(np.asarray(e_seg, np.float64) - ref, ref) <= -100.0
+    assert rms_db(np.asarray(e_seg, np.float64)
+                  - np.asarray(e_pl, np.float64), ref) <= -100.0
+    for a, b in zip(zf_seg, zf_pl):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
 
 
 def test_resample_kernel_matches_ops_twin(rng):

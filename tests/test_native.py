@@ -181,26 +181,40 @@ def test_pcm_channel_framed_stress():
             np.testing.assert_array_equal(arrs[1], frames[i][1])
 
 
-def test_24bit_wav_via_ffmpeg_fallback(tmp_path, rng):
-    """24-bit PCM WAV (stdlib+native both punt) decodes via the shim."""
+def _wav24_bytes(x: np.ndarray, sr: int) -> bytes:
+    """Hand-rolled 24-bit PCM WAV from int32 sample values."""
     import struct
 
-    from xmtpu.native import ffmpeg as ff
-
-    if not ff.available():
-        pytest.skip("no FFmpeg shim")
-    n = 2000
-    x = np.clip(rng.standard_normal(n) * 2e6, -8e6, 8e6).astype(np.int32)
     b = bytearray()
     for v in x:
         b += int(v).to_bytes(3, "little", signed=True)
     hdr = b"RIFF" + struct.pack("<I", 36 + len(b)) + b"WAVE"
-    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 16000 * 3, 3, 24)
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 3, 3, 24)
     hdr += b"data" + struct.pack("<I", len(b))
+    return hdr + bytes(b)
+
+
+def test_24bit_wav_native_and_stdlib_bit_exact(tmp_path, rng):
+    """24-bit PCM WAV decodes in BOTH parsers with the identical
+    top-16-bits truncation convention (bit-exact cross-check); the
+    edge values exercise sign extension of bit 23."""
+    n = 2000
+    x = np.clip(rng.standard_normal(n) * 2e6, -8e6, 8e6).astype(np.int32)
+    x[:4] = [-(1 << 23), (1 << 23) - 1, -1, 1]  # sign-extension edges
     p = tmp_path / "x24.wav"
-    p.write_bytes(hdr + bytes(b))
-    pcm, sr = wavio.read_wav(str(p))
-    assert sr == 16000 and pcm.shape[0] == n and pcm.dtype == np.int16
-    # 24->16 bit: top bytes should match to rounding
+    p.write_bytes(_wav24_bytes(x, 16000))
     ref = (x >> 8).astype(np.int16)
-    assert np.max(np.abs(pcm[:, 0].astype(np.int32) - ref.astype(np.int32))) <= 1
+
+    # public path (native parser when built)
+    pcm, sr = wavio.read_wav(str(p))
+    assert sr == 16000 and pcm.shape == (n, 1) and pcm.dtype == np.int16
+    np.testing.assert_array_equal(pcm[:, 0], ref)
+
+    # stdlib path, explicitly
+    pcm_std, sr_std = wavio._read_wav_stdlib(str(p))
+    np.testing.assert_array_equal(pcm_std[:, 0], ref)
+
+    # native path, explicitly (skip if no toolchain)
+    if native.available():
+        pcm_nat, sr_nat = native.read_wav_native(str(p))
+        np.testing.assert_array_equal(pcm_nat, pcm_std)

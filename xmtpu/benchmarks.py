@@ -16,7 +16,18 @@ import time
 import numpy as np
 
 
-def _timeit(fn, fetch, warmup=1, iters=3):
+def _timeit(fn, fetch, warmup=1, iters=10):
+    """Steady-state seconds per iteration.
+
+    Timing convention (load-bearing for every number in BASELINE.md):
+    the timed region dispatches ``iters`` async device steps and ends
+    with ONE host fetch of a 4-sample slice — the fetch forces
+    completion (``block_until_ready`` lies on the axon tunnel) but
+    under-fetches output bytes, and its ~33 ms tunnel RTT is amortized
+    across the iters (hence 10, not 3: ~3 ms/iter of overhead instead
+    of ~11). Device->host transfer of full outputs is NOT included in
+    any throughput number; config 5 (streaming) measures it separately.
+    """
     for _ in range(warmup):
         out = fn()
     fetch(out)
@@ -92,9 +103,11 @@ def config3_effects(batch=16, seconds=10.0, sr=48000):
     @jax.jit
     def run(x):
         y, _ = sosfilt_pallas(sos, x, interpret=interp)
-        # MXU-DFT overlap-save (measured: 18.4 ms vs 22.1 ms XLA full
-        # transform at this shape)
-        y = reverb.reverb(y, ir, block=131072, backend="mxu")
+        # MXU-DFT overlap-save at HIGH (3-pass f32) matmul precision:
+        # 16.3 ms vs 22.1 ms XLA full transform at this shape; -89 dB
+        # vs the XLA FFT on-chip, scaled further down by wet=0.3
+        y = reverb.reverb(y, ir, block=131072, backend="mxu",
+                          precision=jax.lax.Precision.HIGH)
         y, _ = limiter.limiter(
             y, sr, backend="pallas_interpret" if interp else "pallas"
         )

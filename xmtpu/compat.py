@@ -79,8 +79,42 @@ class XmAudioUtils:
             raise XmtpuError("call mixer_init first")
         return self._session
 
+    # -- decoder path (xm_audio_utils decoder handle parity:
+    #    audio_decoder_create / seekTo / get_decoded_frame / freep) --
+    def decoder_create(self, path) -> int:
+        """Open a chunked decoder handle on an audio file. Compressed
+        formats stream at constant memory through the native FFmpeg
+        handle (xm_ff_open); WAV/PCM use the in-memory backend."""
+        from xmtpu.io import open_audio
+
+        self._decoder = open_audio(str(path))
+        return 0
+
+    def decoder_seek(self, ms: float) -> int:
+        self._require_dec().seek(float(ms))
+        return 0
+
+    def decoder_get_pcm(self, num_samples: int) -> np.ndarray | None:
+        """Next (n, ch) int16 chunk, or None at EOF (reference returns
+        <= 0 byte count)."""
+        out = self._require_dec().read(int(num_samples))
+        return out if len(out) else None
+
+    def decoder_freep(self) -> None:
+        d = getattr(self, "_decoder", None)
+        if d is not None:
+            d.close()
+        self._decoder = None
+
+    def _require_dec(self):
+        d = getattr(self, "_decoder", None)
+        if d is None:
+            raise XmtpuError("call decoder_create first")
+        return d
+
     def freep(self) -> None:
         self._session = None
+        self.decoder_freep()
 
 
 class XmAudioGenerator:

@@ -57,7 +57,8 @@ class PipelineConfig:
     master_effects: tuple[EffectConfig, ...] = ()  # applied post-mix
     sample_rate: int = 16000  # output rate; tracks are resampled to it
     channels: int = 1
-    normalize: str | None = "peak"  # None | "peak" | "loudness"
+    normalize: str | None = "peak"  # None | "peak" | "lufs" (BS.1770,
+    # target_db means LUFS) | "rms" ("loudness" = legacy alias of rms)
     normalize_target_db: float = -1.0  # peak target (dBFS)
     block_size: int = 65536  # device block length (samples)
 

@@ -163,9 +163,16 @@ def mix(tracks, sample_rate: int, normalize: str | None = "peak",
                 out, sample_rate, **(duck_params or {})
             ).astype(jnp.float32)
             out = out + _mix.mix_sum(jnp.stack(ducked)) * g
+        # normalize modes: "peak" | "lufs" (ITU-R BS.1770 integrated
+        # loudness; target_db means LUFS, e.g. -23) | "rms" (plain
+        # unweighted RMS; "loudness" is its legacy alias) | None
         if normalize == "peak":
             out, _ = _mix.peak_normalize(out, _mix.db_to_amp(target_db))
-        elif normalize == "loudness":
+        elif normalize == "lufs":
+            from xmtpu.ops.loudness import lufs_normalize
+
+            out, _ = lufs_normalize(out, sample_rate, target_db)
+        elif normalize in ("rms", "loudness"):
             out, _ = _mix.rms_normalize(out, _mix.db_to_amp(target_db))
         elif normalize is not None:
             raise ValueError(f"unknown normalize mode: {normalize!r}")

@@ -76,6 +76,13 @@ def _read_wav_stdlib(path) -> tuple[np.ndarray, int]:
     elif width == 1:
         # 8-bit WAV is unsigned; recenter and scale to int16
         pcm = ((np.frombuffer(raw, dtype=np.uint8).astype(np.int16) - 128) << 8)
+    elif width == 3:
+        # 24-bit PCM: little-endian 3-byte signed -> top 16 bits
+        # (truncation, identical to the native C++ parser — tested)
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        v = (v ^ 0x800000) - 0x800000  # sign-extend bit 23
+        pcm = (v >> 8).astype(np.int16)
     elif width == 4:
         pcm = (np.frombuffer(raw, dtype="<i4") >> 16).astype(np.int16)
     else:

@@ -124,13 +124,75 @@ def _call(kern, coef, initp, dt, Rp, npad, tc, ntc, interpret):
     )(coef.astype(jnp.float32), initp, dt)
 
 
+# ---------------------------------------------------------------------------
+# Time segmentation for small batches — the envelope twin of
+# kernels/iir.py's segmented sosfilt (see the long comment there): rows
+# R < 128 waste lanes, so each row splits into S segments run zero-init
+# in parallel, then exact cross-segment corrections:
+#
+#   decaying max is affine in the (max, *) semiring:
+#       env[t] = max(env0[t], k^(t+1) * env_in)
+#   the one-pole smoother is affine in (+, *):
+#       e2[t]  = e2_0[t] + a^(t+1) * s_in
+#
+# (the same summaries parallel/sp.py chains across CHIPS, here chained
+# across lane segments). Two kernel passes (max-only via c_att=1, then
+# one-pole-only via k_rel=0) at S-fold lane parallelism — measured ~2x
+# on the config-3 limiter (R=16).
+# ---------------------------------------------------------------------------
+
+
+def _envelope_seg(d2d, k_rel, c_att, init2, S_seg, tc, interpret):
+    R, n = d2d.shape
+    seglen = n // S_seg
+    ds = d2d.reshape(R * S_seg, seglen)
+    zeros = jnp.zeros((2, R * S_seg), jnp.float32)
+    t1 = np.arange(1, seglen + 1, dtype=np.float64)
+
+    # pass A: decaying max only (c_att=1 -> e2 == env)
+    coef_a = jnp.array([[k_rel, 1.0]], jnp.float32)
+    env0, zf_a = _envelope_2d(ds, coef_a, zeros, time_chunk=tc,
+                              interpret=interpret)
+    envf = zf_a[0].reshape(R, S_seg)
+    kp = jnp.float32(float(k_rel) ** seglen)
+
+    def chain_max(e, vk):
+        return jnp.maximum(vk, kp * e), e
+
+    e_last, e_ins = jax.lax.scan(chain_max, init2[0].astype(jnp.float32),
+                                 jnp.moveaxis(envf, 1, 0))
+    ktab = jnp.asarray((float(k_rel) ** t1).astype(np.float32))
+    e_in_rows = jnp.moveaxis(e_ins, 0, 1).reshape(R * S_seg, 1)
+    env_true = jnp.maximum(env0, e_in_rows * ktab[None, :])
+
+    # pass B: one-pole only (k_rel=0 passes the input straight through)
+    coef_b = jnp.array([[0.0, c_att]], jnp.float32)
+    e2_0, zf_b = _envelope_2d(env_true, coef_b, zeros, time_chunk=tc,
+                              interpret=interpret)
+    e2f = zf_b[1].reshape(R, S_seg)
+    ap = jnp.float32((1.0 - float(c_att)) ** seglen)
+
+    def chain_sum(s, vk):
+        return vk + ap * s, s
+
+    s_last, s_ins = jax.lax.scan(chain_sum, init2[1].astype(jnp.float32),
+                                 jnp.moveaxis(e2f, 1, 0))
+    atab = jnp.asarray(((1.0 - float(c_att)) ** t1).astype(np.float32))
+    s_in_rows = jnp.moveaxis(s_ins, 0, 1).reshape(R * S_seg, 1)
+    e2 = (e2_0 + s_in_rows * atab[None, :]).reshape(R, n)
+    return e2, jnp.stack([e_last, s_last])
+
+
 def envelope_pallas(d, k_rel: float, c_att: float, init=None, time_chunk=2048,
-                    interpret=False):
+                    interpret=False, segments=None):
     """Smoothed limiter envelope of detector ``d`` shaped (..., n).
 
     ``init``: (env_last, e2_last) each shaped (...,) or None. Returns
-    (e2 (..., n), (env_last, e2_last)). f32 compute.
+    (e2 (..., n), (env_last, e2_last)). f32 compute. ``segments``:
+    small-batch time segmentation (None = auto; exact, see above).
     """
+    from xmtpu.kernels.iir import pick_segments
+
     d = jnp.asarray(d)
     batch = d.shape[:-1]
     n = d.shape[-1]
@@ -142,9 +204,14 @@ def envelope_pallas(d, k_rel: float, c_att: float, init=None, time_chunk=2048,
         init2 = jnp.stack(
             [jnp.asarray(init[0]).reshape(R), jnp.asarray(init[1]).reshape(R)]
         )
-    coef = jnp.array([[k_rel, c_att]], jnp.float32)
-    e2, zf = _envelope_2d(d2d, coef, init2, time_chunk=time_chunk,
-                          interpret=interpret)
+    S_seg = pick_segments(R, n) if segments is None else int(segments)
+    if S_seg > 1:
+        e2, zf = _envelope_seg(d2d, k_rel, c_att, init2, S_seg,
+                               time_chunk, interpret)
+    else:
+        coef = jnp.array([[k_rel, c_att]], jnp.float32)
+        e2, zf = _envelope_2d(d2d, coef, init2, time_chunk=time_chunk,
+                              interpret=interpret)
     return (
         e2.reshape(*batch, n).astype(d.dtype),
         (zf[0].reshape(batch), zf[1].reshape(batch)),

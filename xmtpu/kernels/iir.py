@@ -150,14 +150,145 @@ def _call(kern, sos, zip_, xt, S, Rp, npad, tc, ntc, interpret):
     )(sos.astype(jnp.float32), zip_, xt)
 
 
-def sosfilt_pallas(sos, x, zi=None, time_chunk=2048, interpret=False):
+# ---------------------------------------------------------------------------
+# Time segmentation: in-chip sequence parallelism for small batches.
+#
+# With R rows < 128 lanes the sequential kernel wastes the VPU; splitting
+# each row's time axis into S segments fills the lanes (R*S rows of
+# n/S), then an EXACT affine correction fixes the zero-initialized
+# segment states — the single-chip twin of parallel/sp.py's cross-chip
+# state chain (SURVEY.md §5 long-context): the whole 2*ns-state cascade
+# is LTI, so the true output is
+#
+#     y[t] = y0[t] + C A^t z_in       (z_in = state entering the segment)
+#
+# with A/C the cascade's state-space matrices (probed numerically from
+# the kernel's own recurrence), A^t evaluated per sample via the
+# eigendecomposition A = V diag(lam) V^-1 — so the correction is ONE
+# tiny (R*S, 2ns) x (2ns, seglen) matmul on the MXU, and the incoming
+# states chain through A^seglen in a trivial lax.scan over S. Exact in
+# exact arithmetic; measured ~4x on the config-3 EQ (R=32).
+# ---------------------------------------------------------------------------
+
+_SEG_CACHE: dict = {}
+
+
+def _cascade_step_np(state, x, sos):
+    """One f64 numpy step of the kernel's exact cascade recurrence.
+    ``state``: (ns, 2). -> (y, new_state)."""
+    v = x
+    new = np.empty_like(state)
+    for s in range(sos.shape[0]):
+        b0, b1, b2, a1, a2 = sos[s, 0], sos[s, 1], sos[s, 2], sos[s, 4], sos[s, 5]
+        z1, z2 = state[s, 0], state[s, 1]
+        y = b0 * v + z1
+        new[s, 0] = b1 * v - a1 * y + z2
+        new[s, 1] = b2 * v - a2 * y
+        v = y
+    return v, new
+
+
+def _seg_consts(sos_np: np.ndarray, seglen: int):
+    """Host-side segmentation constants for one (sos, seglen), or None
+    when the cascade isn't safely diagonalizable (caller falls back)."""
+    key = (sos_np.tobytes(), seglen)
+    if key in _SEG_CACHE:
+        return _SEG_CACHE[key]
+    sos64 = np.asarray(sos_np, np.float64)
+    ns = sos64.shape[0]
+    D = 2 * ns
+    A = np.zeros((D, D))
+    C = np.zeros(D)
+    for j in range(D):  # probe the recurrence with unit states, x=0
+        e = np.zeros(D)
+        e[j] = 1.0
+        y, nstate = _cascade_step_np(e.reshape(ns, 2).copy(), 0.0, sos64)
+        A[:, j] = nstate.reshape(D)
+        C[j] = y
+    lam, V = np.linalg.eig(A)
+    if np.max(np.abs(lam)) >= 1.0 - 1e-12 or np.linalg.cond(V) > 1e8:
+        _SEG_CACHE[key] = None  # unstable / defective: no segmentation
+        return None
+    T = (C @ V)[:, None] * np.linalg.inv(V)  # corr = sum_j lam_j^t (T z)_j
+    t = np.arange(seglen)
+    L = lam[:, None] ** t[None, :]  # (D, seglen), |lam|<1 so underflow->0
+    consts = {
+        "A_seg": np.linalg.matrix_power(A, seglen),  # f64 (D, D)
+        "Tr": np.ascontiguousarray(T.real),
+        "Ti": np.ascontiguousarray(T.imag),
+        "Lr": np.ascontiguousarray(L.real, np.float32),
+        "Li": np.ascontiguousarray(L.imag, np.float32),
+    }
+    _SEG_CACHE[key] = consts
+    return consts
+
+
+def pick_segments(R: int, n: int, min_seglen: int = 4096,
+                  lanes: int = LANES) -> int:
+    """Largest power-of-2 segment count that (a) keeps R*S <= lanes,
+    (b) divides n exactly (exact state math needs equal segments), and
+    (c) leaves segments long enough to amortize the correction."""
+    s = 1
+    while (R * s * 2 <= lanes and n % (s * 2) == 0
+           and n // (s * 2) >= min_seglen):
+        s *= 2
+    return s
+
+
+def _sosfilt_seg(sos, x2d, zi3, S_seg: int, consts, time_chunk, interpret):
+    """Segmented exact sosfilt: x2d (R, n) -> (y2d, zf3 (ns, 2, R))."""
+    _HI = jax.lax.Precision.HIGHEST
+    ns = sos.shape[0]
+    D = 2 * ns
+    R, n = x2d.shape
+    seglen = n // S_seg
+    xs = x2d.reshape(R * S_seg, seglen)  # row index = r*S + k
+    zi0 = jnp.zeros((ns, 2, R * S_seg), jnp.float32)
+    y0, zf0 = _sosfilt_pallas_2d(sos, xs, zi0, time_chunk=time_chunk,
+                                 interpret=interpret)
+    # per-segment zero-init final states -> (S_seg, R, D) in probe order
+    v = jnp.transpose(zf0.reshape(ns, 2, R, S_seg), (3, 2, 0, 1))
+    v = v.reshape(S_seg, R, D).astype(jnp.float64)
+    z0 = jnp.transpose(zi3, (2, 0, 1)).reshape(R, D).astype(jnp.float64)
+    A = jnp.asarray(consts["A_seg"])  # (D, D) f64
+
+    def chain(zk, vk):  # exact cross-segment state chain
+        return zk @ A.T + vk, zk
+
+    z_last, z_ins = jax.lax.scan(chain, z0, v)  # z_ins: (S_seg, R, D)
+    zin_rows = jnp.moveaxis(z_ins, 0, 1).reshape(R * S_seg, D)
+    wr = (zin_rows @ jnp.asarray(consts["Tr"]).T).astype(jnp.float32)
+    wi = (zin_rows @ jnp.asarray(consts["Ti"]).T).astype(jnp.float32)
+    corr = (
+        jnp.einsum("rd,dt->rt", wr, jnp.asarray(consts["Lr"]), precision=_HI)
+        - jnp.einsum("rd,dt->rt", wi, jnp.asarray(consts["Li"]), precision=_HI)
+    )
+    y = (y0 + corr).reshape(R, n)
+    zf = jnp.transpose(z_last.reshape(R, ns, 2), (1, 2, 0)).astype(jnp.float32)
+    return y, zf
+
+
+def sosfilt_pallas(sos, x, zi=None, time_chunk=2048, interpret=False,
+                   segments=None):
     """Drop-in twin of :func:`xmtpu.ops.biquad.sosfilt_scan` (f32 path).
 
     ``x``: (..., n); ``zi``: (S, ..., 2) or None. Returns (y, zf) in the
     same layout as the ops twin. Accuracy: ~-86 dB vs the f64 oracle
     (sequential f32; SURVEY.md §7.4②) — use the f64 scan twin when
     oracle-grade output is required.
+
+    ``segments``: time-segmentation factor for small batches (see
+    module comment above `_seg_consts`); None = auto (fills the 128
+    lanes when the flattened batch is small and n divides evenly; the
+    256-clip batch path is unaffected). Exact: the affine state
+    corrections reproduce the unsegmented recurrence.
     """
+    try:  # host-side consts need concrete coefficients; a traced sos
+        # (rare: sos passed through a jit boundary) falls back to the
+        # unsegmented kernel
+        sos_host = np.asarray(sos, np.float64)
+    except Exception:
+        sos_host = None
     sos = jnp.asarray(sos)
     x = jnp.asarray(x)
     S = sos.shape[0]
@@ -170,9 +301,17 @@ def sosfilt_pallas(sos, x, zi=None, time_chunk=2048, interpret=False):
     else:
         # (S, ..., 2) -> (S, 2, R)
         zi3 = jnp.moveaxis(jnp.asarray(zi).reshape(S, R, 2), -1, 1)
-    y2d, zf3 = _sosfilt_pallas_2d(
-        sos, x2d, zi3, time_chunk=time_chunk, interpret=interpret
-    )
+
+    S_seg = pick_segments(R, n) if segments is None else int(segments)
+    consts = _seg_consts(sos_host, n // S_seg) \
+        if (S_seg > 1 and sos_host is not None) else None
+    if consts is not None:
+        y2d, zf3 = _sosfilt_seg(sos, x2d, zi3, S_seg, consts,
+                                time_chunk, interpret)
+    else:
+        y2d, zf3 = _sosfilt_pallas_2d(
+            sos, x2d, zi3, time_chunk=time_chunk, interpret=interpret
+        )
     y = y2d.reshape(*batch, n).astype(x.dtype)
     zf = jnp.moveaxis(zf3, 1, -1).reshape((S,) + batch + (2,))
     return y, zf

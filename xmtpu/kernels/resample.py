@@ -103,7 +103,7 @@ def _resample_pallas_2d(x2d, L, M, taps_per_phase=24, beta=9.0, tj=128,
             kern,
             grid=(R, njp // tj),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),  # xs3 in HBM, manual DMA
+                pl.BlockSpec(memory_space=pl.ANY),  # xs3 in HBM, manual DMA
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # hbank whole
             ],
             out_specs=pl.BlockSpec((1, tj, plan.L), lambda r, c: (r, c, 0),

@@ -79,6 +79,22 @@ def load():
         ]
         lib.xm_ff_encode.restype = ctypes.c_int
         lib.xm_ff_free.argtypes = [ctypes.c_void_p]
+        lib.xm_ff_open.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.xm_ff_open.restype = ctypes.c_void_p
+        lib.xm_ff_read.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64
+        ]
+        lib.xm_ff_read.restype = ctypes.c_int64
+        lib.xm_ff_seek.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.xm_ff_seek.restype = ctypes.c_int
+        lib.xm_ff_buffered.argtypes = [ctypes.c_void_p]
+        lib.xm_ff_buffered.restype = ctypes.c_int64
+        lib.xm_ff_close.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -120,17 +136,98 @@ def encode(path: str, pcm: np.ndarray, sample_rate: int) -> None:
         raise ValueError(f"xm_ff_encode({path!r}) failed with code {rc}")
 
 
+class StreamDecoder:
+    """Handle-style chunked decoder over ``xm_ff_open/seek/read/close``
+    (reference parity: ``audio_decoder_create/seekTo/get_decoded_frame/
+    freep`` [upstream, SURVEY.md §2.1]). Constant memory: an hour-long
+    m4a costs one packet + one frame + a small PCM buffer — contrast
+    :func:`decode`, which materializes the whole file.
+
+    Implements the :class:`xmtpu.io.decoder.Decoder` surface (seek in
+    ms, read(n), read_all, position_ms) plus sample-level ``seek_sample``
+    and a ``max_buffered`` high-water mark for constant-memory asserts.
+    """
+
+    def __init__(self, path: str):
+        lib = load()
+        if lib is None:
+            raise RuntimeError("ffmpeg shim unavailable")
+        self._lib = lib
+        ch = ctypes.c_int32()
+        sr = ctypes.c_int32()
+        dur = ctypes.c_int64()
+        self._h = lib.xm_ff_open(str(path).encode(), ctypes.byref(ch),
+                                 ctypes.byref(sr), ctypes.byref(dur))
+        if not self._h:
+            raise ValueError(f"xm_ff_open({path!r}) failed")
+        self.num_channels = int(ch.value)
+        self.sample_rate = int(sr.value)
+        self.num_samples = int(dur.value)  # best-effort; -1 unknown
+        self.max_buffered = 0
+        self._pos = 0
+
+    def seek_sample(self, sample: int) -> None:
+        if self._lib.xm_ff_seek(self._h, int(sample)) != 0:
+            raise ValueError(f"seek to sample {sample} failed")
+        self._pos = int(sample)
+
+    def seek(self, ms: float) -> None:
+        self.seek_sample(int(round(ms * self.sample_rate / 1000.0)))
+
+    def read(self, num_samples: int) -> np.ndarray:
+        """Up to num_samples frames as int16 (n, ch); empty at EOF."""
+        out = np.empty((int(num_samples), self.num_channels), np.int16)
+        got = int(self._lib.xm_ff_read(self._h, out.ctypes.data,
+                                       int(num_samples)))
+        if got < 0:
+            raise ValueError("xm_ff_read failed")
+        self._pos += got
+        self.max_buffered = max(
+            self.max_buffered, int(self._lib.xm_ff_buffered(self._h)))
+        return out[:got]
+
+    def read_all(self) -> np.ndarray:
+        chunks = []
+        while True:
+            c = self.read(1 << 18)
+            if not len(c):
+                break
+            chunks.append(c)
+        return np.concatenate(chunks) if chunks else \
+            np.empty((0, self.num_channels), np.int16)
+
+    @property
+    def position_ms(self) -> float:
+        return self._pos * 1000.0 / self.sample_rate
+
+    def close(self) -> None:
+        if getattr(self, "_h", None):
+            self._lib.xm_ff_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
 def register() -> bool:
     """Register decode/encode backends for compressed formats; returns
     whether the shim is active. Safe to call when unavailable."""
     if not available():
         return False
-    from xmtpu.io.decoder import Decoder, register_backend
+    from xmtpu.io.decoder import register_backend
     from xmtpu.io.encoder import register_encoder
 
-    def _dec(path: str, **kw) -> Decoder:
-        pcm, sr = decode(path)
-        return Decoder(pcm, sr)
+    def _dec(path: str, **kw) -> StreamDecoder:
+        return StreamDecoder(path)
 
     def _enc(path: str, pcm, sample_rate: int, **kw) -> None:
         encode(path, pcm, sample_rate)

@@ -208,3 +208,185 @@ int xm_ff_encode(const char* path, const int16_t* pcm, int64_t n_frames,
 void xm_ff_free(void* p) { free(p); }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Handle-style chunked decode: open / seek / read / close.
+//
+// Reference analogue: `audio_decoder_create / audio_decoder_seekTo /
+// audio_decoder_get_decoded_frame / audio_decoder_freep` [upstream,
+// SURVEY.md §2.1] — constant-memory streaming decode of long compressed
+// files (an hour-long m4a costs one packet + one frame + a small PCM
+// buffer, not the whole file; contrast xm_ff_decode above).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct FFHandle {
+  DecodeCtx c;
+  int sidx = -1;
+  int nch = 0;
+  int rate = 0;
+  std::vector<int16_t> buf;   // decoded-but-unread interleaved PCM
+  size_t buf_pos = 0;         // consumed frames * nch into buf
+  int64_t next_sample = 0;    // stream position of buf's first frame
+  int64_t skip_until = 0;     // post-seek: drop samples before this
+  bool eof = false;
+
+  size_t buffered_frames() const { return (buf.size() - buf_pos) / nch; }
+
+  void compact() {
+    if (buf_pos) { buf.erase(buf.begin(), buf.begin() + buf_pos); buf_pos = 0; }
+  }
+
+  // Decode packets until >= want frames buffered or EOF. Returns <0 on error.
+  int fill(int64_t want) {
+    while (!eof && (int64_t)buffered_frames() < want) {
+      int rr = av_read_frame(c.fmt, c.pkt);
+      if (rr < 0) {  // end of container: flush decoder + swr
+        avcodec_send_packet(c.dec, nullptr);
+        if (drain(true) < 0) return -6;
+        eof = true;
+        break;
+      }
+      if (c.pkt->stream_index == sidx) {
+        if (avcodec_send_packet(c.dec, c.pkt) == 0) {
+          if (drain(false) < 0) { av_packet_unref(c.pkt); return -6; }
+        }
+      }
+      av_packet_unref(c.pkt);
+    }
+    return 0;
+  }
+
+  // Receive decoded frames, convert, append to buf honoring skip_until.
+  int drain(bool flush) {
+    int rc;
+    while ((rc = avcodec_receive_frame(c.dec, c.frame)) == 0) {
+      if (c.frame->pts != AV_NOPTS_VALUE) {
+        // trust container timestamps after a seek (sample-accurate)
+        AVStream* st = c.fmt->streams[sidx];
+        int64_t pos = av_rescale_q(c.frame->pts, st->time_base,
+                                   AVRational{1, rate});
+        if (buffered_frames() == 0) next_sample = pos;
+      }
+      int out_samples = swr_get_out_samples(c.swr, c.frame->nb_samples);
+      std::vector<int16_t> tmp((size_t)out_samples * nch);
+      uint8_t* outp = (uint8_t*)tmp.data();
+      int got = swr_convert(c.swr, &outp, out_samples,
+                            (const uint8_t**)c.frame->extended_data,
+                            c.frame->nb_samples);
+      av_frame_unref(c.frame);
+      if (got < 0) return got;
+      append(tmp.data(), got);
+    }
+    if (flush) {  // swresample tail
+      for (;;) {
+        std::vector<int16_t> tmp((size_t)4096 * nch);
+        uint8_t* outp = (uint8_t*)tmp.data();
+        int got = swr_convert(c.swr, &outp, 4096, nullptr, 0);
+        if (got <= 0) break;
+        append(tmp.data(), got);
+      }
+    }
+    return rc == AVERROR(EAGAIN) || rc == AVERROR_EOF ? 0 : rc;
+  }
+
+  void append(const int16_t* data, int frames) {
+    int64_t start = next_sample + (int64_t)buffered_frames();
+    int64_t drop = skip_until > start ? skip_until - start : 0;
+    if (drop >= frames) return;
+    if (buffered_frames() == 0)  // first kept sample defines the position
+      next_sample = start + drop;
+    buf.insert(buf.end(), data + (size_t)drop * nch,
+               data + (size_t)frames * nch);
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// -> opaque handle or NULL. duration_frames is best-effort (-1 unknown).
+void* xm_ff_open(const char* path, int32_t* channels, int32_t* sample_rate,
+                 int64_t* duration_frames) {
+  FFHandle* h = new (std::nothrow) FFHandle();
+  if (!h) return nullptr;
+  DecodeCtx& c = h->c;
+  const AVCodec* codec = nullptr;
+  if (avformat_open_input(&c.fmt, path, nullptr, nullptr) < 0 ||
+      avformat_find_stream_info(c.fmt, nullptr) < 0 ||
+      (h->sidx = av_find_best_stream(c.fmt, AVMEDIA_TYPE_AUDIO, -1, -1,
+                                     &codec, 0)) < 0 || !codec) {
+    delete h;
+    return nullptr;
+  }
+  AVStream* st = c.fmt->streams[h->sidx];
+  c.dec = avcodec_alloc_context3(codec);
+  if (!c.dec || avcodec_parameters_to_context(c.dec, st->codecpar) < 0 ||
+      avcodec_open2(c.dec, codec, nullptr) < 0) {
+    delete h;
+    return nullptr;
+  }
+  h->nch = c.dec->ch_layout.nb_channels;
+  h->rate = c.dec->sample_rate;
+  if (h->nch <= 0 || h->rate <= 0 ||
+      swr_alloc_set_opts2(&c.swr, &c.dec->ch_layout, AV_SAMPLE_FMT_S16,
+                          h->rate, &c.dec->ch_layout, c.dec->sample_fmt,
+                          h->rate, 0, nullptr) < 0 ||
+      swr_init(c.swr) < 0) {
+    delete h;
+    return nullptr;
+  }
+  c.pkt = av_packet_alloc();
+  c.frame = av_frame_alloc();
+  *channels = h->nch;
+  *sample_rate = h->rate;
+  int64_t dur = -1;
+  if (st->duration != AV_NOPTS_VALUE)
+    dur = av_rescale_q(st->duration, st->time_base, AVRational{1, h->rate});
+  else if (c.fmt->duration != AV_NOPTS_VALUE)
+    dur = c.fmt->duration * h->rate / AV_TIME_BASE;
+  *duration_frames = dur;
+  return h;
+}
+
+// Read up to max_frames interleaved frames. -> frames read (0 = EOF, <0 err).
+int64_t xm_ff_read(void* hp, int16_t* out, int64_t max_frames) {
+  FFHandle* h = (FFHandle*)hp;
+  if (h->fill(max_frames) < 0) return -1;
+  int64_t avail = (int64_t)h->buffered_frames();
+  int64_t take = avail < max_frames ? avail : max_frames;
+  memcpy(out, h->buf.data() + h->buf_pos, (size_t)take * h->nch * 2);
+  h->buf_pos += (size_t)take * h->nch;
+  h->next_sample += take;
+  h->compact();
+  return take;
+}
+
+// Seek to an absolute sample position (container seek to the preceding
+// keyframe, then decode-and-drop to the exact sample).
+int xm_ff_seek(void* hp, int64_t sample_pos) {
+  FFHandle* h = (FFHandle*)hp;
+  AVStream* st = h->c.fmt->streams[h->sidx];
+  int64_t ts = av_rescale_q(sample_pos, AVRational{1, h->rate},
+                            st->time_base);
+  if (av_seek_frame(h->c.fmt, h->sidx, ts, AVSEEK_FLAG_BACKWARD) < 0)
+    return -1;
+  avcodec_flush_buffers(h->c.dec);
+  h->buf.clear();
+  h->buf_pos = 0;
+  h->eof = false;
+  h->next_sample = sample_pos;  // corrected by the first pts seen
+  h->skip_until = sample_pos;
+  return 0;
+}
+
+// Currently buffered (decoded, unread) frames — lets callers assert the
+// constant-memory property.
+int64_t xm_ff_buffered(void* hp) {
+  return (int64_t)((FFHandle*)hp)->buffered_frames();
+}
+
+void xm_ff_close(void* hp) { delete (FFHandle*)hp; }
+
+}  // extern "C"

@@ -60,7 +60,9 @@ static int wav_open(FILE* f, WavInfo* info, uint32_t* data_bytes) {
       have_fmt = true;
     } else if (!memcmp(tag, "data", 4)) {
       if (!have_fmt || ch == 0 || bits == 0) return -1;
-      if (!((fmt == 1 && bits == 16) || (fmt == 3 && bits == 32))) return -2;
+      if (!((fmt == 1 && (bits == 16 || bits == 24)) ||
+            (fmt == 3 && bits == 32)))
+        return -2;
       info->sample_rate = (int32_t)rate;
       info->channels = (int32_t)ch;
       info->bits = bits;
@@ -87,8 +89,21 @@ int xm_wav_read(const char* path, int16_t** out, int64_t* n_frames,
   int64_t n = info.n_frames * info.channels;
   int16_t* pcm = (int16_t*)malloc((size_t)n * 2 + 2);
   if (!pcm) { fclose(f); return -3; }
-  if (info.format == 1) {
+  if (info.format == 1 && info.bits == 16) {
     if (read_exact(f, pcm, (size_t)n * 2)) { free(pcm); fclose(f); return -1; }
+  } else if (info.format == 1 && info.bits == 24) {
+    // 24-bit PCM -> int16: keep the top 16 bits (truncate; identical
+    // to the stdlib-path convention, cross-checked bit-exact in tests)
+    uint8_t* tmp = (uint8_t*)malloc((size_t)n * 3 + 4);
+    if (!tmp || read_exact(f, tmp, (size_t)n * 3)) {
+      free(tmp); free(pcm); fclose(f); return -1;
+    }
+    for (int64_t i = 0; i < n; i++) {
+      int32_t v = (int32_t)tmp[3 * i] | ((int32_t)tmp[3 * i + 1] << 8) |
+                  ((int32_t)tmp[3 * i + 2] << 16);
+      pcm[i] = (int16_t)(((v << 8)) >> 16);  // sign via bit23 -> bit31
+    }
+    free(tmp);
   } else {
     float* tmp = (float*)malloc((size_t)n * 4 + 4);
     if (!tmp || read_exact(f, tmp, (size_t)n * 4)) {

@@ -38,6 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 
 _HI = jax.lax.Precision.HIGHEST
+_PRECISION = _HI  # module default; fir_convolve_os_mxu can override
 
 
 def _split_factors(block: int) -> tuple[int, int]:
@@ -70,39 +71,41 @@ def _dft_consts(block: int):
     }
 
 
-def _cmatmul(ar, ai, br, bi, sub: str):
-    """Complex einsum (4 real matmuls) at HIGHEST precision."""
-    rr = jnp.einsum(sub, ar, br, precision=_HI)
-    ii = jnp.einsum(sub, ai, bi, precision=_HI)
-    ri = jnp.einsum(sub, ar, bi, precision=_HI)
-    ir = jnp.einsum(sub, ai, br, precision=_HI)
+def _cmatmul(ar, ai, br, bi, sub: str, prec=None):
+    """Complex einsum (4 real matmuls) at >= HIGH precision (never the
+    bf16 default — SURVEY.md §7.3 matmul-precision rule)."""
+    p = prec if prec is not None else _PRECISION
+    rr = jnp.einsum(sub, ar, br, precision=p)
+    ii = jnp.einsum(sub, ai, bi, precision=p)
+    ri = jnp.einsum(sub, ar, bi, precision=p)
+    ir = jnp.einsum(sub, ai, br, precision=p)
     return rr - ii, ri + ir
 
 
-def _dft_scrambled(zr, zi, c):
+def _dft_scrambled(zr, zi, c, prec=None):
     """(R, block) complex -> (R, n1, n2) scrambled spectrum."""
     r = zr.shape[0]
     zr = zr.reshape(r, c["n1"], c["n2"])
     zi = zi.reshape(r, c["n1"], c["n2"])
     # inner N1-DFT over n1: [k1,n1] x [r,n1,n2] -> [r,k1,n2]
-    ar, ai = _cmatmul(c["w1r"], c["w1i"], zr, zi, "kn,rnm->rkm")
+    ar, ai = _cmatmul(c["w1r"], c["w1i"], zr, zi, "kn,rnm->rkm", prec)
     # twiddle [k1, n2]
     br = ar * c["twr"] - ai * c["twi"]
     bi = ar * c["twi"] + ai * c["twr"]
     # outer N2-DFT over n2: [k2,n2] x [r,k1,n2] -> [r,k1,k2]
-    return _cmatmul(c["w2r"], c["w2i"], br, bi, "lm,rkm->rkl")
+    return _cmatmul(c["w2r"], c["w2i"], br, bi, "lm,rkm->rkl", prec)
 
 
-def _idft_scrambled(xr, xi, c):
+def _idft_scrambled(xr, xi, c, prec=None):
     """(R, n1, n2) scrambled spectrum -> (R, block) complex (scaled)."""
     # inner inverse N2-DFT over k2 (conjugate matrix = transpose of w2
     # conj; w2 symmetric so conj alone suffices)
-    ar, ai = _cmatmul(c["w2r"], -c["w2i"], xr, xi, "ml,rkl->rkm")
+    ar, ai = _cmatmul(c["w2r"], -c["w2i"], xr, xi, "ml,rkl->rkm", prec)
     # conjugate twiddle
     br = ar * c["twr"] + ai * c["twi"]
     bi = -ar * c["twi"] + ai * c["twr"]
     # inverse N1-DFT over k1
-    yr, yi = _cmatmul(c["w1r"], -c["w1i"], br, bi, "nk,rkm->rnm")
+    yr, yi = _cmatmul(c["w1r"], -c["w1i"], br, bi, "nk,rkm->rnm", prec)
     r = yr.shape[0]
     block = c["n1"] * c["n2"]
     s = jnp.float32(1.0 / block)
@@ -118,13 +121,16 @@ def scramble_spectrum(h_lin: np.ndarray, block: int):
             jnp.asarray(hs.imag.astype(np.float32)))
 
 
-def fir_convolve_os_mxu(x: jnp.ndarray, ir, block: int = 16384):
+def fir_convolve_os_mxu(x: jnp.ndarray, ir, block: int = 16384,
+                        precision=None):
     """Same-length causal convolution: overlap-save with MXU DFTs.
 
     ``x``: (..., n) f32; ``ir``: 1-D numpy/jnp array (host-known values
     — its spectrum is precomputed in f64 on the host). Requires
     ``block`` a power of two > 2*(len(ir)-1); batch*nblk rows pair up
-    two-for-one onto complex transforms.
+    two-for-one onto complex transforms. ``precision``: matmul
+    precision for the DFT stages (None = module default HIGHEST;
+    HIGH = 3-pass f32 emulation, ~2x the matmul rate).
     """
     ir_np = np.asarray(ir, np.float64)
     m = ir_np.shape[-1]
@@ -150,10 +156,10 @@ def fir_convolve_os_mxu(x: jnp.ndarray, ir, block: int = 16384):
         rows = jnp.concatenate([rows, jnp.zeros((1, block), rows.dtype)])
     zr, zi = rows[0::2], rows[1::2]
 
-    xr_s, xi_s = _dft_scrambled(zr, zi, c)
+    xr_s, xi_s = _dft_scrambled(zr, zi, c, precision)
     yr_s = xr_s * hr - xi_s * hi
     yi_s = xr_s * hi + xi_s * hr
-    yr, yi = _idft_scrambled(yr_s, yi_s, c)
+    yr, yi = _idft_scrambled(yr_s, yi_s, c, precision)
 
     y = jnp.stack([yr, yi], axis=1).reshape(-1, block)[:r]
     y = y.reshape(*batch, nblk, block)[..., m - 1:]  # valid region

@@ -22,7 +22,9 @@ Normalization (``BASELINE.json:5,8``):
 
 * ``peak``: scale so max |sample| == target amplitude (always rescales,
   up or down; silence is passed through).
-* ``loudness``: scale so RMS == target amplitude (same silence rule).
+* ``rms`` (legacy alias ``loudness``): scale so plain unweighted RMS ==
+  target amplitude (same silence rule).
+* ``lufs``: ITU-R BS.1770 gated loudness — see ``ops.loudness``.
 """
 
 from __future__ import annotations

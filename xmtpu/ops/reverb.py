@@ -77,7 +77,7 @@ def fir_convolve_os(x: jnp.ndarray, ir: jnp.ndarray, block: int = 65536):
 
 def reverb(
     x: jnp.ndarray, ir: jnp.ndarray, wet: float = 0.3, dry: float = 0.7,
-    block: int | None = None, backend: str = "xla",
+    block: int | None = None, backend: str = "xla", precision=None,
 ) -> jnp.ndarray:
     """Wet/dry reverb, output length == input length (tail truncated —
     the reference's same-length PCM-in/PCM-out convention).
@@ -91,7 +91,8 @@ def reverb(
     if backend == "mxu":
         from xmtpu.ops.fftmm import fir_convolve_os_mxu
 
-        w = fir_convolve_os_mxu(x, np.asarray(ir), block or 16384)
+        w = fir_convolve_os_mxu(x, np.asarray(ir), block or 16384,
+                                precision=precision)
     elif block is not None:
         w = fir_convolve_os(x, ir, block)
     else:

@@ -181,24 +181,30 @@ def run_batch(
     return report
 
 
+_STEP_CACHE: dict = {}  # module-level: repeat run_batch calls (a service
+# processing manifests) reuse compiled executables — the remote TPU
+# compiler has no persistent cache, so re-jitting per call would pay
+# the full compile every time
+
+
 class _Dispatcher:
     """Shared device-side logic: per-rate step cache + chunk dispatch."""
 
     def __init__(self, sr_bus: int, step_kw):
         self.sr_bus = sr_bus
         self.step_kw = step_kw or {}
-        self.step_cache: dict = {}
 
     def step_for(self, rate: int):
         import jax
         from xmtpu import batch as xbatch
 
-        if rate not in self.step_cache:
-            self.step_cache[rate] = jax.jit(
+        key = (rate, self.sr_bus, tuple(sorted(self.step_kw.items())))
+        if key not in _STEP_CACHE:
+            _STEP_CACHE[key] = jax.jit(
                 xbatch.make_batch_step(sr_in=rate, sr_bus=self.sr_bus,
                                        **self.step_kw)
             )
-        return self.step_cache[rate]
+        return _STEP_CACHE[key]
 
     def dispatch(self, rate: int, edge: int, chunk):
         """Pack + enqueue one device step (async dispatch; the result is
