@@ -225,3 +225,33 @@ def test_batch_output_length_is_ceil(rng):
     assert m == 16001
     assert np.any(out[0, m - 3 : m] != 0)  # tail samples survive
     assert np.all(out[0, m:] == 0)
+
+
+def test_large_batch_fused_path_matches_solo(rng):
+    """Batches >= 128 rows take the reverb-first + fused EQ/envelope
+    kernel path (kernels/eq_env.py; LTI commute); it must match the
+    small-batch path (EQ -> reverb -> separate limiter kernels) within
+    the f32 rounding budget."""
+    n = 22050
+    clip = (rng.standard_normal(n) * 9000).astype(np.int16)
+    voice = np.broadcast_to(clip, (128, n)).copy()
+    bgm = np.zeros_like(voice)
+    lengths = np.full(128, n, np.int32)
+    step = jax.jit(xbatch.make_batch_step(sr_in=SR_IN, sr_bus=SR_BUS,
+                                          interpret=True))
+    out = np.asarray(step(jnp.asarray(voice), jnp.asarray(bgm),
+                          jnp.asarray(lengths)))
+    solo_step = jax.jit(xbatch.make_batch_step(sr_in=SR_IN, sr_bus=SR_BUS,
+                                               interpret=True))
+    solo = np.asarray(solo_step(jnp.asarray(clip[None]),
+                                jnp.asarray(np.zeros_like(clip)[None]),
+                                jnp.asarray([n], jnp.int32)))[0]
+    m = -(-(n * (SR_BUS // 100)) // (SR_IN // 100))
+    a = out[0, :m].astype(np.float64)
+    b = solo[:m].astype(np.float64)
+    db = rms_db(a - b, b)
+    assert db <= -80.0, db
+    # identical rows agree to the last bit-or-one: the reverb's
+    # two-for-one complex packing rounds real-lane and imag-lane rows
+    # differently (rr-ii vs ri+ir), so allow 1 int16 LSB
+    assert np.max(np.abs(out.astype(np.int32) - out[0].astype(np.int32))) <= 1

@@ -396,3 +396,25 @@ def test_chain_key_handles_np_scalars(signals):
         {"freq_hz": np.float32(300.0), "gain_db": np.float64(2.0),
          "q": np.float32(1.0)}]}])
     assert np.all(np.isfinite(y))
+
+
+def test_reverb_mxu_variants_match_oracle(signals):
+    """All fftmm code paths (four_step/fused x gauss) stay inside the
+    budget vs the f64 oracle — the fused middle matmul (filter baked
+    into per-k1 circulant blocks) and Gauss 3-mult products must not
+    cost accuracy."""
+    from xmtpu.ops.fftmm import fir_convolve_os_mxu
+
+    s = signals(SR, SR)
+    x = np.stack([s["noise"], s["sweep"]]).astype(np.float32)
+    ir = reverb.synthetic_ir(0.1, SR)
+    from scipy import signal as sig
+    ref = sig.fftconvolve(x.astype(np.float64),
+                          np.broadcast_to(ir, (2,) + ir.shape),
+                          axes=-1)[..., : x.shape[-1]]
+    for variant in ("four_step", "fused"):
+        for gauss in (False, True):
+            y = fir_convolve_os_mxu(jnp.asarray(x), ir, 16384,
+                                    variant=variant, gauss=gauss)
+            db = rms_db(np.asarray(y, np.float64) - ref, ref)
+            assert db <= -90.0, (variant, gauss, db)

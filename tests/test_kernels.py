@@ -191,3 +191,58 @@ def test_resample_kernel_compiled_on_tpu(rng):
     ref = resample_oracle_np(x.astype(np.float64), 44100, 16000)
     db = rms_db(y.astype(np.float64) - ref, ref)
     assert db <= -100.0, db
+
+
+def test_eq_env_fused_matches_kernel_composition(sos, rng):
+    """kernels/eq_env.py (fused cascade + limiter envelope) must equal
+    the sosfilt_pallas -> envelope_pallas composition bit-for-bit (same
+    f32 op sequence) and sit within the sequential-f32 budget of the
+    f64 oracles."""
+    from xmtpu.kernels.eq_env import eq_env_pallas
+    from xmtpu.kernels.envelope import envelope_pallas
+    from xmtpu.ops import limiter as lim
+
+    x = (0.3 * rng.standard_normal((3, 9000))).astype(np.float32)
+    k_rel = lim._release_coeff(100.0, SR)
+    c_att = lim._attack_coeff(1.0, SR)
+    y, e2, zf, (el, sl) = eq_env_pallas(sos, jnp.asarray(x), k_rel, c_att,
+                                        interpret=True, time_chunk=1024)
+    y_ref, zf_ref = sosfilt_pallas(sos, jnp.asarray(x), interpret=True,
+                                   time_chunk=1024, segments=1)
+    e2_ref, (el_r, sl_r) = envelope_pallas(
+        jnp.abs(y_ref), k_rel, c_att, interpret=True, time_chunk=1024,
+        segments=1)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(y_ref))
+    np.testing.assert_array_equal(np.asarray(e2), np.asarray(e2_ref))
+    np.testing.assert_array_equal(np.asarray(zf), np.asarray(zf_ref))
+    np.testing.assert_array_equal(np.asarray(el), np.asarray(el_r))
+    np.testing.assert_array_equal(np.asarray(sl), np.asarray(sl_r))
+    # and against the f64 oracles (sequential-f32 floor ~-86 dB)
+    ref_y = sps.sosfilt(sos, x.astype(np.float64), axis=-1)
+    assert rms_db(np.asarray(y, np.float64) - ref_y, ref_y) <= -80.0
+    _, (env64, _sm) = lim.limiter_np(ref_y[:, None, :], SR)
+    ref_lim, _ = lim.limiter_np(ref_y[:, None, :], SR)
+    got = np.asarray(lim.apply_gain_curve(
+        jnp.asarray(y)[:, None, :], jnp.asarray(e2), -3.0))
+    assert rms_db(got.astype(np.float64) - ref_lim, ref_lim) <= -80.0
+
+
+def test_eq_env_fused_state_carry(sos, rng):
+    """Blockwise fused kernel with carried (zi, env) state == one-shot."""
+    from xmtpu.kernels.eq_env import eq_env_pallas
+    from xmtpu.ops import limiter as lim
+
+    x = (0.3 * rng.standard_normal((2, 8192))).astype(np.float32)
+    k_rel = lim._release_coeff(100.0, SR)
+    c_att = lim._attack_coeff(1.0, SR)
+    y_full, e2_full, _, _ = eq_env_pallas(sos, jnp.asarray(x), k_rel, c_att,
+                                          interpret=True, time_chunk=1024)
+    y1, e1, z1, s1 = eq_env_pallas(sos, jnp.asarray(x[:, :4096]), k_rel,
+                                   c_att, interpret=True, time_chunk=1024)
+    y2, e2_, _, _ = eq_env_pallas(sos, jnp.asarray(x[:, 4096:]), k_rel,
+                                  c_att, zi=z1, env_init=s1,
+                                  interpret=True, time_chunk=1024)
+    np.testing.assert_array_equal(
+        np.asarray(y_full), np.concatenate([y1, y2], axis=-1))
+    np.testing.assert_array_equal(
+        np.asarray(e2_full), np.concatenate([e1, e2_], axis=-1))

@@ -100,6 +100,12 @@ class Session:
     returns one frame (double-buffered prefetch); ``read_many(k)``
     fuses k frames into one device dispatch for throughput; state is a
     serializable pytree (``save_state``/``load_state_file``).
+
+    Latency: ``read()`` pays one host<->device round trip per frame —
+    real-time frame-by-frame streaming needs RTT < frame_ms (true on
+    attached hosts, NOT through a high-RTT tunnel); ``read_many``
+    amortizes the round trip over k frames. See
+    :class:`xmtpu.graph.streaming.StreamSession` for measured numbers.
     """
 
     def __init__(self, *a, **kw):

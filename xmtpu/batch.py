@@ -104,8 +104,10 @@ def make_flagship_step(
         with stage("resample"):
             v = _convert.pcm16_to_f32(voice_i16)
             b = _convert.pcm16_to_f32(bgm_i16)
-            v = _rs(v, sr_in, sr_bus)
-            b = _rs(b, sr_in, sr_bus)
+            # one stacked conv for both tracks: 2B-batch MXU work
+            # instead of two B-batch dispatches
+            vb = _rs(jnp.concatenate([v, b], axis=0), sr_in, sr_bus)
+            v, b = jnp.split(vb, 2, axis=0)
         n = v.shape[-1]
         with stage("mix"):
             fade = int(round(fade_ms * sr_bus / 1000.0))
@@ -118,12 +120,32 @@ def make_flagship_step(
             out = out * jnp.where(
                 peak > 0, _mix.db_to_amp(-1.0) / jnp.maximum(peak, 1e-30), 1.0
             )
+        # The fused EQ+envelope kernel has no small-batch time
+        # segmentation, so use it only when the batch already fills the
+        # 128 VPU lanes; smaller batches keep the segmented kernels.
+        if iir_backend == "pallas" and int(np.prod(out.shape[:-1])) >= 128:
+            # EQ and reverb are both LTI over the full row, so they
+            # commute exactly; evaluating reverb FIRST makes EQ adjacent
+            # to the limiter, and kernels/eq_env.py runs the 5-section
+            # cascade + limiter detector/envelope in ONE sequential pass
+            # (two sequential kernels' loop+HBM cost -> one).
+            from xmtpu.kernels.eq_env import eq_env_pallas
+
+            with stage("reverb"):
+                # overlap-save blocks of MXU DFT matmuls (ops/fftmm.py)
+                out = _reverb.reverb(out, ir, wet=wet, dry=dry,
+                                     block=16384, backend="mxu")
+            with stage("eq+limiter"):
+                k_rel = _limiter._release_coeff(100.0, sr_bus)
+                c_att = _limiter._attack_coeff(1.0, sr_bus)
+                y, e2, _, _ = eq_env_pallas(sos, out, k_rel, c_att,
+                                            interpret=interpret)
+                out = _limiter.apply_gain_curve(
+                    y[..., None, :], e2, threshold_db)[..., 0, :]
+            return _convert.f32_to_pcm16(out)
         with stage("eq"):
             out = eq(out)
         with stage("reverb"):
-            # overlap-save blocks of MXU four-step DFTs: 1.46x the XLA
-            # FFT overlap-save at the headline shapes (measured on chip;
-            # ops/fftmm.py)
             out = _reverb.reverb(out, ir, wet=wet, dry=dry,
                                  block=16384, backend="mxu")
         with stage("limiter"):
@@ -170,8 +192,9 @@ def make_batch_step(
 
         v = _convert.pcm16_to_f32(voice_i16)
         b = _convert.pcm16_to_f32(bgm_i16)
-        v = _resample.polyphase_resample(v, sr_in, sr_bus)
-        b = _resample.polyphase_resample(b, sr_in, sr_bus)
+        vb = _resample.polyphase_resample(
+            jnp.concatenate([v, b], axis=0), sr_in, sr_bus)
+        v, b = jnp.split(vb, 2, axis=0)
         n = v.shape[-1]
         # per-clip output lengths at the bus rate: ceil(len * L / M).
         # int64: int32 lengths*L wraps negative for clips >= ~304 s at
@@ -194,6 +217,20 @@ def make_batch_step(
         out = out * jnp.where(
             peak > 0, _mix.db_to_amp(-1.0) / jnp.maximum(peak, 1e-30), 1.0
         )
+        if int(np.prod(out.shape[:-1])) >= 128:
+            # reverb-first + fused EQ/envelope kernel — see the twin
+            # comment in make_flagship_step (LTI stages commute)
+            from xmtpu.kernels.eq_env import eq_env_pallas
+
+            out = _reverb.reverb(out, ir, wet=wet, dry=dry,
+                                 block=16384, backend="mxu")
+            k_rel = _limiter._release_coeff(100.0, sr_bus)
+            c_att = _limiter._attack_coeff(1.0, sr_bus)
+            y, e2, _, _ = eq_env_pallas(sos, out, k_rel, c_att,
+                                        interpret=interpret)
+            out = _limiter.apply_gain_curve(
+                y[..., None, :], e2, threshold_db)[..., 0, :]
+            return _convert.f32_to_pcm16(out * mask)
         out, _ = sosfilt_pallas(sos, out, interpret=interpret)
         out = _reverb.reverb(out, ir, wet=wet, dry=dry,
                              block=16384, backend="mxu")

@@ -54,8 +54,18 @@ def _cmd_effects(args) -> int:
 
     pcm, sr = read_wav(args.input)
     with open(args.chain) as f:
-        chain = [EffectConfig(name=e["name"], params=e.get("params", {}))
-                 for e in json.load(f)]
+        # accept both {"name": n, "params": {...}} and the flat
+        # {"name": n, <param>: ...} form used by api.effects
+        chain = [
+            EffectConfig(
+                name=e["name"],
+                params=e.get(
+                    "params",
+                    {k: v for k, v in e.items() if k != "name"},
+                ),
+            )
+            for e in json.load(f)
+        ]
     out = api.effects(pcm, sr, chain)
     write_wav(args.output, np.asarray(out), sr)
     return 0

@@ -30,7 +30,9 @@ from xmtpu.utils.errors import ConfigError
 class EqualizerFx:
     """Cascaded RBJ biquad EQ. params: bands=[{freq_hz, gain_db, q, kind}]."""
 
-    def __init__(self, sample_rate: int, bands):
+    def __init__(self, sample_rate: int, bands=None):
+        if not bands:
+            raise ConfigError("equalizer: 'bands' is required and non-empty")
         self.sos = _biquad.eq_sos(list(bands), sample_rate)
 
     def init_state(self, nch: int):

@@ -111,7 +111,20 @@ class _TrackStream:
 
 
 class StreamSession:
-    """Streaming mixer+effects session (reference handle-API parity)."""
+    """Streaming mixer+effects session (reference handle-API parity).
+
+    Latency budget (honest numbers, measured round 1-2): each
+    :meth:`read` call costs one device->host fetch, so per-frame
+    latency has a hard floor of ONE host<->device round trip on top of
+    the ~0.5 ms frame compute. On a directly attached host that is
+    sub-millisecond (0.7 ms/frame measured on CPU); through a remote
+    tunnel (e.g. the axon dev link, ~33 ms RTT) a 20 ms frame CANNOT
+    be served in real time frame-by-frame — the depth-1 dispatch-ahead
+    below overlaps compute with the fetch but can never hide a full
+    RTT. For throughput (or any RTT > frame_ms link), use
+    :meth:`read_many`, which amortizes one round trip over k frames
+    (9.3x real time at k=64 through the same tunnel).
+    """
 
     def __init__(self, config, frame_ms: float = 20.0, sources=None,
                  output_dtype=np.int16, duck_params: dict | None = None):

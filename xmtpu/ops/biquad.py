@@ -206,6 +206,8 @@ def sosfilt_scan(sos, x, zi=None, state_dtype=jnp.float64):
         zi = jnp.zeros((S,) + x.shape[:-1] + (2,), state_dtype)
     else:
         zi = jnp.asarray(zi, state_dtype)
+    if S == 0:  # empty cascade is the identity (zero-band EQ)
+        return x, jnp.zeros((0,) + x.shape[:-1] + (2,), state_dtype)
     zfs = []
     for s in range(S):  # cascade is short (5 bands) — unrolled python loop
         y, zf = _section_scan(

@@ -71,15 +71,23 @@ def _dft_consts(block: int):
     }
 
 
-def _cmatmul(ar, ai, br, bi, sub: str, prec=None):
-    """Complex einsum (4 real matmuls) at >= HIGH precision (never the
-    bf16 default — SURVEY.md §7.3 matmul-precision rule)."""
+def _cmatmul(ar, ai, br, bi, sub: str, prec=None, gauss: bool = False):
+    """Complex einsum at >= HIGH precision (never the bf16 default —
+    SURVEY.md §7.3 matmul-precision rule).
+
+    ``gauss``: use Gauss's 3-multiplication identity
+    (re = m1 - m2, im = m3 - m1 - m2 with m3 = (ar+ai)(br+bi)) — 25%
+    fewer MXU flops at the cost of one extra subtract and slightly
+    worse cancellation (still far inside the -80 dB budget, tested)."""
     p = prec if prec is not None else _PRECISION
-    rr = jnp.einsum(sub, ar, br, precision=p)
-    ii = jnp.einsum(sub, ai, bi, precision=p)
+    m1 = jnp.einsum(sub, ar, br, precision=p)
+    m2 = jnp.einsum(sub, ai, bi, precision=p)
+    if gauss:
+        m3 = jnp.einsum(sub, ar + ai, br + bi, precision=p)
+        return m1 - m2, m3 - m1 - m2
     ri = jnp.einsum(sub, ar, bi, precision=p)
     ir = jnp.einsum(sub, ai, br, precision=p)
-    return rr - ii, ri + ir
+    return m1 - m2, ri + ir
 
 
 def _dft_scrambled(zr, zi, c, prec=None):
@@ -121,8 +129,79 @@ def scramble_spectrum(h_lin: np.ndarray, block: int):
             jnp.asarray(hs.imag.astype(np.float32)))
 
 
+# ---------------------------------------------------------------------------
+# Fused-middle variant: for a FIXED filter, everything between the two
+# N1-DFTs — forward twiddle, forward N2-DFT, spectral multiply, inverse
+# N2-DFT, conjugate twiddle, 1/B scale — is one linear map per k1:
+#
+#   M[k1] = diag(ctw[k1,:]) . (W2^H diag(H[k1,:]) W2) . diag(tw[k1,:]) / B
+#
+# so the whole convolution becomes THREE complex matmuls (N1-DFT,
+# batched-over-k1 middle, inverse N1-DFT) with zero elementwise complex
+# stages: 25% fewer MXU flops than the four-step path and ~3 fewer HBM
+# round trips of the row tensor. W2^H diag(H) W2 is circulant (it IS
+# circular convolution along n2), so the host build is an ifft + a
+# strided index, not a matrix product. M is (N1, N2, N2) complex f32 —
+# 16.8 MB at block 16384 — streamed weight traffic amortized over all
+# rows of the batch.
+# ---------------------------------------------------------------------------
+
+_FUSED_CACHE: dict = {}
+
+# The fused middle matrix M is baked into the compiled program as a
+# constant, so it must stay small: the axon remote-compile endpoint
+# rejects oversized request bodies (HTTP 413 observed at ~0.5 GB), and
+# a device-side gather materialization was measured SLOWER than the
+# four-step path (round 2: 9.6-12.4 ms vs 8.95 ms at the config-3
+# shapes). variant="auto" therefore uses fused only below this limit.
+_BAKE_LIMIT_BYTES = 48 << 20
+
+
+def _fused_consts(block: int, ir_np: np.ndarray):
+    key = (block, ir_np.tobytes())
+    if key in _FUSED_CACHE:
+        return _FUSED_CACHE[key]
+    n1, n2 = _split_factors(block)
+    j1 = np.arange(n1)
+    j2 = np.arange(n2)
+    H = np.fft.fft(ir_np, block)
+    Hs = H.reshape(n2, n1).T  # [k1, k2] scrambled layout
+    g = np.fft.ifft(Hs, axis=1)  # (W2^H diag(Hs[k1]) W2)[m,n] = n2*g[k1,(m-n)%n2]
+    g *= n2 / block  # fold the circulant n2 and the iDFT 1/block scales
+    idx = (j2[:, None] - j2[None, :]) % n2  # [m, n]
+    tw = np.exp(-2j * np.pi * np.outer(j1, j2) / block)  # [k1, n2]
+    w1 = np.exp(-2j * np.pi * np.outer(j1, j1) / n1)
+    f32 = lambda a: np.ascontiguousarray(a, np.float32)  # noqa: E731
+    Mr = np.empty((n1, n2, n2), np.float32)
+    Mi = np.empty((n1, n2, n2), np.float32)
+    for k1 in range(n1):  # per-k1 f64 build keeps peak host memory small
+        Mk = np.conj(tw[k1])[:, None] * g[k1][idx] * tw[k1][None, :]
+        Mr[k1] = Mk.real
+        Mi[k1] = Mk.imag
+    consts = {"n1": n1, "n2": n2, "Mr": Mr, "Mi": Mi,
+              "w1r": f32(w1.real), "w1i": f32(w1.imag)}
+    _FUSED_CACHE[key] = consts
+    return consts
+
+
+def _convolve_fused(zr, zi, c, prec, gauss):
+    """(R, block) complex rows -> (R, block) filtered rows (scaled)."""
+    r = zr.shape[0]
+    n1, n2 = c["n1"], c["n2"]
+    zr = zr.reshape(r, n1, n2)
+    zi = zi.reshape(r, n1, n2)
+    ar, ai = _cmatmul(c["w1r"], c["w1i"], zr, zi, "kn,rnm->rkm", prec,
+                      gauss)  # forward N1-DFT
+    dr, di = _cmatmul(ar, ai, c["Mr"], c["Mi"], "rkn,kmn->rkm", prec,
+                      gauss)  # fused twiddle+N2-DFT+filter+iN2-DFT+ctwiddle
+    yr, yi = _cmatmul(c["w1r"], -c["w1i"], dr, di, "nk,rkm->rnm", prec,
+                      gauss)  # inverse N1-DFT (1/B folded into the circulant)
+    return yr.reshape(r, -1), yi.reshape(r, -1)
+
+
 def fir_convolve_os_mxu(x: jnp.ndarray, ir, block: int = 16384,
-                        precision=None):
+                        precision=None, variant: str = "auto",
+                        gauss: bool = False):
     """Same-length causal convolution: overlap-save with MXU DFTs.
 
     ``x``: (..., n) f32; ``ir``: 1-D numpy/jnp array (host-known values
@@ -130,15 +209,29 @@ def fir_convolve_os_mxu(x: jnp.ndarray, ir, block: int = 16384,
     ``block`` a power of two > 2*(len(ir)-1); batch*nblk rows pair up
     two-for-one onto complex transforms. ``precision``: matmul
     precision for the DFT stages (None = module default HIGHEST;
-    HIGH = 3-pass f32 emulation, ~2x the matmul rate).
+    HIGH = 3-pass f32 emulation, ~2x the matmul rate). ``variant``:
+    "fused" (3 matmul stages, filter baked into the middle — see module
+    comment above `_fused_consts`), "four_step" (explicit forward/
+    inverse DFT pair), or "auto" (fused when M is small enough to bake,
+    measured 12% faster at the headline block 16384; four_step above
+    the bake limit, where it measured faster anyway). ``gauss``: 3-mult
+    complex products — measured slightly SLOWER on chip at these
+    (memory-bound) shapes, so off by default; kept for flop-bound uses.
     """
     ir_np = np.asarray(ir, np.float64)
     m = ir_np.shape[-1]
     n = x.shape[-1]
     if block <= 2 * (m - 1):
         raise ValueError(f"block {block} too small for {m}-tap IR")
-    c = _dft_consts(block)
-    hr, hi = scramble_spectrum(np.fft.fft(ir_np, block), block)
+    if variant == "auto":
+        n1, n2 = _split_factors(block)
+        variant = "fused" if n1 * n2 * n2 * 8 <= _BAKE_LIMIT_BYTES \
+            else "four_step"
+    if variant == "fused":
+        c = _fused_consts(block, ir_np)
+    else:
+        c = _dft_consts(block)
+        hr, hi = scramble_spectrum(np.fft.fft(ir_np, block), block)
 
     hop = block - (m - 1)
     nblk = -(-n // hop)
@@ -156,10 +249,13 @@ def fir_convolve_os_mxu(x: jnp.ndarray, ir, block: int = 16384,
         rows = jnp.concatenate([rows, jnp.zeros((1, block), rows.dtype)])
     zr, zi = rows[0::2], rows[1::2]
 
-    xr_s, xi_s = _dft_scrambled(zr, zi, c, precision)
-    yr_s = xr_s * hr - xi_s * hi
-    yi_s = xr_s * hi + xi_s * hr
-    yr, yi = _idft_scrambled(yr_s, yi_s, c, precision)
+    if variant == "fused":
+        yr, yi = _convolve_fused(zr, zi, c, precision, gauss)
+    else:
+        xr_s, xi_s = _dft_scrambled(zr, zi, c, precision)
+        yr_s = xr_s * hr - xi_s * hi
+        yi_s = xr_s * hi + xi_s * hr
+        yr, yi = _idft_scrambled(yr_s, yi_s, c, precision)
 
     y = jnp.stack([yr, yi], axis=1).reshape(-1, block)[:r]
     y = y.reshape(*batch, nblk, block)[..., m - 1:]  # valid region

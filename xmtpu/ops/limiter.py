@@ -114,6 +114,24 @@ def soft_knee_gain_db(level_db, threshold_db: float, knee_db: float,
     return -red
 
 
+def apply_gain_curve(x, e2, threshold_db: float, knee_db: float = 6.0,
+                     ceiling_db: float = 0.0, ratio: float = float("inf"),
+                     makeup_db: float = 0.0):
+    """Steps 4-5 of the pinned limiter math: soft-knee static curve on
+    the smoothed envelope ``e2`` (..., n), gain applied to ``x``
+    (..., ch, n), safety clamp. Elementwise — fuses in XLA. Split out so
+    fused kernels that produce ``e2`` in-kernel (``kernels.eq_env``)
+    share the exact same curve as :func:`limiter`."""
+    level_db = 20.0 * jnp.log10(jnp.maximum(e2, _EPS))
+    g = jnp.power(
+        10.0,
+        (soft_knee_gain_db(level_db, threshold_db, knee_db, ratio) + makeup_db)
+        / 20.0,
+    )
+    ceil_amp = 10.0 ** (ceiling_db / 20.0)
+    return jnp.clip(x * g[..., None, :], -ceil_amp, ceil_amp)
+
+
 def limiter(
     x: jnp.ndarray,
     sr: int,
@@ -161,14 +179,8 @@ def limiter(
         )
     else:
         raise ValueError(f"unknown limiter backend {backend!r}")
-    level_db = 20.0 * jnp.log10(jnp.maximum(e2, _EPS))
-    g = jnp.power(
-        10.0,
-        (soft_knee_gain_db(level_db, threshold_db, knee_db, ratio) + makeup_db)
-        / 20.0,
-    )
-    ceil_amp = 10.0 ** (ceiling_db / 20.0)
-    y = jnp.clip(xf * g[..., None, :], -ceil_amp, ceil_amp)
+    y = apply_gain_curve(xf, e2, threshold_db, knee_db, ceiling_db, ratio,
+                         makeup_db)
     return y.astype(in_dtype), (env_last, sm_last)
 
 
