@@ -68,3 +68,42 @@ def test_cli_batch(tone, tmp_path):
 def test_cli_unknown_subcommand():
     with pytest.raises(SystemExit):
         main(["frobnicate"])
+
+
+def test_cli_effects_flat_params(tone, tmp_path):
+    """Chain entries without a nested "params" dict (the api.effects
+    flat form) must work through the CLI too (round-2 /verify find)."""
+    inp, _sr = tone
+    out = str(tmp_path / "fx_flat.wav")
+    chain = [
+        {"name": "equalizer",
+         "bands": [{"freq_hz": 300.0, "gain_db": 3.0, "q": 1.0}]},
+        {"name": "limiter", "threshold_db": -3.0},
+    ]
+    cpath = tmp_path / "chain_flat.json"
+    cpath.write_text(json.dumps(chain))
+    assert main(["effects", inp, out, "--chain", str(cpath)]) == 0
+    pcm, sr = read_wav(out)
+    assert np.asarray(pcm).size > 0
+
+
+def test_equalizer_requires_bands():
+    """A band-less equalizer config raises ConfigError, not a crash
+    deep inside the scan (round-2 /verify find)."""
+    import pytest as _pytest
+    from xmtpu.graph import fx as _fx
+    from xmtpu.utils.errors import ConfigError
+
+    with _pytest.raises(ConfigError):
+        _fx.build_chain(16000, [{"name": "equalizer"}])
+
+
+def test_sosfilt_scan_empty_cascade_is_identity(rng):
+    """S=0 sos: identity output, (0, ..., 2) state."""
+    from xmtpu.ops import biquad as _biquad
+    import jax.numpy as jnp
+
+    x = rng.standard_normal((2, 64)).astype(np.float32)
+    y, zf = _biquad.sosfilt_scan(np.zeros((0, 6)), jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(y), x)
+    assert zf.shape == (0, 2, 2)

@@ -34,8 +34,8 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _resample_kernel(x_hbm, hbank_ref, o_ref, slab_ref, sem, *,
-                     tj, nslab, rows_dma):
+def _resample_kernel(x_hbm, h0_ref, h1_ref, o_ref, slab_ref, sem, *,
+                     tj, rows_dma, lanes2, precision):
     r = pl.program_id(0)
     c = pl.program_id(1)
     dma = pltpu.make_async_copy(  # rows_dma is 8-aligned (Mosaic tiling)
@@ -43,29 +43,32 @@ def _resample_kernel(x_hbm, hbank_ref, o_ref, slab_ref, sem, *,
     )
     dma.start()
     dma.wait()
-    # F @ hbank decomposed per slab: F = [A_0 | A_1 | ...] with
-    # A_i = slab[i : i+tj, :], so F @ hbank = sum_i A_i @ hbank[i] where
-    # hbank[i] holds filter rows [i*m, (i+1)*m) (host-padded). Mosaic
-    # can't concatenate offset row-slices, but it can feed them to the
-    # MXU directly.
-    # precision=HIGHEST: TPU default-precision matmul is bf16, which
-    # costs ~90 dB of accuracy here (measured -52 dB vs -142 dB;
-    # SURVEY.md §7.4① rule — every DSP dot product must set this)
-    acc = jnp.zeros(o_ref.shape[1:], jnp.float32)
-    for i in range(nslab):
+    # Banded F @ hbank: the filter band spans u in [0, width) with
+    # width <= M + K2 < 2M, i.e. input rows c and c+1 only. So instead
+    # of ceil(width/M)+1 FULL-width dots against a mostly-zero bank
+    # (3x dense flops), do exactly two: row c against the first M bank
+    # rows, and row c+1's first K2 lanes against the K2-row remainder.
+    # precision>=HIGH mandatory: TPU default-precision matmul is bf16,
+    # which costs ~90 dB here (measured -52 dB vs -142 dB; SURVEY.md
+    # §7.4① rule — every DSP dot product must set this).
+    acc = jnp.dot(
+        slab_ref[0:tj, :], h0_ref[:, :],
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    if lanes2:  # width > M: the band's tail rows live in input row c+1
         acc = acc + jnp.dot(
-            slab_ref[i : i + tj, :],
-            hbank_ref[i],
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            slab_ref[1 : 1 + tj, 0:lanes2], h1_ref[0:lanes2, :],
+            preferred_element_type=jnp.float32, precision=precision,
         )
     o_ref[0, :, :] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("L", "M", "taps_per_phase",
-                                             "beta", "tj", "interpret"))
+                                             "beta", "tj", "interpret",
+                                             "precision"))
 def _resample_pallas_2d(x2d, L, M, taps_per_phase=24, beta=9.0, tj=128,
-                        interpret=False):
+                        interpret=False,
+                        precision=jax.lax.Precision.HIGHEST):
     """x2d: (R, n) f32 -> (R, out_len) f32. Same pinned semantics as
     ops.resample._apply_plan (shared plan/hbank)."""
     plan = _ops.make_plan(L, M, taps_per_phase, beta)
@@ -74,8 +77,8 @@ def _resample_pallas_2d(x2d, L, M, taps_per_phase=24, beta=9.0, tj=128,
     nj = _cdiv(out_len, L)
     njp = _cdiv(nj, tj) * tj  # output blocks padded to a tile multiple
     width = plan.width
-    nslab = _cdiv(width, M) + 1
-    rows_dma = _cdiv(tj + nslab, 8) * 8  # sublane-aligned DMA block
+    assert width <= 2 * M, (width, M)  # guaranteed by the M >= 64 gate
+    rows_dma = _cdiv(tj + 1, 8) * 8  # sublane-aligned DMA block
     rows_total = njp + (rows_dma - tj)
 
     m_pad = _cdiv(M, 128) * 128  # lane-aligned row width (Mosaic DMA rule)
@@ -92,19 +95,25 @@ def _resample_pallas_2d(x2d, L, M, taps_per_phase=24, beta=9.0, tj=128,
     xs3 = jnp.pad(xs.reshape(R, rows_total, M),
                   ((0, 0), (0, 0), (0, m_pad - M)))
 
-    hbank = jnp.asarray(plan.hbank, jnp.float32)
-    hbank = jnp.pad(hbank, ((0, nslab * M - width), (0, 0)))
-    hbank3 = jnp.pad(hbank.reshape(nslab, M, plan.L),
-                     ((0, 0), (0, m_pad - M), (0, 0)))
-    kern = functools.partial(_resample_kernel, tj=tj, nslab=nslab,
-                             rows_dma=rows_dma)
+    # banded filter split (see _resample_kernel): rows [0, min(M, width))
+    # against input row c, rows [M, width) against row c+1's first lanes
+    h0 = np.zeros((m_pad, plan.L), np.float32)
+    h0[: min(M, width)] = plan.hbank[: min(M, width)]
+    w2 = max(0, width - M)
+    lanes2 = _cdiv(w2, 128) * 128 if w2 else 0
+    h1 = np.zeros((max(lanes2, 8), plan.L), np.float32)
+    if w2:
+        h1[:w2] = plan.hbank[M:width]
+    kern = functools.partial(_resample_kernel, tj=tj, rows_dma=rows_dma,
+                             lanes2=lanes2, precision=precision)
     with jax.enable_x64(False):  # Mosaic rejects i64 index types
         out = pl.pallas_call(
             kern,
             grid=(R, njp // tj),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),  # xs3 in HBM, manual DMA
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # hbank whole
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # h0 whole
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # h1 whole
             ],
             out_specs=pl.BlockSpec((1, tj, plan.L), lambda r, c: (r, c, 0),
                                    memory_space=pltpu.VMEM),
@@ -114,12 +123,13 @@ def _resample_pallas_2d(x2d, L, M, taps_per_phase=24, beta=9.0, tj=128,
                 pltpu.SemaphoreType.DMA(()),
             ],
             interpret=interpret,
-        )(xs3, hbank3)
+        )(xs3, jnp.asarray(h0), jnp.asarray(h1))
     return out.reshape(R, njp * plan.L)[:, :out_len]
 
 
 def resample_pallas(x, sr_in: int, sr_out: int, taps_per_phase: int = 24,
-                    beta: float = 9.0, tj: int = 128, interpret: bool = False):
+                    beta: float = 9.0, tj: int = 128, interpret: bool = False,
+                    precision=jax.lax.Precision.HIGHEST):
     """Drop-in twin of ops.resample.polyphase_resample (f32)."""
     g = math.gcd(int(sr_in), int(sr_out))
     L, M = sr_out // g, sr_in // g
@@ -132,5 +142,5 @@ def resample_pallas(x, sr_in: int, sr_out: int, taps_per_phase: int = 24,
     n = x.shape[-1]
     R = int(np.prod(batch)) if batch else 1
     y = _resample_pallas_2d(x.reshape(R, n), L, M, taps_per_phase, beta,
-                            tj=tj, interpret=interpret)
+                            tj=tj, interpret=interpret, precision=precision)
     return y.reshape(*batch, y.shape[-1]).astype(x.dtype)

@@ -145,17 +145,23 @@ def polyphase_resample(
     taps_per_phase: int = 24,
     beta: float = 9.0,
     dtype=jnp.float32,
+    method: str = "banded",
+    precision=jax.lax.Precision.HIGHEST,
 ) -> jnp.ndarray:
     """Resample the last axis of ``x`` from sr_in to sr_out. Jittable.
 
     ``x``: float array shaped (..., n). Returns (..., ceil(n*L/M)).
+    ``method``: "banded" (two dense matmuls — fastest, see _apply_plan),
+    "conv" (stride-M conv_general_dilated) or "window" (explicit frame
+    matmul). ``precision``: MXU precision (HIGHEST default; HIGH passes
+    the -80 dB budget at ~-98 dB and is ~15% faster when flop-bound).
     """
     g = math.gcd(int(sr_in), int(sr_out))
     L, M = sr_out // g, sr_in // g
     if L == M:
         return x.astype(dtype)
     plan = _make_plan(L, M, taps_per_phase, beta)
-    return _apply_plan(x, plan, dtype)
+    return _apply_plan(x, plan, dtype, method=method, precision=precision)
 
 
 def plan_rows(plan: ResamplePlan, nj: int) -> int:
@@ -190,7 +196,8 @@ def resample_window(xs: jnp.ndarray, plan: ResamplePlan, nj: int, dtype=jnp.floa
 
 
 def _apply_plan(x: jnp.ndarray, plan: ResamplePlan, dtype,
-                method: str = "conv") -> jnp.ndarray:
+                method: str = "banded",
+                precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     L, M = plan.L, plan.M
     n = x.shape[-1]
     out_len = resample_output_len(n, L, M)
@@ -204,6 +211,67 @@ def _apply_plan(x: jnp.ndarray, plan: ResamplePlan, dtype,
     pad_r = max(0, plan.base + need - (n + plan.pad_left))
     xpad = jnp.pad(x, [(0, 0)] * len(batch) + [(plan.pad_left, pad_r)])
     xs = jax.lax.slice_in_dim(xpad, plan.base, plan.base + need, axis=-1)
+    if method == "banded" and plan.width > 2 * M:
+        method = "conv"  # tiny M (upsampling): band spans many rows
+    if method == "banded" and n % M == 0 and n >= 2 * M and nj * L == out_len:
+        # Zero-copy aligned fast path. Measured (TPU v5e via axon,
+        # 512x441k rows): the pure (R*nj, M)@(M, L) matmul is 5.7 ms but
+        # every pad/slice prep of the 900 MB input costs ~4-9 ms more
+        # (HBM measured ~207 GB/s); when n divides by M the frame
+        # matrix A[c] = x[c*M:(c+1)*M] is a FREE reshape. Windows still
+        # reach a few samples into rows c-1 / c+1 (the filter's group-
+        # delay offset delta and the band tail), but only for the first
+        # r0 / last L-r2 output phases -- two small side matmuls against
+        # narrow lane slices patch exactly those output columns.
+        delta = plan.base - plan.pad_left
+        s = delta + plan.col_start  # [L] window start relative to c*M
+        K2 = plan.K2
+        lo = int(s.min())  # < 0: first |lo| taps live in row c-1
+        hi = int(s.max()) + K2 - M  # > 0: last hi taps live in row c+1
+        Hfull = np.zeros((M + max(hi, 0) - min(lo, 0), L), np.float64)
+        for r in range(L):
+            Hfull[int(s[r]) - min(lo, 0): int(s[r]) - min(lo, 0) + K2, r] \
+                = plan.hsel[r]
+        off = -min(lo, 0)
+        _HI = jax.lax.Precision.HIGHEST if precision is None else precision
+        bshape = x.shape[:-1]
+        nc = n // M
+        A = x.reshape(*bshape, nc, M)
+        H1 = jnp.asarray(Hfull[off: off + M], dtype)
+        out = jnp.matmul(A, H1, precision=_HI)
+        if lo < 0:
+            r0 = int(np.sum(s < 0))  # s monotone: phases [0, r0)
+            C0 = jnp.matmul(A[..., M + lo:],
+                            jnp.asarray(Hfull[:off, :r0], dtype),
+                            precision=_HI)
+            out = out.at[..., 1:, :r0].add(C0[..., :-1, :])
+        if hi > 0:
+            r2 = int(np.argmax(s + K2 > M)) if np.any(s + K2 > M) else L
+            C2 = jnp.matmul(A[..., :hi],
+                            jnp.asarray(Hfull[off + M:, r2:], dtype),
+                            precision=_HI)
+            out = out.at[..., :-1, r2:].add(C2[..., 1:, :])
+        return out.reshape(*bshape, nj * L)
+    if method == "banded":
+        # The filter band spans u in [0, width) with width < 2M, so
+        # F[c, :] = [A[c] | A[c+1, :width-M]] and the whole resample is
+        # TWO plain dense matmuls on (near) zero-copy reshapes of xs —
+        # no frame concat (the 'window' path's 3x traffic), no exotic
+        # strided conv (XLA lowers it ~7x off the memory roofline:
+        # measured 18.3 ms vs 2.9 ms at 512x441k rows). The zero-flop
+        # overhead of the banded-but-dense filter table is free on the
+        # MXU; traffic is ~1x input + 1x output.
+        assert plan.width <= 2 * M, (plan.width, M)
+        bshape = x.shape[:-1]
+        A = xs[..., : nj * M].reshape(*bshape, nj, M)
+        out = jnp.matmul(A, jnp.asarray(plan.hbank[:M], dtype),
+                         precision=precision)
+        if plan.width > M:
+            k2 = plan.width - M
+            A1 = xs[..., M : (nj + 1) * M].reshape(*bshape, nj, M)[..., :k2]
+            out = out + jnp.matmul(A1, jnp.asarray(plan.hbank[M:], dtype),
+                                   precision=precision)
+        return out.reshape(*bshape, nj * L)[..., :out_len]
     if method == "conv":
         # out[.., c, r] = sum_u xs[.., c*M + u] * hbank[u, r]: a stride-M
         # conv with L output channels — XLA's TPU conv never materializes
