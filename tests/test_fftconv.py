@@ -1,0 +1,73 @@
+"""kernels/fftconv.py: VMEM-resident overlap-save DFT convolution.
+
+Interpret-mode (CPU) checks against the scipy f64 oracle; the bf16
+3-pass split arithmetic runs identically under interpret, so these
+accuracies are representative of chip behavior (chip spot-check
+measured -98.9 dB at the config-3 shape, round 2).
+"""
+
+import numpy as np
+import pytest
+from scipy import signal
+
+import jax.numpy as jnp
+
+from xmtpu.kernels.fftconv import fir_convolve_os_pallas
+from xmtpu.ops import reverb as _rv
+
+
+def _err_db(y, ref):
+    return 10 * np.log10(
+        np.mean((np.asarray(y, np.float64) - ref) ** 2) / np.mean(ref**2)
+    )
+
+
+@pytest.mark.parametrize(
+    "R,n,m,block,gp",
+    [
+        (3, 48000, 24000, 65536, None),  # odd rows, config-3-like IR
+        (4, 48000, 8000, 16384, 2),      # multi-frame, grouped
+        (1, 9600, 4000, 32768, 4),       # single row, n < hop
+        (5, 48000, 4000, 16384, None),   # rows % 2*gp != 0
+    ],
+)
+def test_fftconv_matches_oracle(rng, R, n, m, block, gp):
+    x = rng.standard_normal((R, n)).astype(np.float32)
+    ir = rng.standard_normal(m) * np.exp(-np.arange(m) / m * 5.0)
+    ir /= np.sqrt((ir**2).sum())
+    y = fir_convolve_os_pallas(jnp.asarray(x), ir, block=block, gp=gp,
+                               interpret=True)
+    ref = signal.fftconvolve(x.astype(np.float64), ir[None, :],
+                             axes=-1)[:, :n]
+    assert y.shape == x.shape
+    err = _err_db(y, ref)
+    assert err < -90, err
+
+
+def test_fftconv_3d_batch(rng):
+    """(B, C, n) batches flatten/restore through the kernel."""
+    x = rng.standard_normal((2, 2, 9600)).astype(np.float32)
+    ir = _rv.synthetic_ir(0.1, 16000)
+    y = fir_convolve_os_pallas(jnp.asarray(x), ir, block=16384,
+                               interpret=True)
+    ref = signal.fftconvolve(
+        x.astype(np.float64), np.asarray(ir)[None, None, :], axes=-1
+    )[..., :9600]
+    assert y.shape == x.shape
+    assert _err_db(y, ref) < -90
+
+
+def test_fftconv_block_too_small():
+    with pytest.raises(ValueError):
+        fir_convolve_os_pallas(jnp.zeros((2, 1000)), np.ones(24000),
+                               block=32768, interpret=True)
+
+
+def test_reverb_pallas_backend_matches_xla(rng):
+    """reverb(backend='pallas') == reverb(backend='xla') wet/dry mix."""
+    x = rng.standard_normal((2, 9600)).astype(np.float32)
+    ir = _rv.synthetic_ir(0.1, 16000)
+    y_pl = _rv.reverb(jnp.asarray(x), jnp.asarray(ir), backend="pallas",
+                      block=16384, interpret=True)
+    ref = _rv.reverb_np(x, np.asarray(ir))
+    assert _err_db(y_pl, ref) < -90

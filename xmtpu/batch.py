@@ -132,9 +132,12 @@ def make_flagship_step(
             from xmtpu.kernels.eq_env import eq_env_pallas
 
             with stage("reverb"):
-                # overlap-save blocks of MXU DFT matmuls (ops/fftmm.py)
+                # VMEM-resident overlap-save DFT kernel (kernels/
+                # fftconv.py): 7.1 ms vs 16-24 ms for the XLA einsum
+                # four-step at batch 256 (HBM-bound on intermediates)
                 out = _reverb.reverb(out, ir, wet=wet, dry=dry,
-                                     block=16384, backend="mxu")
+                                     block=32768, gp=8, backend="pallas",
+                                     interpret=interpret)
             with stage("eq+limiter"):
                 k_rel = _limiter._release_coeff(100.0, sr_bus)
                 c_att = _limiter._attack_coeff(1.0, sr_bus)
@@ -147,7 +150,8 @@ def make_flagship_step(
             out = eq(out)
         with stage("reverb"):
             out = _reverb.reverb(out, ir, wet=wet, dry=dry,
-                                 block=16384, backend="mxu")
+                                 block=32768, gp=8, backend="pallas",
+                                 interpret=interpret)
         with stage("limiter"):
             out, _ = _limiter.limiter(
                 out[..., None, :], sr_bus, threshold_db=threshold_db,
@@ -223,7 +227,8 @@ def make_batch_step(
             from xmtpu.kernels.eq_env import eq_env_pallas
 
             out = _reverb.reverb(out, ir, wet=wet, dry=dry,
-                                 block=16384, backend="mxu")
+                                 block=32768, gp=8, backend="pallas",
+                                 interpret=interpret)
             k_rel = _limiter._release_coeff(100.0, sr_bus)
             c_att = _limiter._attack_coeff(1.0, sr_bus)
             y, e2, _, _ = eq_env_pallas(sos, out, k_rel, c_att,
@@ -233,7 +238,8 @@ def make_batch_step(
             return _convert.f32_to_pcm16(out * mask)
         out, _ = sosfilt_pallas(sos, out, interpret=interpret)
         out = _reverb.reverb(out, ir, wet=wet, dry=dry,
-                             block=16384, backend="mxu")
+                             block=32768, gp=8, backend="pallas",
+                             interpret=interpret)
         out, _ = _limiter.limiter(
             out[..., None, :], sr_bus, threshold_db=threshold_db,
             backend=("pallas_interpret" if interpret else "pallas"),

@@ -103,11 +103,12 @@ def config3_effects(batch=16, seconds=10.0, sr=48000):
     @jax.jit
     def run(x):
         y, _ = sosfilt_pallas(sos, x, interpret=interp)
-        # MXU-DFT overlap-save at HIGH (3-pass f32) matmul precision:
-        # 16.3 ms vs 22.1 ms XLA full transform at this shape; -89 dB
-        # vs the XLA FFT on-chip, scaled further down by wet=0.3
-        y = reverb.reverb(y, ir, block=131072, backend="mxu",
-                          precision=jax.lax.Precision.HIGH)
+        # VMEM-resident overlap-save DFT kernel (kernels/fftconv.py):
+        # 4.6 ms vs 8.8 ms for the XLA-einsum four-step at this shape
+        # (that path is HBM-bound on stage intermediates); -99 dB vs
+        # the f64 oracle, scaled further down by wet=0.3
+        y = reverb.reverb(y, ir, block=65536, gp=1, backend="pallas",
+                          interpret=interp)
         y, _ = limiter.limiter(
             y, sr, backend="pallas_interpret" if interp else "pallas"
         )

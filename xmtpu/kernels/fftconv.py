@@ -1,0 +1,289 @@
+"""Pallas kernel: overlap-save FIR convolution with VMEM-resident
+four-step MXU DFTs — the whole forward-DFT / spectral-multiply /
+inverse-DFT pipeline of one block runs between ONE input DMA and ONE
+output store.
+
+Reference analogue: the reverb convolution hot loop of
+``src/effects/reverb/`` [upstream, SURVEY.md §2.1].
+
+Why a kernel when ``ops.fftmm`` already routes the DFTs to the MXU:
+the XLA einsum pipeline materializes every stage to HBM — measured
+round 2 it is exactly HBM-bound (~2.2 GB of intermediates / 207 GB/s
+= the observed 10.6 ms at the config-3 shape) while its flops need
+only ~2 ms. Keeping one block's six stages in VMEM cuts traffic to
+input + output only (~13x).
+
+Precision: Mosaic rejects XLA ``precision=`` on dots (a plain f32
+``jnp.dot`` lowers to ONE bf16 pass: measured -52.6 dB). Every matmul
+here is therefore a hand-rolled 3-pass bf16 split (hi/lo operand
+decomposition, f32 accumulate) — measured -107 dB on a (256,256)x
+(256,512) dot on chip, better than XLA HIGH's -97.7 dB.
+
+Math (see ops/fftmm.py for the four-step factorization): with
+symmetric DFT matrices W1, W2 and conj(W) @ v == conj(W @ conj(v)),
+the inverse reuses the forward's two matmul stages:
+
+    a  = W1 @ z            (contract n1;  [n1,n1] @ [n1,n2])
+    b  = tw * a            (elementwise twiddle)
+    X  = b @ W2            (contract n2;  [n1,n2] @ [n2,n2])
+    S  = (H/B) * X         (spectral multiply, 1/B folded into H)
+    y  = conj( W1 @ (tw * (conj(S) @ W2)) )
+
+Each complex matmul uses Gauss's 3-multiplication identity (the sum
+matrices Ws = Wr + Wi are host-precomputed) — 25% fewer MXU flops;
+with everything on-chip the extra elementwise work is free.
+
+Layout: rows pair two-for-one onto complex transforms (conv of a
+complex signal with a real IR is the convs of its real/imag parts).
+``hop`` is rounded down to a multiple of 8*n2 so every DMA offset and
+block is tile-aligned; frames are (n1, n2) sub-blocks of the padded
+signal viewed as (R, rows, n2) — zero host-side framing copies.
+"""
+
+from __future__ import annotations
+
+import functools
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from xmtpu.ops.fftmm import _split_factors
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _split_host(a: np.ndarray):
+    """f64/f32 -> (hi, lo) bf16 numpy pair (3-pass operand split)."""
+    import ml_dtypes
+
+    a32 = np.asarray(a, np.float32)
+    hi = a32.astype(ml_dtypes.bfloat16)
+    lo = (a32 - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    return hi, lo
+
+
+@lru_cache(maxsize=8)
+def _consts_np(block: int, ir_bytes: bytes, m: int):
+    """Host-side DFT/filter constants for one (block, IR). NUMPY only
+    (the lru_cache must never hold tracers — fftmm._dft_consts rule)."""
+    ir = np.frombuffer(ir_bytes, np.float64)
+    n1, n2 = _split_factors(block)
+    j1, j2 = np.arange(n1), np.arange(n2)
+    w1 = np.exp(-2j * np.pi * np.outer(j1, j1) / n1)
+    w2 = np.exp(-2j * np.pi * np.outer(j2, j2) / n2)
+    tw = np.exp(-2j * np.pi * np.outer(j1, j2) / block)
+    H = np.fft.fft(ir, block) / block  # 1/B folded here
+    Hs = H.reshape(n2, n1).T  # scrambled [k1, k2] layout
+    out = {}
+    for name, mat in (("w1r", w1.real), ("w1i", w1.imag),
+                      ("w1s", w1.real + w1.imag),
+                      ("w2r", w2.real), ("w2i", w2.imag),
+                      ("w2s", w2.real + w2.imag)):
+        out[name + "h"], out[name + "l"] = _split_host(mat)
+    out["twr"] = np.ascontiguousarray(tw.real, np.float32)
+    out["twi"] = np.ascontiguousarray(tw.imag, np.float32)
+    out["hr"] = np.ascontiguousarray(Hs.real, np.float32)
+    out["hi"] = np.ascontiguousarray(Hs.imag, np.float32)
+    return out
+
+
+_W_NAMES = ("w1rh", "w1rl", "w1ih", "w1il", "w1sh", "w1sl",
+            "w2rh", "w2rl", "w2ih", "w2il", "w2sh", "w2sl",
+            "twr", "twi", "hr", "hi")
+
+
+def _split(v):
+    h = v.astype(jnp.bfloat16)
+    return h, (v - h.astype(jnp.float32)).astype(jnp.bfloat16)
+
+
+def _dot3(ah, al, bh, bl):
+    """3-pass bf16 a @ b with f32 accumulate (the a_lo*b_lo term is
+    below the f32 mantissa — HIGH-equivalent, measured -107 dB)."""
+    f = jnp.float32
+    return (jnp.dot(ah, bh, preferred_element_type=f)
+            + jnp.dot(ah, bl, preferred_element_type=f)
+            + jnp.dot(al, bh, preferred_element_type=f))
+
+
+def _cmm(w, pre, vr, vi, right: bool):
+    """Gauss 3-mult complex matmul: W @ v (right=False) or v @ W
+    (right=True); W's r/i/s parts host-split into bf16 hi/lo pairs."""
+    vs = vr + vi
+    vrh, vrl = _split(vr)
+    vih, vil = _split(vi)
+    vsh, vsl = _split(vs)
+    if right:
+        m1 = _dot3(vrh, vrl, w[pre + "rh"], w[pre + "rl"])
+        m2 = _dot3(vih, vil, w[pre + "ih"], w[pre + "il"])
+        m3 = _dot3(vsh, vsl, w[pre + "sh"], w[pre + "sl"])
+    else:
+        m1 = _dot3(w[pre + "rh"], w[pre + "rl"], vrh, vrl)
+        m2 = _dot3(w[pre + "ih"], w[pre + "il"], vih, vil)
+        m3 = _dot3(w[pre + "sh"], w[pre + "sl"], vsh, vsl)
+    return m1 - m2, m3 - m1 - m2
+
+
+_NW = 16  # len(_W_NAMES)
+
+
+def _fftconv_kernel(x_ref, *refs, hm, pp_rows, gp):
+    """One (pair-group, frame) step over ``gp`` row pairs.
+
+    Perf structure (each measured round 2 at the config-3 shape):
+    - weights live in HBM and are DMA'd into a PERSISTENT VMEM scratch
+      once at the first grid step — as plain VMEM inputs Mosaic
+      re-fetched all ~2-6 MB of them EVERY step (~11-27 us/step, the
+      single biggest cost in the first version of this kernel);
+    - the input BlockSpec delivers the frame's DISJOINT hop rows
+      (auto double-buffered); the block-hop overlap rows are carried
+      across the sequential frame steps in the ``zbuf`` scratch
+      (frame b's window is [carry | hop rows]; the b=0 carry is the
+      overlap-save left zero-pad);
+    - ``gp`` pairs per step amortize the ~15 us fixed grid-step cost.
+    """
+    w_hbm = refs[:_NW]
+    o_ref = refs[_NW]
+    wv = refs[_NW + 1 : 2 * _NW + 1]
+    zbuf = refs[2 * _NW + 1]
+    sem = refs[2 * _NW + 2]
+    p = pl.program_id(0)
+    b = pl.program_id(1)
+    n1 = zbuf.shape[1]
+
+    @pl.when((p == 0) & (b == 0))
+    def _():
+        for i in range(_NW):
+            cp = pltpu.make_async_copy(w_hbm[i], wv[i], sem)
+            cp.start()
+            cp.wait()
+
+    w = {name: wv[i][:] for i, name in enumerate(_W_NAMES)}
+
+    @pl.when(b == 0)
+    def _():
+        zbuf[:, :pp_rows] = jnp.zeros_like(zbuf[:, :pp_rows])
+
+    @pl.when(b != 0)
+    def _():
+        # next carry = last pp rows of the previous window (disjoint
+        # from the destination rows: n1 >= 2*pp_rows by construction)
+        zbuf[:, :pp_rows] = zbuf[:, n1 - pp_rows :]
+
+    zbuf[:, pp_rows:] = x_ref[:]
+    for g in range(gp):
+        zr = zbuf[2 * g]
+        zi = zbuf[2 * g + 1]
+        ar, ai = _cmm(w, "w1", zr, zi, right=False)    # forward N1-DFT
+        br = ar * w["twr"] - ai * w["twi"]              # twiddle
+        bi = ar * w["twi"] + ai * w["twr"]
+        xr, xi = _cmm(w, "w2", br, bi, right=True)      # forward N2-DFT
+        sr = xr * w["hr"] - xi * w["hi"]                # spectral multiply
+        si = xr * w["hi"] + xi * w["hr"]
+        # inverse via the conjugation identity (module docstring): the
+        # same two stage matrices rerun on conj(S); conjugate the result
+        ur, ui = _cmm(w, "w2", sr, -si, right=True)
+        vr = ur * w["twr"] - ui * w["twi"]
+        vi = ur * w["twi"] + ui * w["twr"]
+        yr, yi = _cmm(w, "w1", vr, vi, right=False)
+        o_ref[2 * g] = yr[pp_rows:, :]
+        o_ref[2 * g + 1] = -yi[pp_rows:, :]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block", "hm", "pp_rows", "nblk", "n", "gp",
+                     "interpret"),
+)
+def _fftconv_2d(x2d, weights, block, hm, pp_rows, nblk, n, gp, interpret):
+    """x2d: (R, n) f32, R a multiple of 2*gp -> (R, n) f32 same-length
+    causal conv.
+
+    ``weights``: tuple of jnp arrays in _W_NAMES order. Static geometry
+    (all multiples of the f32 (8, n2) tile): hop = hm*n2 useful samples
+    per frame, pp = pp_rows*n2 = block - hop samples of left overlap.
+    """
+    n1, n2 = _split_factors(block)
+    R = x2d.shape[0]
+    hop = hm * n2
+    # disjoint hop tiling (the carry scratch supplies the overlap):
+    # right-pad to nblk*hop and view as (R, nblk*hm, n2)
+    xp = jnp.pad(x2d.astype(jnp.float32), ((0, 0), (0, nblk * hop - n)))
+    x3 = xp.reshape(R, nblk * hm, n2)
+    kern = functools.partial(_fftconv_kernel, hm=hm, pp_rows=pp_rows, gp=gp)
+    wscratch = [pltpu.VMEM(wa.shape, wa.dtype) for wa in weights]
+    with jax.enable_x64(False):  # Mosaic rejects i64 index types
+        out = pl.pallas_call(
+            kern,
+            grid=(R // (2 * gp), nblk),
+            in_specs=[pl.BlockSpec((2 * gp, hm, n2), lambda p, b: (p, b, 0),
+                                   memory_space=pltpu.VMEM)]
+            + [pl.BlockSpec(memory_space=pl.ANY)] * len(_W_NAMES),
+            out_specs=pl.BlockSpec((2 * gp, hm, n2), lambda p, b: (p, b, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((R, nblk * hm, n2), jnp.float32),
+            scratch_shapes=wscratch
+            + [pltpu.VMEM((2 * gp, n1, n2), jnp.float32),
+               pltpu.SemaphoreType.DMA(())],
+            interpret=interpret,
+        )(x3, *weights)
+    return out.reshape(R, nblk * hm * n2)[:, :n]
+
+
+def _auto_gp(block: int, n1: int, n2: int, R: int) -> int:
+    """Pairs per grid step: as many as fit a ~10 MB VMEM budget
+    (weights scratch + zbuf + double-buffered in/out blocks)."""
+    wbytes = 6 * (n1 * n1 + n2 * n2) * 2 + 4 * n1 * n2 * 4
+    gp = 1
+    while gp < 8 and 2 * gp <= max(2, R // 2):
+        nxt = gp * 2
+        need = wbytes + nxt * 2 * n1 * n2 * 4 * 3  # zbuf + 2x in/out bufs
+        if need > 10 << 20:
+            break
+        gp = nxt
+    return gp
+
+
+def fir_convolve_os_pallas(x: jnp.ndarray, ir, block: int = 65536,
+                           gp: int | None = None,
+                           interpret: bool = False) -> jnp.ndarray:
+    """Same-length causal convolution of the last axis with host-known
+    ``ir``; drop-in twin of ops.fftmm.fir_convolve_os_mxu.
+
+    Requires power-of-two ``block`` with an aligned hop of at least
+    block/2 (i.e. block >= ~2*len(ir)). Rows pair two-for-one onto
+    complex transforms and process ``gp`` pairs per grid step (None =
+    auto from the VMEM budget); the row count is zero-padded up to a
+    multiple of 2*gp.
+    """
+    ir_np = np.ascontiguousarray(np.asarray(ir, np.float64))
+    m = ir_np.shape[-1]
+    n1, n2 = _split_factors(block)
+    hop = (block - (m - 1)) // (8 * n2) * (8 * n2)
+    if hop <= 0 or 2 * (block - hop) > n1 * n2:
+        # second clause: the carry-shift scratch copy needs the overlap
+        # to fit in the first half of the window (disjoint rows)
+        raise ValueError(
+            f"block {block} too small for {m}-tap IR (needs an aligned "
+            f"hop >= block/2; got hop={hop})")
+    hm, pp_rows = hop // n2, (block - hop) // n2
+    n = x.shape[-1]
+    nblk = _cdiv(n, hop)
+    batch = x.shape[:-1]
+    R = int(np.prod(batch)) if batch else 1
+    if gp is None:
+        gp = _auto_gp(block, n1, n2, R)
+    x2 = x.reshape(R, n).astype(jnp.float32)
+    rpad = _cdiv(R, 2 * gp) * 2 * gp - R
+    if rpad:
+        x2 = jnp.concatenate([x2, jnp.zeros((rpad, n), jnp.float32)])
+    c = _consts_np(block, ir_np.tobytes(), m)
+    weights = tuple(jnp.asarray(c[k]) for k in _W_NAMES)
+    y = _fftconv_2d(x2, weights, block, hm, pp_rows, nblk, n, gp, interpret)
+    return y[:R].reshape(*batch, n).astype(x.dtype)

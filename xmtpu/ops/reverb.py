@@ -78,17 +78,27 @@ def fir_convolve_os(x: jnp.ndarray, ir: jnp.ndarray, block: int = 65536):
 def reverb(
     x: jnp.ndarray, ir: jnp.ndarray, wet: float = 0.3, dry: float = 0.7,
     block: int | None = None, backend: str = "xla", precision=None,
+    gp: int | None = None, interpret: bool = False,
 ) -> jnp.ndarray:
     """Wet/dry reverb, output length == input length (tail truncated —
     the reference's same-length PCM-in/PCM-out convention).
 
     ``block``: use overlap-save FFT blocks of this size (perf option;
-    None = one full-size transform). ``backend``: "xla" (jnp.fft) or
-    "mxu" (four-step matmul DFTs on the systolic array — measured
-    1.2-1.5x the XLA FFT at the BASELINE shapes; requires ``ir`` to be
-    a host-known numpy array and a power-of-two ``block``)."""
+    None = one full-size transform). ``backend``: "xla" (jnp.fft),
+    "mxu" (four-step matmul DFTs on the systolic array via XLA einsums
+    — measured 1.2-1.5x the XLA FFT at the BASELINE shapes), or
+    "pallas" (kernels/fftconv.py: the whole DFT pipeline VMEM-resident
+    — measured a further 1.9-3.4x over "mxu", which is HBM-bound on
+    stage intermediates). "mxu"/"pallas" require a host-known numpy
+    ``ir`` and a power-of-two ``block``; ``gp``/``interpret`` thread
+    through to the Pallas kernel."""
     n = x.shape[-1]
-    if backend == "mxu":
+    if backend == "pallas":
+        from xmtpu.kernels.fftconv import fir_convolve_os_pallas
+
+        w = fir_convolve_os_pallas(x, np.asarray(ir), block or 65536,
+                                   gp=gp, interpret=interpret)
+    elif backend == "mxu":
         from xmtpu.ops.fftmm import fir_convolve_os_mxu
 
         w = fir_convolve_os_mxu(x, np.asarray(ir), block or 16384,
