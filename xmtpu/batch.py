@@ -102,11 +102,13 @@ def make_flagship_step(
         from xmtpu.utils.profiling import stage
 
         with stage("resample"):
-            v = _convert.pcm16_to_f32(voice_i16)
-            b = _convert.pcm16_to_f32(bgm_i16)
-            # one stacked conv for both tracks: 2B-batch MXU work
-            # instead of two B-batch dispatches
-            vb = _rs(jnp.concatenate([v, b], axis=0), sr_in, sr_bus)
+            # concat the i16 inputs BEFORE the f32 convert: the concat
+            # copy then moves half the bytes (i16), and XLA folds the
+            # convert into the resample matmul's operand read
+            # (measured 14.4 -> 10.6 ms at batch 256)
+            vb = _convert.pcm16_to_f32(
+                jnp.concatenate([voice_i16, bgm_i16], axis=0))
+            vb = _rs(vb, sr_in, sr_bus)
             v, b = jnp.split(vb, 2, axis=0)
         n = v.shape[-1]
         with stage("mix"):
@@ -194,10 +196,9 @@ def make_batch_step(
     def step(voice_i16, bgm_i16, lengths):
         from xmtpu.kernels.iir import sosfilt_pallas
 
-        v = _convert.pcm16_to_f32(voice_i16)
-        b = _convert.pcm16_to_f32(bgm_i16)
-        vb = _resample.polyphase_resample(
-            jnp.concatenate([v, b], axis=0), sr_in, sr_bus)
+        vb = _convert.pcm16_to_f32(
+            jnp.concatenate([voice_i16, bgm_i16], axis=0))
+        vb = _resample.polyphase_resample(vb, sr_in, sr_bus)
         v, b = jnp.split(vb, 2, axis=0)
         n = v.shape[-1]
         # per-clip output lengths at the bus rate: ceil(len * L / M).
