@@ -138,7 +138,7 @@ def make_flagship_step(
                 # fftconv.py): 7.1 ms vs 16-24 ms for the XLA einsum
                 # four-step at batch 256 (HBM-bound on intermediates)
                 out = _reverb.reverb(out, ir, wet=wet, dry=dry,
-                                     block=32768, gp=8, backend="pallas",
+                                     block=32768, gp=16, backend="pallas",
                                      interpret=interpret)
             with stage("eq+limiter"):
                 k_rel = _limiter._release_coeff(100.0, sr_bus)
@@ -152,7 +152,7 @@ def make_flagship_step(
             out = eq(out)
         with stage("reverb"):
             out = _reverb.reverb(out, ir, wet=wet, dry=dry,
-                                 block=32768, gp=8, backend="pallas",
+                                 block=32768, gp=16, backend="pallas",
                                  interpret=interpret)
         with stage("limiter"):
             out, _ = _limiter.limiter(
@@ -228,7 +228,7 @@ def make_batch_step(
             from xmtpu.kernels.eq_env import eq_env_pallas
 
             out = _reverb.reverb(out, ir, wet=wet, dry=dry,
-                                 block=32768, gp=8, backend="pallas",
+                                 block=32768, gp=16, backend="pallas",
                                  interpret=interpret)
             k_rel = _limiter._release_coeff(100.0, sr_bus)
             c_att = _limiter._attack_coeff(1.0, sr_bus)
@@ -239,7 +239,7 @@ def make_batch_step(
             return _convert.f32_to_pcm16(out * mask)
         out, _ = sosfilt_pallas(sos, out, interpret=interpret)
         out = _reverb.reverb(out, ir, wet=wet, dry=dry,
-                             block=32768, gp=8, backend="pallas",
+                             block=32768, gp=16, backend="pallas",
                              interpret=interpret)
         out, _ = _limiter.limiter(
             out[..., None, :], sr_bus, threshold_db=threshold_db,
