@@ -255,3 +255,31 @@ def test_large_batch_fused_path_matches_solo(rng):
     # two-for-one complex packing rounds real-lane and imag-lane rows
     # differently (rr-ii vs ri+ir), so allow 1 int16 LSB
     assert np.max(np.abs(out.astype(np.int32) - out[0].astype(np.int32))) <= 1
+
+
+def test_flagship_long_ir_block_scales(rng):
+    """ir_seconds past the old hard-coded 32768 block must build and run
+    (round-2 review find: block now scales via _reverb_block)."""
+    assert xbatch._reverb_block(4000) == 32768
+    assert xbatch._reverb_block(16800) >= 4 * 16799
+    step = jax.jit(xbatch.make_flagship_step(ir_seconds=1.05,
+                                             interpret=True))
+    v = (rng.standard_normal((2, 44100)) * 8000).astype(np.int16)
+    out = np.asarray(step(jnp.asarray(v), jnp.asarray(v)))
+    assert out.shape[-1] == 16000 and np.abs(out).max() > 0
+
+
+def test_flagship_fused_flag_overrides_shape_heuristic(rng):
+    """fused=True on a small batch runs the eq_env path and stays within
+    the -80 dB gate of the non-fused path (the flag exists so dp shards
+    of a large batch can match the single-chip program — review find)."""
+    v = (rng.standard_normal((2, 44100)) * 8000).astype(np.int16)
+    b = (rng.standard_normal((2, 44100)) * 6000).astype(np.int16)
+    kw = dict(sr_in=SR_IN, sr_bus=SR_BUS, interpret=True)
+    y_f = np.asarray(jax.jit(xbatch.make_flagship_step(fused=True, **kw))(
+        jnp.asarray(v), jnp.asarray(b)))
+    y_n = np.asarray(jax.jit(xbatch.make_flagship_step(fused=False, **kw))(
+        jnp.asarray(v), jnp.asarray(b)))
+    assert y_f.shape == y_n.shape
+    assert rms_db((y_f - y_n).astype(np.float64) / 32768.0,
+                  y_n.astype(np.float64) / 32768.0) < -80

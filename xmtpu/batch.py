@@ -40,6 +40,24 @@ def _interpret_auto() -> bool:
     return jax.devices()[0].platform == "cpu"
 
 
+# Limiter detector time constants shared by the fused (eq_env kernel)
+# and non-fused (ops.limiter) chain paths — one source of truth so the
+# two paths stay the same filter (they are compared to -80 dB in tests).
+LIM_RELEASE_MS = 100.0
+LIM_ATTACK_MS = 1.0
+
+
+def _reverb_block(m: int) -> int:
+    """Power-of-two overlap-save block for an m-tap IR: >= 4*(m-1)
+    keeps the hop above block/2 (kernels/fftconv.py requirement) with
+    alignment slack; floored at 32768, the measured optimum for the
+    headline 4000-tap IR."""
+    b = 32768
+    while b < 4 * max(1, m - 1):
+        b *= 2
+    return b
+
+
 def make_flagship_step(
     sr_in: int = 44100,
     sr_bus: int = 16000,
@@ -53,6 +71,7 @@ def make_flagship_step(
     iir_backend: str = "pallas",
     resample_backend: str = "xla",
     interpret: bool | None = None,
+    fused: bool | None = None,
 ):
     """Build the full-chain step fn(voice_i16[B,n], bgm_i16[B,n]) -> i16[B,m].
 
@@ -125,7 +144,15 @@ def make_flagship_step(
         # The fused EQ+envelope kernel has no small-batch time
         # segmentation, so use it only when the batch already fills the
         # 128 VPU lanes; smaller batches keep the segmented kernels.
-        if iir_backend == "pallas" and int(np.prod(out.shape[:-1])) >= 128:
+        use_fused = fused if fused is not None else (
+            iir_backend == "pallas" and int(np.prod(out.shape[:-1])) >= 128
+        )
+        # NOTE: the auto decision sees the PER-SHARD batch under
+        # shard_map — pass ``fused`` explicitly when sharding a >=128
+        # global batch into <128-row shards, or the sharded program
+        # takes the non-fused path and only matches single-chip to the
+        # -80 dB gate instead of using the same kernels.
+        if use_fused:
             # EQ and reverb are both LTI over the full row, so they
             # commute exactly; evaluating reverb FIRST makes EQ adjacent
             # to the limiter, and kernels/eq_env.py runs the 5-section
@@ -138,11 +165,12 @@ def make_flagship_step(
                 # fftconv.py): 7.1 ms vs 16-24 ms for the XLA einsum
                 # four-step at batch 256 (HBM-bound on intermediates)
                 out = _reverb.reverb(out, ir, wet=wet, dry=dry,
-                                     block=32768, gp=16, backend="pallas",
+                                     block=_reverb_block(ir.shape[-1]),
+                                     gp=16, backend="pallas",
                                      interpret=interpret)
             with stage("eq+limiter"):
-                k_rel = _limiter._release_coeff(100.0, sr_bus)
-                c_att = _limiter._attack_coeff(1.0, sr_bus)
+                k_rel = _limiter._release_coeff(LIM_RELEASE_MS, sr_bus)
+                c_att = _limiter._attack_coeff(LIM_ATTACK_MS, sr_bus)
                 y, e2, _, _ = eq_env_pallas(sos, out, k_rel, c_att,
                                             interpret=interpret)
                 out = _limiter.apply_gain_curve(
@@ -152,11 +180,12 @@ def make_flagship_step(
             out = eq(out)
         with stage("reverb"):
             out = _reverb.reverb(out, ir, wet=wet, dry=dry,
-                                 block=32768, gp=16, backend="pallas",
-                                 interpret=interpret)
+                                 block=_reverb_block(ir.shape[-1]),
+                                 backend="pallas", interpret=interpret)
         with stage("limiter"):
             out, _ = _limiter.limiter(
                 out[..., None, :], sr_bus, threshold_db=threshold_db,
+                release_ms=LIM_RELEASE_MS, attack_ms=LIM_ATTACK_MS,
                 backend=lim_backend,
             )
         return _convert.f32_to_pcm16(out[..., 0, :])
@@ -175,6 +204,7 @@ def make_batch_step(
     fade_ms: float = 250.0,
     threshold_db: float = -3.0,
     interpret: bool | None = None,
+    fused: bool | None = None,
 ):
     """Masked flagship step for RAGGED clip batches (BASELINE.json:10).
 
@@ -222,16 +252,20 @@ def make_batch_step(
         out = out * jnp.where(
             peak > 0, _mix.db_to_amp(-1.0) / jnp.maximum(peak, 1e-30), 1.0
         )
-        if int(np.prod(out.shape[:-1])) >= 128:
+        use_fused = fused if fused is not None else (
+            int(np.prod(out.shape[:-1])) >= 128
+        )
+        if use_fused:
             # reverb-first + fused EQ/envelope kernel — see the twin
             # comment in make_flagship_step (LTI stages commute)
             from xmtpu.kernels.eq_env import eq_env_pallas
 
             out = _reverb.reverb(out, ir, wet=wet, dry=dry,
-                                 block=32768, gp=16, backend="pallas",
+                                 block=_reverb_block(ir.shape[-1]),
+                                 gp=16, backend="pallas",
                                  interpret=interpret)
-            k_rel = _limiter._release_coeff(100.0, sr_bus)
-            c_att = _limiter._attack_coeff(1.0, sr_bus)
+            k_rel = _limiter._release_coeff(LIM_RELEASE_MS, sr_bus)
+            c_att = _limiter._attack_coeff(LIM_ATTACK_MS, sr_bus)
             y, e2, _, _ = eq_env_pallas(sos, out, k_rel, c_att,
                                         interpret=interpret)
             out = _limiter.apply_gain_curve(
@@ -239,10 +273,11 @@ def make_batch_step(
             return _convert.f32_to_pcm16(out * mask)
         out, _ = sosfilt_pallas(sos, out, interpret=interpret)
         out = _reverb.reverb(out, ir, wet=wet, dry=dry,
-                             block=32768, gp=16, backend="pallas",
-                             interpret=interpret)
+                             block=_reverb_block(ir.shape[-1]),
+                             backend="pallas", interpret=interpret)
         out, _ = _limiter.limiter(
             out[..., None, :], sr_bus, threshold_db=threshold_db,
+            release_ms=LIM_RELEASE_MS, attack_ms=LIM_ATTACK_MS,
             backend=("pallas_interpret" if interpret else "pallas"),
         )
         return _convert.f32_to_pcm16(out[..., 0, :] * mask)
@@ -264,7 +299,12 @@ def flagship_step_sharded(mesh, **kw):
     """Flagship step SPMD over the ``dp`` (clip batch) mesh axis via
     shard_map: each device runs the identical per-shard program (Pallas
     kernels included); no collectives needed for pure DP (SURVEY.md
-    §2.2 — peak stats stay per-clip, not global)."""
+    §2.2 — peak stats stay per-clip, not global).
+
+    Pass ``fused=True`` (forwarded to make_flagship_step) when a >=128
+    global batch shards into <128-row shards, so the per-shard program
+    takes the same fused-kernel path as the single-chip step — the
+    auto decision only sees the per-shard shape."""
     step = make_flagship_step(**kw)
     P = jax.sharding.PartitionSpec
     spmd = jax.shard_map(

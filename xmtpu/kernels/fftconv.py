@@ -69,7 +69,7 @@ def _split_host(a: np.ndarray):
 
 
 @lru_cache(maxsize=8)
-def _consts_np(block: int, ir_bytes: bytes, m: int):
+def _consts_np(block: int, ir_bytes: bytes):
     """Host-side DFT/filter constants for one (block, IR). NUMPY only
     (the lru_cache must never hold tracers — fftmm._dft_consts rule)."""
     ir = np.frombuffer(ir_bytes, np.float64)
@@ -133,7 +133,7 @@ def _cmm(w, pre, vr, vi, right: bool):
 _NW = 16  # len(_W_NAMES)
 
 
-def _fftconv_kernel(x_ref, *refs, hm, pp_rows, gp):
+def _fftconv_kernel(x_ref, *refs, pp_rows, gp):
     """One (pair-group, frame) step over ``gp`` row pairs.
 
     Perf structure (each measured round 2 at the config-3 shape):
@@ -235,7 +235,7 @@ def _fftconv_2d(x2d, weights, block, hm, pp_rows, nblk, n, gp, interpret):
     # right-pad to nblk*hop and view as (R, nblk*hm, n2)
     xp = jnp.pad(x2d.astype(jnp.float32), ((0, 0), (0, nblk * hop - n)))
     x3 = xp.reshape(R, nblk * hm, n2)
-    kern = functools.partial(_fftconv_kernel, hm=hm, pp_rows=pp_rows, gp=gp)
+    kern = functools.partial(_fftconv_kernel, pp_rows=pp_rows, gp=gp)
     wscratch = [pltpu.VMEM(wa.shape, wa.dtype) for wa in weights]
     with jax.enable_x64(False):  # Mosaic rejects i64 index types
         out = pl.pallas_call(
@@ -307,7 +307,7 @@ def fir_convolve_os_pallas(x: jnp.ndarray, ir, block: int = 65536,
     rpad = _cdiv(R, 2 * gp) * 2 * gp - R
     if rpad:
         x2 = jnp.concatenate([x2, jnp.zeros((rpad, n), jnp.float32)])
-    c = _consts_np(block, ir_np.tobytes(), m)
+    c = _consts_np(block, ir_np.tobytes())
     weights = tuple(jnp.asarray(c[k]) for k in _W_NAMES)
     y = _fftconv_2d(x2, weights, block, hm, pp_rows, nblk, n, gp, interpret)
     return y[:R].reshape(*batch, n).astype(x.dtype)

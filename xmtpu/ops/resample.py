@@ -206,11 +206,17 @@ def _apply_plan(x: jnp.ndarray, plan: ResamplePlan, dtype,
     x = x.astype(dtype)
     batch = x.shape[:-1]
 
-    # window xs[k] = x[k + base - pad_left], zeros outside [0, n)
-    need = plan_rows(plan, nj) * M
-    pad_r = max(0, plan.base + need - (n + plan.pad_left))
-    xpad = jnp.pad(x, [(0, 0)] * len(batch) + [(plan.pad_left, pad_r)])
-    xs = jax.lax.slice_in_dim(xpad, plan.base, plan.base + need, axis=-1)
+    def _windowed():
+        # window xs[k] = x[k + base - pad_left], zeros outside [0, n) —
+        # built lazily: the aligned fast path below reads x directly,
+        # and eager (non-jit) callers must not pay this pad+slice copy
+        # of the whole input (jit would DCE it; eager would not)
+        need = plan_rows(plan, nj) * M
+        pad_r = max(0, plan.base + need - (n + plan.pad_left))
+        xpad = jnp.pad(x, [(0, 0)] * len(batch) + [(plan.pad_left, pad_r)])
+        return jax.lax.slice_in_dim(xpad, plan.base, plan.base + need,
+                                    axis=-1)
+
     if method == "banded" and plan.width > 2 * M:
         method = "conv"  # tiny M (upsampling): band spans many rows
     if method == "banded" and n % M == 0 and n >= 2 * M and nj * L == out_len:
@@ -263,6 +269,7 @@ def _apply_plan(x: jnp.ndarray, plan: ResamplePlan, dtype,
         # MXU; traffic is ~1x input + 1x output.
         assert plan.width <= 2 * M, (plan.width, M)
         bshape = x.shape[:-1]
+        xs = _windowed()
         A = xs[..., : nj * M].reshape(*bshape, nj, M)
         out = jnp.matmul(A, jnp.asarray(plan.hbank[:M], dtype),
                          precision=precision)
@@ -272,6 +279,7 @@ def _apply_plan(x: jnp.ndarray, plan: ResamplePlan, dtype,
             out = out + jnp.matmul(A1, jnp.asarray(plan.hbank[M:], dtype),
                                    precision=precision)
         return out.reshape(*bshape, nj * L)[..., :out_len]
+    xs = _windowed()
     if method == "conv":
         # out[.., c, r] = sum_u xs[.., c*M + u] * hbank[u, r]: a stride-M
         # conv with L output channels — XLA's TPU conv never materializes
