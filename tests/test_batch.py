@@ -283,3 +283,18 @@ def test_flagship_fused_flag_overrides_shape_heuristic(rng):
     assert y_f.shape == y_n.shape
     assert rms_db((y_f - y_n).astype(np.float64) / 32768.0,
                   y_n.astype(np.float64) / 32768.0) < -80
+
+
+def test_flagship_rsmix_backend_parity(rng):
+    """resample_backend='rsmix' (fused i16 front-end kernel) matches the
+    default XLA front to the -80 dB gate."""
+    v = (rng.standard_normal((2, 44100)) * 8000).astype(np.int16)
+    b = (rng.standard_normal((2, 44100)) * 6000).astype(np.int16)
+    kw = dict(sr_in=SR_IN, sr_bus=SR_BUS, interpret=True)
+    y_r = np.asarray(jax.jit(xbatch.make_flagship_step(
+        resample_backend="rsmix", **kw))(jnp.asarray(v), jnp.asarray(b)))
+    y_x = np.asarray(jax.jit(xbatch.make_flagship_step(**kw))(
+        jnp.asarray(v), jnp.asarray(b)))
+    assert y_r.shape == y_x.shape
+    assert rms_db((y_r - y_x).astype(np.float64) / 32768.0,
+                  y_x.astype(np.float64) / 32768.0) < -80

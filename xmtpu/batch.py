@@ -120,21 +120,42 @@ def make_flagship_step(
     def step(voice_i16: jnp.ndarray, bgm_i16: jnp.ndarray) -> jnp.ndarray:
         from xmtpu.utils.profiling import stage
 
-        with stage("resample"):
-            # concat the i16 inputs BEFORE the f32 convert: the concat
-            # copy then moves half the bytes (i16), and XLA folds the
-            # convert into the resample matmul's operand read
-            # (measured 14.4 -> 10.6 ms at batch 256)
-            vb = _convert.pcm16_to_f32(
-                jnp.concatenate([voice_i16, bgm_i16], axis=0))
-            vb = _rs(vb, sr_in, sr_bus)
-            v, b = jnp.split(vb, 2, axis=0)
-        n = v.shape[-1]
-        with stage("mix"):
-            fade = int(round(fade_ms * sr_bus / 1000.0))
-            v = _mix.apply_gain_fade(v, 1.0, fade, fade, length=n)
-            b = _mix.apply_gain_fade(b, bgm_gain, fade, fade, length=n)
-            out = v + b
+        fade = int(round(fade_ms * sr_bus / 1000.0))
+        from xmtpu.kernels.rsmix import (resample_mix_pallas,
+                                         resample_mix_supported)
+
+        B_, n_in = voice_i16.shape
+        if (resample_backend == "rsmix"
+                and resample_mix_supported(n_in, B_, sr_in, sr_bus)):
+            with stage("rsmix"):
+                # fused i16 resample+gain/fade+mix kernel (kernels/
+                # rsmix.py). STANDALONE it beats the XLA front
+                # (9.3 vs 12.3 ms at batch 256) but IN-CHAIN the
+                # XLA stages overlap with the next iteration's
+                # VPU-bound kernels while an opaque pallas_call does
+                # not (chain measured 96.4k vs 125.9k a-s/s) — so
+                # this is an explicit OPT-IN backend, not the default.
+                out = resample_mix_pallas(
+                    voice_i16, bgm_i16, sr_in, sr_bus, bgm_gain=bgm_gain,
+                    fade=fade, interpret=interpret)
+                out = out * jnp.float32(1.0 / 32768.0)
+        else:
+            with stage("resample"):
+                # concat the i16 inputs BEFORE the f32 convert: the
+                # concat copy then moves half the bytes (i16), and XLA
+                # folds the convert into the resample matmul's operand
+                # read (measured 14.4 -> 10.6 ms at batch 256)
+                vb = _convert.pcm16_to_f32(
+                    jnp.concatenate([voice_i16, bgm_i16], axis=0))
+                vb = _rs(vb, sr_in, sr_bus)
+                v, b = jnp.split(vb, 2, axis=0)
+            with stage("mix"):
+                nb = v.shape[-1]
+                v = _mix.apply_gain_fade(v, 1.0, fade, fade, length=nb)
+                b = _mix.apply_gain_fade(b, bgm_gain, fade, fade, length=nb)
+                out = v + b
+        n = out.shape[-1]
+        with stage("normalize"):
             # per-clip peak normalize (NOT global: clips are independent,
             # and dp-sharded must match single-chip bit-for-bit)
             peak = jnp.max(jnp.abs(out), axis=-1, keepdims=True)

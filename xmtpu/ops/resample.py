@@ -195,6 +195,51 @@ def resample_window(xs: jnp.ndarray, plan: ResamplePlan, nj: int, dtype=jnp.floa
     return out2d.reshape(*batch, nj * L)
 
 
+@dataclass(frozen=True)
+class AlignedTables:
+    """Filter tables for the frame-ALIGNED banded formulation (n % M
+    == 0): output frame c = A[c] @ H1 plus two narrow edge corrections
+    against neighbor frames — A[c-1]'s last |lo| samples patch output
+    phases [0, r0) via H0, A[c+1]'s first hi samples patch phases
+    [r2, L) via H2. Shared by the XLA fast path below and the fused
+    resample+mix Pallas kernel (kernels/rsmix.py)."""
+
+    H1: np.ndarray  # (M, L) f64
+    H0: np.ndarray  # (-lo, r0) f64 (empty-dim if lo == 0)
+    H2: np.ndarray  # (hi, L - r2) f64 (empty-dim if hi == 0)
+    lo: int
+    hi: int
+    r0: int
+    r2: int
+
+
+def aligned_tables(plan: ResamplePlan) -> AlignedTables:
+    key = (plan.L, plan.M, plan.K2, plan.taps.tobytes())
+    hit = _ALIGNED_CACHE.get(key)
+    if hit is not None:
+        return hit
+    delta = plan.base - plan.pad_left
+    s = delta + plan.col_start  # [L] window start relative to c*M
+    K2 = plan.K2
+    M = plan.M
+    lo = int(s.min())  # < 0: first |lo| taps live in row c-1
+    hi = int(s.max()) + K2 - M  # > 0: last hi taps live in row c+1
+    Hfull = np.zeros((M + max(hi, 0) - min(lo, 0), plan.L), np.float64)
+    for r in range(plan.L):
+        Hfull[int(s[r]) - min(lo, 0): int(s[r]) - min(lo, 0) + K2, r] \
+            = plan.hsel[r]
+    off = -min(lo, 0)
+    r0 = int(np.sum(s < 0))  # s monotone: phases [0, r0)
+    r2 = int(np.argmax(s + K2 > M)) if np.any(s + K2 > M) else plan.L
+    t = AlignedTables(H1=Hfull[off: off + M], H0=Hfull[:off, :r0],
+                      H2=Hfull[off + M:, r2:], lo=lo, hi=hi, r0=r0, r2=r2)
+    _ALIGNED_CACHE[key] = t
+    return t
+
+
+_ALIGNED_CACHE: dict = {}
+
+
 def _apply_plan(x: jnp.ndarray, plan: ResamplePlan, dtype,
                 method: str = "banded",
                 precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
@@ -229,34 +274,20 @@ def _apply_plan(x: jnp.ndarray, plan: ResamplePlan, dtype,
         # delay offset delta and the band tail), but only for the first
         # r0 / last L-r2 output phases -- two small side matmuls against
         # narrow lane slices patch exactly those output columns.
-        delta = plan.base - plan.pad_left
-        s = delta + plan.col_start  # [L] window start relative to c*M
-        K2 = plan.K2
-        lo = int(s.min())  # < 0: first |lo| taps live in row c-1
-        hi = int(s.max()) + K2 - M  # > 0: last hi taps live in row c+1
-        Hfull = np.zeros((M + max(hi, 0) - min(lo, 0), L), np.float64)
-        for r in range(L):
-            Hfull[int(s[r]) - min(lo, 0): int(s[r]) - min(lo, 0) + K2, r] \
-                = plan.hsel[r]
-        off = -min(lo, 0)
+        t = aligned_tables(plan)
         _HI = jax.lax.Precision.HIGHEST if precision is None else precision
         bshape = x.shape[:-1]
         nc = n // M
         A = x.reshape(*bshape, nc, M)
-        H1 = jnp.asarray(Hfull[off: off + M], dtype)
-        out = jnp.matmul(A, H1, precision=_HI)
-        if lo < 0:
-            r0 = int(np.sum(s < 0))  # s monotone: phases [0, r0)
-            C0 = jnp.matmul(A[..., M + lo:],
-                            jnp.asarray(Hfull[:off, :r0], dtype),
+        out = jnp.matmul(A, jnp.asarray(t.H1, dtype), precision=_HI)
+        if t.lo < 0:
+            C0 = jnp.matmul(A[..., M + t.lo:], jnp.asarray(t.H0, dtype),
                             precision=_HI)
-            out = out.at[..., 1:, :r0].add(C0[..., :-1, :])
-        if hi > 0:
-            r2 = int(np.argmax(s + K2 > M)) if np.any(s + K2 > M) else L
-            C2 = jnp.matmul(A[..., :hi],
-                            jnp.asarray(Hfull[off + M:, r2:], dtype),
+            out = out.at[..., 1:, : t.r0].add(C0[..., :-1, :])
+        if t.hi > 0:
+            C2 = jnp.matmul(A[..., : t.hi], jnp.asarray(t.H2, dtype),
                             precision=_HI)
-            out = out.at[..., :-1, r2:].add(C2[..., 1:, :])
+            out = out.at[..., :-1, t.r2:].add(C2[..., 1:, :])
         return out.reshape(*bshape, nj * L)
     if method == "banded":
         # The filter band spans u in [0, width) with width < 2M, so
