@@ -298,3 +298,53 @@ def test_flagship_rsmix_backend_parity(rng):
     assert y_r.shape == y_x.shape
     assert rms_db((y_r - y_x).astype(np.float64) / 32768.0,
                   y_x.astype(np.float64) / 32768.0) < -80
+
+
+def test_batch_runner_bad_out_path_isolated(tmp_path, rng):
+    """One unwritable output path fails ONLY that job — recorded in
+    report.failed, other jobs written, no writer-thread hang (round-2
+    review find: the pipelined writer died outside its try/except)."""
+    clips = _clips(rng, [22050, 30000])
+    jobs = []
+    for i, c in enumerate(clips):
+        p = tmp_path / f"in_{i}.wav"
+        write_wav(str(p), c, SR_IN)
+        out = (str(tmp_path / "no_such_dir" / "x.wav") if i == 0
+               else str(tmp_path / f"ok_{i}.wav"))
+        jobs.append(ClipJob(voice=str(p), out=out))
+    import os
+    for pipeline in (False, True):
+        for j in jobs:
+            for f in (j.out, j.out + ".done"):
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass
+        rep = run_batch(jobs, sr_in=SR_IN, sr_bus=SR_BUS, batch_size=2,
+                        step_kw={"interpret": True}, pipeline=pipeline)
+        assert rep.done == 1 and len(rep.failed) == 1, (pipeline, rep)
+        assert read_wav(str(tmp_path / "ok_1.wav"))[0].size > 0
+
+
+def test_batch_runner_step_kw_with_bands(tmp_path, rng):
+    """A bands LIST in step_kw is a legal make_batch_step kwarg; the
+    step cache key must hash it (round-2 review find)."""
+    c = _clips(rng, [22050])[0]
+    p = tmp_path / "in.wav"
+    write_wav(str(p), c, SR_IN)
+    jobs = [ClipJob(voice=str(p), out=str(tmp_path / "o.wav"))]
+    rep = run_batch(
+        jobs, sr_in=SR_IN, sr_bus=SR_BUS, batch_size=1,
+        step_kw={"interpret": True,
+                 "bands": [{"freq_hz": 300.0, "gain_db": 3.0, "q": 1.0}]})
+    assert rep.done == 1 and not rep.failed
+
+
+def test_load_mono_i16_downmix_consistent(rng):
+    """Stereo int16 and float downmix identically (channel mean)."""
+    from xmtpu.runner import _load_mono_i16
+
+    st = (rng.standard_normal((1000, 2)) * 8000).astype(np.int16)
+    a, _ = _load_mono_i16((st, SR_IN), SR_IN)
+    b, _ = _load_mono_i16((st.astype(np.float32) / 32768.0, SR_IN), SR_IN)
+    assert np.abs(a.astype(np.int32) - b.astype(np.int32)).max() <= 1

@@ -181,3 +181,32 @@ def test_mix_track_placed_past_end_is_silence(signals):
     )
     ref = x[:8000][: len(out)]
     np.testing.assert_allclose(out, ref[: len(out)], atol=1e-6)
+
+
+def test_mix_duration_voice_offset_with_loop(rng):
+    """Duration = end of the last NON-loop track including start_ms;
+    a looped BGM must neither truncate nor extend it (round-2 review
+    find: the old sentinel cut offset voices and let long loop sources
+    extend the program)."""
+    sr = 16000
+    voice = np.ones(sr, np.float32) * 0.5           # 1 s voice
+    bgm = np.full(4 * sr, 0.25, np.float32)         # 4 s loop source
+    out = api.mix(
+        [
+            dict(pcm=voice, sr=sr, start_ms=500),   # ends at 1.5 s
+            dict(pcm=bgm, sr=sr, loop=True),
+        ],
+        sr,
+        normalize=None,
+    )
+    assert len(out) == sr + sr // 2  # 1.5 s: voice end, not the 4 s loop
+    np.testing.assert_allclose(out[: sr // 2], 0.25, atol=1e-6)
+    np.testing.assert_allclose(out[sr // 2 :], 0.75, atol=1e-6)
+
+
+def test_mix_all_loop_duration_one_pass(rng):
+    """All-loop config: one pass of the longest placed source."""
+    sr = 16000
+    bgm = np.full(3200, 0.25, np.float32)  # 200 ms
+    out = api.mix([dict(pcm=bgm, sr=sr, loop=True)], sr, normalize=None)
+    assert len(out) == 3200

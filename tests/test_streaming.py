@@ -295,3 +295,34 @@ def test_streaming_voice_effects_parity_native_rate(two_tracks):
     ref = np.asarray(ref[: len(got)], np.float64)
     db = rms_db(got.astype(np.float64) - ref, ref)
     assert db <= -80.0, db
+
+
+def test_loop_with_end_trim_matches_offline():
+    """A looped track with end_time_ms loops the end-TRIMMED clip in
+    both modes (round-2 review find: streaming used to wrap the full
+    untrimmed source)."""
+    import numpy as np
+    from xmtpu.graph.pipeline import process
+    from xmtpu.graph.streaming import StreamSession
+    from xmtpu.config.schema import PipelineConfig, TrackConfig
+
+    rng = np.random.default_rng(3)
+    src = (rng.standard_normal(16000) * 0.2).astype(np.float32)  # 1 s
+    cfg = PipelineConfig(
+        sample_rate=16000,
+        normalize=None,  # normalization is offline-only (doc'd pin)
+        tracks=[
+            TrackConfig(url="v", kind="voice", start_time_ms=0.0),
+            TrackConfig(url="b", kind="bgm", loop=True,
+                        start_time_ms=0.0, end_time_ms=250.0),
+        ],
+    )
+    voice = (rng.standard_normal(16000) * 0.2).astype(np.float32)
+    srcs = {"v": (voice, 16000), "b": (src, 16000)}
+    offline = process(srcs, cfg).astype(np.float64) / 32768.0
+    s = StreamSession(cfg, frame_ms=20, sources=srcs)
+    frames = [s.read() for _ in range(len(offline) // s.frame_out)]
+    stream = np.concatenate([f.reshape(-1) for f in frames]).astype(
+        np.float64)[: len(offline)] / 32768.0
+    err = rms_db(stream - offline[: len(stream)], offline[: len(stream)])
+    assert err < -80, err

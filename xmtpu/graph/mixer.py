@@ -62,6 +62,9 @@ def _ms_to_samples(ms: float, sr: int) -> int:
     return int(round(ms * sr / 1000.0))
 
 
+_MIX_JIT_CACHE: dict = {}
+
+
 def mix(tracks, sample_rate: int, normalize: str | None = "peak",
         target_db: float = -1.0, duration_ms: float | None = None,
         duck_params: dict | None = None, voice_effects=None):
@@ -99,12 +102,23 @@ def mix(tracks, sample_rate: int, normalize: str | None = "peak",
     if duration_ms is not None:
         total = _ms_to_samples(duration_ms, sample_rate)
     else:
-        total = max(
-            _ms_to_samples(t.start_ms, sample_rate) + (1 << 62 if t.loop else n_bus)
-            for (_, _, n_bus, t) in prepared
-        )
-        if total >= (1 << 62):  # all-loop edge: fall back to longest non-loop
-            total = max(n_bus for (_, _, n_bus, _) in prepared)
+        # duration = end of the last NON-loop track (loop tracks repeat
+        # under the finite program, they never extend it — matches the
+        # streaming/compat end-of-stream rule). All-loop fallback: one
+        # pass of the longest placed source. (The old 1<<62 sentinel
+        # fired whenever ANY track looped and then ignored start_ms —
+        # round-2 review find.)
+        finite = [
+            _ms_to_samples(t.start_ms, sample_rate) + n_bus
+            for (_, _, n_bus, t) in prepared if not t.loop
+        ]
+        if finite:
+            total = max(finite)
+        else:
+            total = max(
+                _ms_to_samples(t.start_ms, sample_rate) + n_bus
+                for (_, _, n_bus, t) in prepared
+            )
 
     def build(device_tracks):
         placed = []
@@ -185,7 +199,31 @@ def mix(tracks, sample_rate: int, normalize: str | None = "peak",
             arr = _convert.pcm16_to_f32(arr)
         dev.append(arr.astype(jnp.float32))
 
-    out = jax.jit(build)(dev)
+    # Reuse the jitted executable across mix() calls with identical
+    # static plans: jax.jit's cache is per function OBJECT, and `build`
+    # is a fresh closure every call — without this cache a service
+    # mixing many same-shape clips pays the remote TPU compile
+    # (~30-500 s on axon) per CLIP (round-2 review find; same pattern
+    # as runner._STEP_CACHE).
+    import json as _json
+
+    key = (
+        sample_rate, normalize, float(target_db), total, nch, out_int16,
+        _json.dumps(duck_params, sort_keys=True, default=str),
+        _json.dumps(voice_effects, sort_keys=True, default=str),
+        tuple(
+            (pcm.shape, str(pcm.dtype), sr, n_bus, t.start_ms, t.gain,
+             t.fade_in_ms, t.fade_out_ms, t.loop, t.kind, t.side_duck)
+            for (pcm, sr, n_bus, t) in prepared
+        ),
+    )
+    fn = _MIX_JIT_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(build)
+        _MIX_JIT_CACHE[key] = fn
+        if len(_MIX_JIT_CACHE) > 64:  # bound the executable cache
+            _MIX_JIT_CACHE.pop(next(iter(_MIX_JIT_CACHE)))
+    out = fn(dev)
     if out_int16:
         out = _convert.f32_to_pcm16(out)
     out = np.asarray(out).T  # (n, ch)

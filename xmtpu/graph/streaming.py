@@ -57,6 +57,16 @@ class _TrackStream:
             pcm = _convert.pcm16_to_f32_np(pcm)
         if pcm.ndim == 1:
             pcm = pcm[:, None]
+        if track.end_time_ms is not None:
+            # trim the SOURCE to end-start ms, exactly like the offline
+            # pipeline (_resolve_tracks): a looped track then wraps the
+            # trimmed clip in both modes (round-2 review find — the
+            # streaming loop used to mod-wrap the untrimmed source,
+            # playing different audio than offline past the trim)
+            keep_ms = max(0.0, track.end_time_ms - track.start_time_ms)
+            keep_n = int(round(keep_ms * sr_native / 1000.0))
+            if keep_n < pcm.shape[0]:
+                pcm = pcm[:keep_n]
         self.pcm = np.ascontiguousarray(pcm.T, np.float32)  # (ch, n)
         self.nch = self.pcm.shape[0]
         self.n_native = self.pcm.shape[1]
@@ -261,19 +271,22 @@ class StreamSession:
         self._pending = None  # drop any prefetched frame (stale DSP state)
 
     def _dispatch(self, frame_idx: int, fx_state):
-        """Enqueue one frame's device step (non-blocking)."""
+        """Enqueue one frame's device step (non-blocking).
+
+        Windows come from ``window_always`` (zero-filled outside the
+        track, never None) so the step's argument pytree structure is
+        IDENTICAL for every frame: one jitted executable serves the
+        whole stream. The earlier None-for-silent shortcut changed the
+        pytree whenever a track started or ended mid-stream, retracing
+        the step (a 30-500 s remote compile on the axon tunnel =
+        a multi-minute stall mid-stream; round-2 review find)."""
         windows, offsets = [], []
         for ts in self.tracks:
-            fi = ts.window(frame_idx)
-            if fi is None:
-                windows.append(None)
-                offsets.append(jnp.float64(0))
-            else:
-                w, t0 = fi
-                windows.append(jnp.asarray(w))
-                # f64 offsets end-to-end: f32 truncates t0 above 2^24
-                # (~17.5 min @16k), shifting placement masks and fades
-                offsets.append(jnp.float64(t0))
+            w, t0 = ts.window_always(frame_idx)
+            windows.append(jnp.asarray(w))
+            # f64 offsets end-to-end: f32 truncates t0 above 2^24
+            # (~17.5 min @16k), shifting placement masks and fades
+            offsets.append(jnp.float64(t0))
         out, state = self._step(tuple(windows), tuple(offsets), fx_state)
         return (frame_idx, out, state)
 

@@ -94,7 +94,14 @@ def _load_mono_i16(src, sr_default: int):
             pcm, sr = d.read_all(), d.sample_rate
     pcm = np.asarray(pcm)
     if pcm.ndim > 1:
-        pcm = pcm.mean(axis=1) if pcm.dtype != np.int16 else pcm[:, 0]
+        # downmix = channel mean for EVERY dtype (int16 used to keep
+        # only channel 0 — same audio gave different output depending
+        # on sample format; round-2 review find)
+        if pcm.dtype == np.int16:
+            pcm = np.round(pcm.astype(np.float64).mean(axis=1)).astype(
+                np.int16)
+        else:
+            pcm = pcm.mean(axis=1)
     if pcm.dtype != np.int16:
         from xmtpu.ops.convert import f32_to_pcm16_np
 
@@ -198,7 +205,7 @@ class _Dispatcher:
         import jax
         from xmtpu import batch as xbatch
 
-        key = (rate, self.sr_bus, tuple(sorted(self.step_kw.items())))
+        key = (rate, self.sr_bus, _freeze_kw(self.step_kw))
         if key not in _STEP_CACHE:
             _STEP_CACHE[key] = jax.jit(
                 xbatch.make_batch_step(sr_in=rate, sr_bus=self.sr_bus,
@@ -228,17 +235,37 @@ class _Dispatcher:
         return lengths, out_dev
 
 
+def _freeze_kw(kw) -> tuple:
+    """Hashable cache key for step_kw (bands lists etc. are legal
+    values; raw dict.items() raised on them — round-2 review find)."""
+    def fz(v):
+        if isinstance(v, dict):
+            return tuple(sorted((k, fz(x)) for k, x in v.items()))
+        if isinstance(v, (list, tuple)):
+            return tuple(fz(x) for x in v)
+        return v
+    return fz(dict(kw))
+
+
 def _write_chunk(report, chunk, lengths, out, rate, sr_bus,
                  write_done_markers):
-    """Write one completed chunk's WAVs + done markers (host side)."""
+    """Write one completed chunk's WAVs + done markers (host side).
+    Per-JOB failure isolation: one bad output path must not abort the
+    chunk, kill the writer thread, or go unrecorded (round-2 review
+    find — the pipelined writer's bounded queue would deadlock)."""
     g = math.gcd(rate, sr_bus)
     L, M = sr_bus // g, rate // g
     for r, (job, v, b) in enumerate(chunk):
-        m = -(-(int(lengths[r]) * L) // M)  # ceil (parens matter)
-        write_wav(job.out, out[r, :m], sr_bus)
-        if write_done_markers:
-            with open(job.out + ".done", "w") as f:
-                f.write("ok\n")
+        try:
+            m = -(-(int(lengths[r]) * L) // M)  # ceil (parens matter)
+            write_wav(job.out, out[r, :m], sr_bus)
+            if write_done_markers:
+                with open(job.out + ".done", "w") as f:
+                    f.write("ok\n")
+        except Exception as e:
+            log.warning("write failed for %s: %s", job.out, e)
+            report.failed.append((job.out, f"write failed: {e}"))
+            continue
         report.done += 1
         report.audio_sec += int(lengths[r]) / rate
 
