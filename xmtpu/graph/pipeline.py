@@ -21,6 +21,21 @@ from xmtpu.ops import convert as _convert
 from xmtpu.utils.errors import ConfigError
 
 
+def resolve_source(track, sources, default_sr: int, index: int = 0):
+    """One track's (pcm, native_sr): in-memory ``sources`` dict entry
+    (pcm or (pcm, sr)) by url, else decode the url from disk. SHARED by
+    the offline pipeline and the streaming session so the two modes can
+    never drift (round-2 review find: two copies had already diverged
+    on the end_time_ms trim)."""
+    if sources and track.url in (sources or {}):
+        src = sources[track.url]
+        return src if isinstance(src, tuple) else (src, default_sr)
+    if track.url:
+        with open_audio(track.url) as d:
+            return d.read_all(), d.sample_rate
+    raise ConfigError(f"track {index}: no url and no in-memory input")
+
+
 def _resolve_tracks(inputs, config: PipelineConfig):
     """Build MixTracks from config.tracks, decoding urls from disk.
 
@@ -29,14 +44,7 @@ def _resolve_tracks(inputs, config: PipelineConfig):
     """
     tracks = []
     for i, t in enumerate(config.tracks):
-        if inputs and t.url in (inputs or {}):
-            src = inputs[t.url]
-            pcm, sr = src if isinstance(src, tuple) else (src, config.sample_rate)
-        elif t.url:
-            with open_audio(t.url) as d:
-                pcm, sr = d.read_all(), d.sample_rate
-        else:
-            raise ConfigError(f"track {i}: no url and no in-memory input")
+        pcm, sr = resolve_source(t, inputs, config.sample_rate, i)
         # endTimeMs is a point on the OUTPUT timeline (schema.py), so the
         # playable content is end - start ms (matches the streaming path)
         end = t.end_time_ms

@@ -147,17 +147,12 @@ class StreamSession:
         self.output_dtype = output_dtype
 
         base_frame = max(1, int(round(frame_ms * self.sr / 1000.0)))
+        from xmtpu.graph.pipeline import resolve_source
+
         resolved = []
         lcm = 1
         for i, t in enumerate(config.tracks):
-            if sources and t.url in (sources or {}):
-                src = sources[t.url]
-                pcm, sr_nat = src if isinstance(src, tuple) else (src, self.sr)
-            elif t.url:
-                with open_audio(t.url) as d:
-                    pcm, sr_nat = d.read_all(), d.sample_rate
-            else:
-                raise ConfigError(f"track {i}: no url and no in-memory source")
+            pcm, sr_nat = resolve_source(t, sources, self.sr, i)
             g = math.gcd(int(sr_nat), self.sr)
             L = self.sr // g
             lcm = lcm * L // math.gcd(lcm, L)
