@@ -107,3 +107,26 @@ def test_sosfilt_scan_empty_cascade_is_identity(rng):
     y, zf = _biquad.sosfilt_scan(np.zeros((0, 6)), jnp.asarray(x))
     np.testing.assert_array_equal(np.asarray(y), x)
     assert zf.shape == (0, 2, 2)
+
+
+def test_cli_batch_partial_failure_exit_code(tone, tmp_path):
+    """ANY failed job makes `xmtpu batch` exit nonzero (round-2 review
+    find: 7-of-10 partial failure used to exit 0)."""
+    inp, _ = tone
+    jobs = [
+        {"voice": inp, "out": str(tmp_path / "ok.wav")},
+        {"voice": str(tmp_path / "missing.wav"),
+         "out": str(tmp_path / "bad.wav")},
+    ]
+    mpath = tmp_path / "m.json"
+    mpath.write_text(json.dumps(jobs))
+    rc = main(["batch", str(mpath), "--rate", "16000"])
+    assert rc == 1
+
+
+def test_effects_missing_name_raises_config_error():
+    from xmtpu.graph import fx as _fx
+    from xmtpu.utils.errors import ConfigError
+
+    with pytest.raises(ConfigError):
+        _fx.build_chain(16000, [{"params": {"gain_db": -6.0}}])

@@ -62,3 +62,48 @@ def test_open_audio_unknown_extension(tmp_path):
 def test_write_wav_rejects_float(tmp_path):
     with pytest.raises(TypeError):
         write_wav(tmp_path / "f.wav", np.zeros(10, np.float32), 16000)
+
+
+def test_raw_pcm_int32_and_uint8_scaling(tmp_path, rng):
+    """Raw-PCM dtypes other than int16 are scaled per-format, not fed
+    full-scale into the [-1,1) converter (round-2 review find: int32
+    saturated every sample)."""
+    from xmtpu.io.decoder import open_audio
+
+    x = np.clip(rng.standard_normal(1000) * 0.25, -0.9, 0.9).astype(
+        np.float32)
+    (tmp_path / "a.pcm").write_bytes(
+        (x * (1 << 31)).astype(np.int32).tobytes())
+    with open_audio(str(tmp_path / "a.pcm"), sample_rate=16000,
+                    dtype="int32") as d:
+        got = d.read_all()[:, 0].astype(np.float64) / 32768.0
+    assert np.abs(got - x).max() < 2e-4  # int16 quantization only
+    (tmp_path / "b.pcm").write_bytes(
+        np.clip((x + 1.0) * 128.0, 0, 255).astype(np.uint8).tobytes())
+    with open_audio(str(tmp_path / "b.pcm"), sample_rate=16000,
+                    dtype="uint8") as d:
+        got8 = d.read_all()[:, 0].astype(np.float64) / 32768.0
+    assert np.abs(got8 - x).max() < 1e-2  # 8-bit quantization
+
+
+def test_wav_info_float32_fallback(tmp_path, rng):
+    """wav_info probes formats the stdlib parser rejects but read_wav
+    decodes (float32 format tag 3)."""
+    import struct
+    from xmtpu.io.wav import wav_info, read_wav
+
+    x = (rng.standard_normal(500) * 0.3).astype(np.float32)
+    data = x.tobytes()
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 16000,
+                                   16000 * 4, 4, 32)
+           + b"data" + struct.pack("<I", len(data)))
+    p = tmp_path / "f32.wav"
+    p.write_bytes(hdr + data)
+    try:
+        read_wav(str(p))
+    except Exception:
+        import pytest
+        pytest.skip("no float32-WAV decode backend in this env")
+    info = wav_info(str(p))
+    assert info.sample_rate == 16000 and info.num_samples == 500

@@ -50,23 +50,13 @@ def _cmd_effects(args) -> int:
     import numpy as np
     from xmtpu import api
     from xmtpu.io import read_wav, write_wav
-    from xmtpu.config.schema import EffectConfig
 
     pcm, sr = read_wav(args.input)
     with open(args.chain) as f:
-        # accept both {"name": n, "params": {...}} and the flat
-        # {"name": n, <param>: ...} form used by api.effects
-        chain = [
-            EffectConfig(
-                name=e["name"],
-                params=e.get(
-                    "params",
-                    {k: v for k, v in e.items() if k != "name"},
-                ),
-            )
-            for e in json.load(f)
-        ]
-    out = api.effects(pcm, sr, chain)
+        chain = json.load(f)  # fx.build_chain accepts both the
+        # {"name", "params"} and flat {"name", <param>...} dict forms
+    bs = args.block_size if args.block_size > 0 else None
+    out = api.effects(pcm, sr, chain, block_size=bs)
     write_wav(args.output, np.asarray(out), sr)
     return 0
 
@@ -98,7 +88,9 @@ def _cmd_batch(args) -> int:
     rep = run_batch(jobs, sr_in=args.sr_in, sr_bus=args.rate,
                     batch_size=args.batch_size, resume=not args.no_resume)
     print(rep.to_json())
-    return 1 if rep.failed and not rep.done else 0
+    # ANY failed job -> nonzero exit (a 7-of-10 batch is not success;
+    # round-2 review find: partial failures used to exit 0)
+    return 1 if rep.failed else 0
 
 
 def main(argv=None) -> int:
@@ -121,6 +113,11 @@ def main(argv=None) -> int:
     pe.add_argument("input")
     pe.add_argument("output")
     pe.add_argument("--chain", required=True, help="JSON effect chain file")
+    pe.add_argument(
+        "--block-size", type=int, default=131072,
+        help="process in carried-state blocks of this many samples "
+             "(bounds compile size for long clips and reuses one "
+             "executable across clip lengths; 0 = whole-clip)")
     pe.set_defaults(fn=_cmd_effects)
 
     pg = sub.add_parser("generate", help="one-shot: config -> mixed file")

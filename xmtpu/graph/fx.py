@@ -199,6 +199,8 @@ def build_chain(sample_rate: int, chain):
             name, params = e.name, dict(e.params)
         else:
             d = dict(e)
+            if "name" not in d:
+                raise ConfigError(f"effect entry missing 'name': {e!r}")
             name = d.pop("name")
             params = d.pop("params", d)
         if name not in _EFFECTS:
@@ -234,9 +236,24 @@ def _chain_key(sample_rate: int, chain) -> str:
             name, params = e.name, e.params
         else:
             d = dict(e)
+            if "name" not in d:
+                raise ConfigError(f"effect entry missing 'name': {e!r}")
             name = d.pop("name")
             params = d.pop("params", d)
-        return {"name": name, "params": dict(params)}
+        params = dict(params)
+        if "ir_wav" in params:
+            # key IR files by CONTENT signature, not path: a rewritten
+            # file must not reuse the stale baked-in IR (round-2
+            # review find)
+            import os
+
+            try:
+                st = os.stat(str(params["ir_wav"]))
+                params["ir_wav"] = (str(params["ir_wav"]), st.st_size,
+                                    st.st_mtime_ns)
+            except OSError:
+                params["ir_wav"] = str(params["ir_wav"])
+        return {"name": name, "params": params}
 
     def _default(v):
         # np scalars / arrays anywhere in the tree (nested band lists etc.)
@@ -247,7 +264,10 @@ def _chain_key(sample_rate: int, chain) -> str:
             return f"<array:{hashlib.sha1(a.tobytes()).hexdigest()}:{a.shape}:{a.dtype}>"
         if isinstance(v, np.generic):
             return v.item()
-        raise TypeError(f"unhashable effect param: {type(v)}")
+        try:  # Path-like / other stringifiable params build_chain accepts
+            return str(v)
+        except Exception:
+            raise TypeError(f"unhashable effect param: {type(v)}")
 
     return json.dumps(
         {"sr": sample_rate, "chain": [canon(e) for e in chain]},
@@ -265,6 +285,8 @@ def get_compiled_chain(sample_rate: int, chain):
         fn = jax.jit(partial(chain_apply, effects))
         hit = (effects, fn)
         _cache[key] = hit
+        if len(_cache) > 64:  # bound the executable cache
+            _cache.pop(next(iter(_cache)))
     return hit
 
 

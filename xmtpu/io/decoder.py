@@ -88,7 +88,24 @@ def _raw_pcm_backend(path: str, sample_rate: int | None = None,
     if pcm.dtype != np.int16:
         from xmtpu.ops.convert import f32_to_pcm16_np
 
-        pcm = f32_to_pcm16_np(pcm.astype(np.float32))
+        # scale each source format to [-1, 1) floats FIRST —
+        # f32_to_pcm16_np expects normalized floats, and full-scale
+        # int32/uint8 values fed to it saturate every sample to
+        # +/-32767 (round-2 review find)
+        kind = pcm.dtype.kind
+        if kind == "f":
+            f = pcm.astype(np.float32)
+        elif kind == "u":  # unsigned: remove midpoint offset
+            span = float(np.iinfo(pcm.dtype).max) + 1.0
+            f = (pcm.astype(np.float32) - span / 2.0) / (span / 2.0)
+        elif kind == "i":
+            f = pcm.astype(np.float32) / (float(np.iinfo(pcm.dtype).max) + 1.0)
+        else:
+            raise ValueError(f"unsupported raw PCM dtype: {dtype}")
+        pcm = f32_to_pcm16_np(f)
+    pcm.setflags(write=False)  # match the stdlib-WAV backend's
+    # read-only views (callers mutating a read() view would otherwise
+    # silently corrupt the decoder's buffer for raw files only)
     return Decoder(pcm, int(sample_rate))
 
 

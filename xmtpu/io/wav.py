@@ -110,10 +110,22 @@ def write_wav(path, pcm: np.ndarray, sample_rate: int) -> None:
 
 
 def wav_info(path) -> WavInfo:
-    with wave.open(str(path), "rb") as w:
-        return WavInfo(
-            sample_rate=w.getframerate(),
-            num_channels=w.getnchannels(),
-            num_samples=w.getnframes(),
-            sample_width=w.getsampwidth(),
-        )
+    try:
+        with wave.open(str(path), "rb") as w:
+            return WavInfo(
+                sample_rate=w.getframerate(),
+                num_channels=w.getnchannels(),
+                num_samples=w.getnframes(),
+                sample_width=w.getsampwidth(),
+            )
+    except wave.Error:
+        # formats the stdlib parser rejects but read_wav decodes
+        # (float32 format-tag 3, a-law, ... via the native/FFmpeg
+        # fallbacks) — probe by decoding (round-2 review find: callers
+        # probing with wav_info wrongly concluded the file unreadable)
+        pcm, sr = read_wav(path)
+        pcm = np.asarray(pcm)
+        ch = 1 if pcm.ndim == 1 else pcm.shape[1]
+        return WavInfo(sample_rate=sr, num_channels=ch,
+                       num_samples=pcm.shape[0],
+                       sample_width=pcm.dtype.itemsize)

@@ -65,11 +65,11 @@ def _gather_frames(xp, T, hop, nfft):
     # two interleaved non-overlapping framings cover all frames.
     batch = xp.shape[:-1]
     even = xp[..., : (T + 1) // 2 * nfft]
-    even = even.reshape(*batch, (T + 1) // 2, nfft)[..., : (T + 1) // 2, :]
+    even = even.reshape(*batch, (T + 1) // 2, nfft)
     odd = xp[..., hop : hop + (T // 2) * nfft]
     odd = odd.reshape(*batch, T // 2, nfft)
     frames = jnp.zeros(batch + (T, nfft), xp.dtype)
-    frames = frames.at[..., 0::2, :].set(even[..., : (T + 1) // 2, :])
+    frames = frames.at[..., 0::2, :].set(even)
     frames = frames.at[..., 1::2, :].set(odd)
     return frames
 
