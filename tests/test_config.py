@@ -75,3 +75,21 @@ def test_defaults_and_partial_json():
 def test_negative_volume_rejected():
     with pytest.raises(ValueError):
         TrackConfig(url="x.wav", volume=-0.1)
+
+
+def test_config_malformed_entries_raise_config_error():
+    from xmtpu.config.schema import config_from_dict
+    from xmtpu.utils.errors import ConfigError
+
+    with pytest.raises(ConfigError):
+        config_from_dict({"effects": [{"params": {}}]})
+    with pytest.raises(ConfigError):
+        config_from_dict({"tracks": ["not-an-object"]})
+
+
+def test_config_flat_effect_form():
+    from xmtpu.config.schema import config_from_dict
+
+    cfg = config_from_dict(
+        {"effects": [{"name": "limiter", "threshold_db": -3.0}]})
+    assert cfg.effects[0].params == {"threshold_db": -3.0}

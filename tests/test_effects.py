@@ -418,3 +418,11 @@ def test_reverb_mxu_variants_match_oracle(signals):
                                     variant=variant, gauss=gauss)
             db = rms_db(np.asarray(y, np.float64) - ref, ref)
             assert db <= -90.0, (variant, gauss, db)
+
+
+def test_biquad_rejects_nonpositive_q():
+    from xmtpu.ops import biquad
+
+    for q in (0.0, -1.0):
+        with pytest.raises(ValueError):
+            biquad.rbj_coeffs("peaking", 1000.0, q, 3.0, 48000)

@@ -210,3 +210,15 @@ def test_mix_all_loop_duration_one_pass(rng):
     bgm = np.full(3200, 0.25, np.float32)  # 200 ms
     out = api.mix([dict(pcm=bgm, sr=sr, loop=True)], sr, normalize=None)
     assert len(out) == 3200
+
+
+def test_fade_ramp_exact_past_2_24(rng):
+    """Fade indices stay exact above 2^24 samples (f64 iota; round-2
+    review find: f32 arange plateaued in 16-sample steps)."""
+    n, length, fade = 64, 2**24 + 4096, 1000
+    off = length - n
+    g = np.asarray(M.fade_ramp(n, 0, fade, length, offset=off))
+    i = np.arange(off, off + n, dtype=np.float64)
+    ref = np.clip((length - i) / fade, 0.0, 1.0)
+    np.testing.assert_allclose(g, ref.astype(np.float32), rtol=0, atol=1e-7)
+    assert len(np.unique(g)) == n  # strictly decreasing, no plateaus

@@ -144,3 +144,22 @@ def test_dpsp_2d_mesh_equals_single_device(rng):
     ), np.float64)
     db = rms_db(got - y_ref, y_ref)
     assert db <= -80.0, db
+
+
+def test_sp_fir_halo_exceeds_shard_raises():
+    """A FIR halo longer than the shard must raise, not silently zero
+    the missing neighbor samples (round-2 review find)."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from xmtpu.parallel import sp as _sp
+
+    if len(jax.devices()) < 2:
+        import pytest
+        pytest.skip("needs a multi-device mesh")
+    mesh = jax.sharding.Mesh(np.asarray(jax.devices()[:2]), ("sp",))
+    x = jnp.zeros((1, 256))
+    taps = jnp.ones(200)  # halo 199 > shard length 128
+    import pytest
+    with pytest.raises(ValueError):
+        _sp.sp_fir(x, taps, mesh)

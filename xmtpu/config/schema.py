@@ -63,11 +63,22 @@ class PipelineConfig:
     block_size: int = 65536  # device block length (samples)
 
 
-def _effect_from_json(d: dict) -> EffectConfig:
-    return EffectConfig(name=d["name"], params=dict(d.get("params", {})))
+def _effect_from_json(d) -> EffectConfig:
+    if not isinstance(d, dict) or "name" not in d:
+        from xmtpu.utils.errors import ConfigError
+
+        raise ConfigError(f"effect entry needs a 'name' field: {d!r}")
+    params = d.get("params")
+    if params is None:  # flat form: every non-name key is a param
+        params = {k: v for k, v in d.items() if k != "name"}
+    return EffectConfig(name=d["name"], params=dict(params))
 
 
-def _track_from_json(d: dict) -> TrackConfig:
+def _track_from_json(d) -> TrackConfig:
+    if not isinstance(d, dict):
+        from xmtpu.utils.errors import ConfigError
+
+        raise ConfigError(f"track entry must be an object: {d!r}")
     return TrackConfig(
         url=d.get("url"),
         kind=d.get("kind", "voice"),

@@ -42,9 +42,11 @@ struct DecodeCtx {
 
 int drain_frames(DecodeCtx& c, std::vector<int16_t>& out, int nch) {
   int rc;
+  std::vector<int16_t> buf;  // reused across frames (one grow, not
+                             // one malloc per ~1024-sample frame)
   while ((rc = avcodec_receive_frame(c.dec, c.frame)) == 0) {
     int out_samples = swr_get_out_samples(c.swr, c.frame->nb_samples);
-    std::vector<int16_t> buf((size_t)out_samples * nch);
+    buf.resize((size_t)out_samples * nch);
     uint8_t* outp = (uint8_t*)buf.data();
     int got = swr_convert(c.swr, &outp, out_samples,
                           (const uint8_t**)c.frame->extended_data,
@@ -161,6 +163,7 @@ int xm_ff_encode(const char* path, const int16_t* pcm, int64_t n_frames,
 
     int fs = enc->frame_size > 0 ? enc->frame_size : 1024;
     frame = av_frame_alloc();
+    if (!frame) break;
     frame->format = enc->sample_fmt;
     av_channel_layout_copy(&frame->ch_layout, &enc->ch_layout);
     frame->sample_rate = sample_rate;
@@ -261,6 +264,7 @@ struct FFHandle {
   // Receive decoded frames, convert, append to buf honoring skip_until.
   int drain(bool flush) {
     int rc;
+    std::vector<int16_t> tmp;  // reused scratch (see drain_frames)
     while ((rc = avcodec_receive_frame(c.dec, c.frame)) == 0) {
       if (c.frame->pts != AV_NOPTS_VALUE) {
         // trust container timestamps after a seek (sample-accurate)
@@ -270,7 +274,7 @@ struct FFHandle {
         if (buffered_frames() == 0) next_sample = pos;
       }
       int out_samples = swr_get_out_samples(c.swr, c.frame->nb_samples);
-      std::vector<int16_t> tmp((size_t)out_samples * nch);
+      tmp.resize((size_t)out_samples * nch);
       uint8_t* outp = (uint8_t*)tmp.data();
       int got = swr_convert(c.swr, &outp, out_samples,
                             (const uint8_t**)c.frame->extended_data,
@@ -280,8 +284,8 @@ struct FFHandle {
       append(tmp.data(), got);
     }
     if (flush) {  // swresample tail
+      tmp.resize((size_t)4096 * nch);
       for (;;) {
-        std::vector<int16_t> tmp((size_t)4096 * nch);
         uint8_t* outp = (uint8_t*)tmp.data();
         int got = swr_convert(c.swr, &outp, 4096, nullptr, 0);
         if (got <= 0) break;

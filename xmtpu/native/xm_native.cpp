@@ -130,7 +130,14 @@ int xm_wav_write(const char* path, const int16_t* pcm, int64_t n_frames,
                  int32_t channels, int32_t sample_rate) {
   FILE* f = fopen(path, "wb");
   if (!f) return -1;
-  uint32_t data = (uint32_t)(n_frames * channels * 2);
+  int64_t data64 = n_frames * (int64_t)channels * 2;
+  if (data64 < 0 || data64 > 0xFFFFFFFFLL - 36) {
+    // RIFF sizes are 32-bit; refuse instead of silently wrapping the
+    // header for >= 4 GiB payloads (round-2 review find)
+    fclose(f);
+    return -2;
+  }
+  uint32_t data = (uint32_t)data64;
   uint32_t riff = 36 + data;
   uint16_t fmt = 1, bits = 16, ch = (uint16_t)channels;
   uint32_t rate = (uint32_t)sample_rate;
@@ -184,8 +191,13 @@ struct XmFifo {
 };
 
 void* xm_fifo_create(int64_t capacity) {
+  if (capacity <= 0) return nullptr;
   XmFifo* f = new XmFifo();
   f->buf = (uint8_t*)malloc((size_t)capacity);
+  if (!f->buf) {  // let the ctypes wrapper raise instead of a later
+    delete f;     // memcpy into nullptr (round-2 review find)
+    return nullptr;
+  }
   f->cap = capacity;
   f->head.store(0);
   f->tail.store(0);

@@ -58,6 +58,10 @@ def rbj_coeffs(
         raise ValueError(f"unknown biquad kind {kind!r}; known: {_RBJ_KINDS}")
     if not (0.0 < freq_hz < sr / 2.0):
         raise ValueError(f"freq_hz must be in (0, sr/2), got {freq_hz} at sr={sr}")
+    if not q > 0.0:
+        # q <= 0 flips alpha's sign and pushes poles outside the unit
+        # circle: a silently diverging filter (round-2 review find)
+        raise ValueError(f"q must be > 0, got {q}")
     A = 10.0 ** (gain_db / 40.0)
     w0 = 2.0 * math.pi * freq_hz / sr
     cw, sw = math.cos(w0), math.sin(w0)

@@ -40,13 +40,17 @@ def fade_ramp(n: int, fade_in: int, fade_out: int, length: int,
     All parameters are static Python ints (config-derived), so the ramp
     folds into the surrounding fused elementwise computation.
     """
-    i = jnp.arange(offset, offset + n, dtype=dtype)
-    g = jnp.ones(n, dtype)
+    # f64 indices: an f32 arange cannot represent integers above 2^24
+    # (~6 min at 48 kHz), quantizing fade gains into plateaus on long
+    # tracks/offsets (round-2 review find); the gain itself casts back
+    # to the compute dtype
+    i = jnp.arange(offset, offset + n, dtype=jnp.float64)
+    g = jnp.ones(n, jnp.float64)
     if fade_in > 0:
         g = g * jnp.clip((i + 1.0) / float(fade_in), None, 1.0)
     if fade_out > 0:
         g = g * jnp.clip((float(length) - i) / float(fade_out), 0.0, 1.0)
-    return g
+    return g.astype(dtype)
 
 
 def apply_gain_fade(x: jnp.ndarray, gain: float, fade_in: int, fade_out: int,

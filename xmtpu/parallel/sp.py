@@ -73,10 +73,17 @@ def _local_fir(xl, taps, axis: str):
     m = taps.shape[-1]
     halo = m - 1
     n_sh = jax.lax.axis_size(axis)
+    if halo > xl.shape[-1]:
+        # one ppermute hop supplies ONE neighbor's tail; a halo longer
+        # than the shard would need samples from shard k-2 and beyond,
+        # which this implementation would silently replace with zeros
+        # (round-2 review find). Use fewer/longer shards.
+        raise ValueError(
+            f"FIR halo {halo} exceeds the per-shard length "
+            f"{xl.shape[-1]}; use fewer 'sp' shards (need shard length "
+            f">= taps-1)")
     if halo > 0:
-        tail = xl[..., -halo:] if halo <= xl.shape[-1] else jnp.pad(
-            xl, [(0, 0)] * (xl.ndim - 1) + [(halo - xl.shape[-1], 0)]
-        )
+        tail = xl[..., -halo:]
         left = jax.lax.ppermute(tail, axis, _sp_perm(n_sh))
         xw = jnp.concatenate([left, xl], axis=-1)
     else:
