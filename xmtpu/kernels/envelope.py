@@ -190,6 +190,11 @@ def envelope_pallas(d, k_rel: float, c_att: float, init=None, time_chunk=2048,
     ``init``: (env_last, e2_last) each shaped (...,) or None. Returns
     (e2 (..., n), (env_last, e2_last)). f32 compute. ``segments``:
     small-batch time segmentation (None = auto; exact, see above).
+
+    PRECONDITION: ``d`` and ``init`` must be NONNEGATIVE (true for the
+    limiter's |x| detector). The max-semiring corrections compose with
+    the zero-initialized kernel pass, which floors the envelope at 0 —
+    a negative carried state would be clamped on the segmented path.
     """
     from xmtpu.kernels.iir import pick_segments
 
@@ -205,6 +210,10 @@ def envelope_pallas(d, k_rel: float, c_att: float, init=None, time_chunk=2048,
             [jnp.asarray(init[0]).reshape(R), jnp.asarray(init[1]).reshape(R)]
         )
     S_seg = pick_segments(R, n) if segments is None else int(segments)
+    if S_seg > 1 and n % S_seg:
+        raise ValueError(
+            f"segments={S_seg} does not divide n={n} (exact state "
+            "corrections need equal segments)")
     if S_seg > 1:
         e2, zf = _envelope_seg(d2d, k_rel, c_att, init2, S_seg,
                                time_chunk, interpret)

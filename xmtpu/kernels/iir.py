@@ -220,6 +220,8 @@ def _seg_consts(sos_np: np.ndarray, seglen: int):
         "Li": np.ascontiguousarray(L.imag, np.float32),
     }
     _SEG_CACHE[key] = consts
+    if len(_SEG_CACHE) > 32:  # L tables are ~MBs per distinct seglen
+        _SEG_CACHE.pop(next(iter(_SEG_CACHE)))
     return consts
 
 
@@ -303,6 +305,10 @@ def sosfilt_pallas(sos, x, zi=None, time_chunk=2048, interpret=False,
         zi3 = jnp.moveaxis(jnp.asarray(zi).reshape(S, R, 2), -1, 1)
 
     S_seg = pick_segments(R, n) if segments is None else int(segments)
+    if S_seg > 1 and n % S_seg:
+        raise ValueError(
+            f"segments={S_seg} does not divide n={n} (exact state "
+            "corrections need equal segments)")
     consts = _seg_consts(sos_host, n // S_seg) \
         if (S_seg > 1 and sos_host is not None) else None
     if consts is not None:

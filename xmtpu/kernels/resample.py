@@ -135,9 +135,14 @@ def resample_pallas(x, sr_in: int, sr_out: int, taps_per_phase: int = 24,
     L, M = sr_out // g, sr_in // g
     x = jnp.asarray(x)
     if L == M:
-        return x.astype(jnp.float32)
-    if M < 64:  # lane padding M->128 would dominate; XLA path wins there
-        return _ops.polyphase_resample(x, sr_in, sr_out, taps_per_phase, beta)
+        return x  # keep dtype, matching the compute path's astype(x.dtype)
+    plan = _ops.make_plan(L, M, taps_per_phase, beta)
+    if M < 64 or plan.width > 2 * M:
+        # small M: lane padding M->128 dominates; wide band (large
+        # taps_per_phase): the two-slab kernel decomposition doesn't
+        # apply — the ops path handles both (forwarding precision)
+        return _ops.polyphase_resample(x, sr_in, sr_out, taps_per_phase,
+                                       beta, precision=precision)
     batch = x.shape[:-1]
     n = x.shape[-1]
     R = int(np.prod(batch)) if batch else 1

@@ -90,30 +90,32 @@ def _cmatmul(ar, ai, br, bi, sub: str, prec=None, gauss: bool = False):
     return m1 - m2, ri + ir
 
 
-def _dft_scrambled(zr, zi, c, prec=None):
+def _dft_scrambled(zr, zi, c, prec=None, gauss: bool = False):
     """(R, block) complex -> (R, n1, n2) scrambled spectrum."""
     r = zr.shape[0]
     zr = zr.reshape(r, c["n1"], c["n2"])
     zi = zi.reshape(r, c["n1"], c["n2"])
     # inner N1-DFT over n1: [k1,n1] x [r,n1,n2] -> [r,k1,n2]
-    ar, ai = _cmatmul(c["w1r"], c["w1i"], zr, zi, "kn,rnm->rkm", prec)
+    ar, ai = _cmatmul(c["w1r"], c["w1i"], zr, zi, "kn,rnm->rkm", prec, gauss)
     # twiddle [k1, n2]
     br = ar * c["twr"] - ai * c["twi"]
     bi = ar * c["twi"] + ai * c["twr"]
     # outer N2-DFT over n2: [k2,n2] x [r,k1,n2] -> [r,k1,k2]
-    return _cmatmul(c["w2r"], c["w2i"], br, bi, "lm,rkm->rkl", prec)
+    return _cmatmul(c["w2r"], c["w2i"], br, bi, "lm,rkm->rkl", prec, gauss)
 
 
-def _idft_scrambled(xr, xi, c, prec=None):
+def _idft_scrambled(xr, xi, c, prec=None, gauss: bool = False):
     """(R, n1, n2) scrambled spectrum -> (R, block) complex (scaled)."""
     # inner inverse N2-DFT over k2 (conjugate matrix = transpose of w2
     # conj; w2 symmetric so conj alone suffices)
-    ar, ai = _cmatmul(c["w2r"], -c["w2i"], xr, xi, "ml,rkl->rkm", prec)
+    ar, ai = _cmatmul(c["w2r"], -c["w2i"], xr, xi, "ml,rkl->rkm", prec,
+                      gauss)
     # conjugate twiddle
     br = ar * c["twr"] + ai * c["twi"]
     bi = -ar * c["twi"] + ai * c["twr"]
     # inverse N1-DFT over k1
-    yr, yi = _cmatmul(c["w1r"], -c["w1i"], br, bi, "nk,rkm->rnm", prec)
+    yr, yi = _cmatmul(c["w1r"], -c["w1i"], br, bi, "nk,rkm->rnm", prec,
+                      gauss)
     r = yr.shape[0]
     block = c["n1"] * c["n2"]
     s = jnp.float32(1.0 / block)
@@ -181,6 +183,8 @@ def _fused_consts(block: int, ir_np: np.ndarray):
     consts = {"n1": n1, "n2": n2, "Mr": Mr, "Mi": Mi,
               "w1r": f32(w1.real), "w1i": f32(w1.imag)}
     _FUSED_CACHE[key] = consts
+    if len(_FUSED_CACHE) > 4:  # entries are up to ~48 MB each
+        _FUSED_CACHE.pop(next(iter(_FUSED_CACHE)))
     return consts
 
 
@@ -227,6 +231,9 @@ def fir_convolve_os_mxu(x: jnp.ndarray, ir, block: int = 16384,
         n1, n2 = _split_factors(block)
         variant = "fused" if n1 * n2 * n2 * 8 <= _BAKE_LIMIT_BYTES \
             else "four_step"
+    if variant not in ("fused", "four_step"):
+        raise ValueError(f"unknown variant {variant!r}; "
+                         "use 'fused', 'four_step' or 'auto'")
     if variant == "fused":
         c = _fused_consts(block, ir_np)
     else:
@@ -252,10 +259,10 @@ def fir_convolve_os_mxu(x: jnp.ndarray, ir, block: int = 16384,
     if variant == "fused":
         yr, yi = _convolve_fused(zr, zi, c, precision, gauss)
     else:
-        xr_s, xi_s = _dft_scrambled(zr, zi, c, precision)
+        xr_s, xi_s = _dft_scrambled(zr, zi, c, precision, gauss)
         yr_s = xr_s * hr - xi_s * hi
         yi_s = xr_s * hi + xi_s * hr
-        yr, yi = _idft_scrambled(yr_s, yi_s, c, precision)
+        yr, yi = _idft_scrambled(yr_s, yi_s, c, precision, gauss)
 
     y = jnp.stack([yr, yi], axis=1).reshape(-1, block)[:r]
     y = y.reshape(*batch, nblk, block)[..., m - 1:]  # valid region
