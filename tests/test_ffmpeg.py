@@ -147,3 +147,57 @@ def test_compat_decoder_surface(tmp_path, rng):
     while u.decoder_get_pcm(1 << 16) is not None:
         pass
     u.freep()
+
+
+def test_encode_float_pcm(tmp_path):
+    """Float PCM encodes via the pinned int16 conversion instead of a
+    silent truncate-to-zero cast (round-2 review find)."""
+    from xmtpu.io import HAVE_FFMPEG, encode_audio, open_audio
+
+    if not HAVE_FFMPEG:
+        import pytest
+        pytest.skip("ffmpeg shim unavailable")
+    pcm = _tone(0.4).astype(np.float32) / 32768.0
+    p = str(tmp_path / "f.mp3")
+    encode_audio(p, pcm, SR)
+    with open_audio(p) as d:
+        got = d.read_all()
+    assert np.abs(got).max() > 5000  # audibly non-silent
+    assert abs(_dominant(got, SR) - 440.0) < 2.0
+
+
+def test_stream_read_all_position_independent(tmp_path):
+    """StreamDecoder.read_all returns the whole clip regardless of the
+    read position, like the WAV Decoder (round-2 review find)."""
+    from xmtpu.io import HAVE_FFMPEG, encode_audio, open_audio
+
+    if not HAVE_FFMPEG:
+        import pytest
+        pytest.skip("ffmpeg shim unavailable")
+    p = str(tmp_path / "s.flac")
+    encode_audio(p, _tone(1.0), SR)
+    with open_audio(p) as d:
+        full = d.read_all()
+        d.seek(500.0)
+        again = d.read_all()
+    assert again.shape == full.shape
+    np.testing.assert_array_equal(again, full)
+
+
+def test_process_file_compressed_extension(tmp_path):
+    """process_file writes real compressed bytes for compressed
+    extensions via the encoder registry (round-2 review find: it used
+    to write RIFF bytes into .m4a)."""
+    from xmtpu.io import HAVE_FFMPEG
+    from xmtpu.graph.pipeline import process_file
+    from xmtpu.config.schema import PipelineConfig, TrackConfig
+
+    if not HAVE_FFMPEG:
+        import pytest
+        pytest.skip("ffmpeg shim unavailable")
+    cfg = PipelineConfig(sample_rate=SR, tracks=[
+        TrackConfig(url="v", kind="voice")])
+    out = str(tmp_path / "g.mp3")
+    process_file({"v": (_tone(0.5), SR)}, cfg, out)
+    head = open(out, "rb").read(4)
+    assert head != b"RIFF"  # mp3 frames or ID3, never WAV bytes

@@ -27,7 +27,7 @@ def resolve_source(track, sources, default_sr: int, index: int = 0):
     the offline pipeline and the streaming session so the two modes can
     never drift (round-2 review find: two copies had already diverged
     on the end_time_ms trim)."""
-    if sources and track.url in (sources or {}):
+    if sources and track.url in sources:
         src = sources[track.url]
         return src if isinstance(src, tuple) else (src, default_sr)
     if track.url:
@@ -95,12 +95,13 @@ def process(inputs, config: PipelineConfig, progress=None) -> np.ndarray:
     if config.master_effects:
         from xmtpu.graph import fx as _fx
 
-        # long clips run through the N3 block scheduler (constant memory)
-        blk = config.block_size if mixed.shape[0] > config.block_size else None
+        # long clips run through the N3 block scheduler (constant
+        # memory); apply_chain itself takes the unblocked path when
+        # block_size >= n
         try:
             mixed = _fx.apply_chain(mixed, config.sample_rate,
                                     list(config.master_effects),
-                                    block_size=blk)
+                                    block_size=config.block_size)
         except ConfigError:  # offline-only effect (NS): whole-clip fallback
             mixed = _fx.apply_chain(mixed, config.sample_rate,
                                     list(config.master_effects))
@@ -113,9 +114,15 @@ def process(inputs, config: PipelineConfig, progress=None) -> np.ndarray:
 
 
 def process_file(inputs, config: PipelineConfig, out_path, progress=None):
-    """Full generator: decode -> pipeline -> WAV out. Returns out_path."""
+    """Full generator: decode -> pipeline -> encoded file. The output
+    format follows the extension via the io.encode_audio registry
+    (AAC/MP3/... when the FFmpeg shim is active; WAV always) — the
+    reference's generator writes M4A, so compressed extensions must
+    not silently receive RIFF bytes (round-2 review find)."""
+    from xmtpu.io import encode_audio
+
     pcm = process(inputs, config, progress=progress)
-    write_wav(out_path, pcm, config.sample_rate)
+    encode_audio(out_path, pcm, config.sample_rate)
     if progress:
         progress(100.0)
     return out_path

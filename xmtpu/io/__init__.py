@@ -11,8 +11,12 @@ from xmtpu.io.wav import read_wav, write_wav
 from xmtpu.io.decoder import open_audio, Decoder, register_backend
 from xmtpu.io.encoder import encode_audio, register_encoder
 
-# Compressed formats via the native FFmpeg shim when buildable (mp3/aac/
-# m4a/ogg/... decode, aac/mp3/... encode); silently WAV-only otherwise.
+# Compressed formats via the native FFmpeg shim (mp3/aac/m4a/ogg/...
+# decode, aac/mp3/... encode). Registration is LAZY: the g++ shim build
+# happens on first compressed-format use, not at import. HAVE_FFMPEG
+# means "backends registered"; probe xmtpu.native.ffmpeg.available()
+# for a hard availability check (encode falls back to WAV bytes when
+# the shim cannot build; decode raises).
 try:  # pragma: no cover - environment-dependent
     from xmtpu.native import ffmpeg as _ff
 

@@ -126,7 +126,9 @@ def open_audio(path, **kw) -> Decoder:
 
     Extra kwargs go to the backend (raw PCM needs ``sample_rate=``,
     optional ``channels=``, ``dtype=``)."""
-    ext = str(path).rsplit(".", 1)[-1].lower()
+    import os
+
+    ext = os.path.splitext(os.path.basename(str(path)))[1].lstrip(".").lower()
     backend = _BACKENDS.get(ext)
     if backend is None:
         raise ValueError(

@@ -31,7 +31,9 @@ def register_encoder(extension: str, factory: Callable) -> None:
 
 def encode_audio(path, pcm: np.ndarray, sample_rate: int, **kw) -> str:
     """Encode int16 PCM to ``path``; format chosen by extension."""
-    ext = str(path).rsplit(".", 1)[-1].lower()
+    import os
+
+    ext = os.path.splitext(os.path.basename(str(path)))[1].lstrip(".").lower()
     backend = _BACKENDS.get(ext)
     if backend is None:
         raise ValueError(

@@ -50,7 +50,8 @@ def load():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        src_m = os.path.getmtime(_SRC) if os.path.exists(_SRC) else 0.0
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < src_m:
             if not _build():
                 return None
         try:
@@ -127,6 +128,19 @@ def encode(path: str, pcm: np.ndarray, sample_rate: int) -> None:
     lib = load()
     if lib is None:
         raise RuntimeError("ffmpeg shim unavailable")
+    pcm = np.asarray(pcm)
+    if pcm.dtype != np.int16:
+        if pcm.dtype.kind == "f":
+            # normalized floats convert via the pinned rounding rule —
+            # a raw int16 cast truncates [-1,1] floats to 0 and writes
+            # a silent file (round-2 review find)
+            from xmtpu.ops.convert import f32_to_pcm16_np
+
+            pcm = f32_to_pcm16_np(pcm.astype(np.float32))
+        else:
+            raise TypeError(
+                f"encode() needs int16 or normalized float PCM, got "
+                f"{pcm.dtype}")
     pcm = np.ascontiguousarray(pcm, np.int16)
     if pcm.ndim == 1:
         pcm = pcm[:, None]
@@ -187,12 +201,19 @@ class StreamDecoder:
         return out[:got]
 
     def read_all(self) -> np.ndarray:
+        """The WHOLE clip, independent of the read position — matching
+        io.decoder.Decoder.read_all (round-2 review find: this used to
+        drain from the current position, so behavior silently differed
+        by container type). The position is restored afterwards."""
+        pos = self._pos
+        self.seek(0.0)
         chunks = []
         while True:
             c = self.read(1 << 18)
             if not len(c):
                 break
             chunks.append(c)
+        self.seek(pos * 1000.0 / self.sample_rate)
         return np.concatenate(chunks) if chunks else \
             np.empty((0, self.num_channels), np.int16)
 
@@ -219,17 +240,34 @@ class StreamDecoder:
 
 
 def register() -> bool:
-    """Register decode/encode backends for compressed formats; returns
-    whether the shim is active. Safe to call when unavailable."""
-    if not available():
-        return False
+    """Register LAZY decode/encode backends for compressed formats.
+
+    The g++ shim build (up to 180 s) happens on FIRST compressed-format
+    open/encode, not at `import xmtpu` (round-2 review find: the eager
+    available() probe compiled the shim at import time even for
+    WAV-only workloads, and re-ran a failing build in every process on
+    toolchain-broken machines). Returns True — the registration itself
+    always succeeds; availability is checked on use.
+    """
     from xmtpu.io.decoder import register_backend
     from xmtpu.io.encoder import register_encoder
 
     def _dec(path: str, **kw) -> StreamDecoder:
+        if not available():
+            raise RuntimeError(
+                f"ffmpeg shim unavailable (cannot decode {path!r})")
         return StreamDecoder(path)
 
     def _enc(path: str, pcm, sample_rate: int, **kw) -> None:
+        if not available():
+            # preserve the registry's libav-absent behavior: WAV bytes
+            # rather than a hard failure (documented WAV fallback)
+            from xmtpu.io.wav import write_wav
+
+            log.info("ffmpeg shim unavailable; writing WAV bytes to %s",
+                     path)
+            write_wav(path, pcm, sample_rate)
+            return
         encode(path, pcm, sample_rate)
 
     for ext in DECODE_EXTS:

@@ -14,7 +14,10 @@ from dataclasses import dataclass, asdict, field
 
 def get_logger(name: str = "xmtpu") -> logging.Logger:
     logger = logging.getLogger(name)
-    if not logger.handlers and not logging.getLogger().handlers:
+    # hasHandlers() walks the ancestor chain: a handler on 'xmtpu'
+    # must stop 'xmtpu.io' from attaching its own (double emission
+    # via propagation — round-2 review find)
+    if not logger.hasHandlers():
         h = logging.StreamHandler()
         h.setFormatter(logging.Formatter(
             "%(asctime)s %(name)s %(levelname)s %(message)s"))
