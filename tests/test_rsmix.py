@@ -33,9 +33,9 @@ def _ref(v, b, sri, sro, fade, gb):
     "B,n,sri,sro,fade,gb",
     [
         (3, 44100, 44100, 16000, 4000, 0.4),   # single-block rows (F=nc)
-        (8, 441 * 800, 44100, 16000, 0, 1.0),  # multi-block, no fade
+        (8, 441 * 288, 44100, 16000, 0, 1.0),  # multi-block (F=144, 2 blocks)
         (2, 9600, 48000, 44100, 100, 0.7),     # upward-ish ratio
-        (5, 441 * 64, 44100, 16000, 300, 0.4), # odd batch -> G=1
+        (5, 441 * 24, 44100, 16000, 300, 0.4), # odd batch -> G=1
     ],
 )
 def test_rsmix_matches_xla_front(rng, B, n, sri, sro, fade, gb):

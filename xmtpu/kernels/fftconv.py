@@ -99,8 +99,18 @@ _W_NAMES = ("w1rh", "w1rl", "w1ih", "w1il", "w1sh", "w1sl",
 
 
 def _split(v):
-    h = v.astype(jnp.bfloat16)
-    return h, (v - h.astype(jnp.float32)).astype(jnp.bfloat16)
+    """f32 -> (hi, lo) bf16 pair via MANTISSA MASKING, not astype:
+    under --xla_allow_excess_precision (set on the axon TPU backend)
+    XLA folds ``v - f32(bf16(v))`` to zero, silently erasing the lo
+    term and collapsing the 3-pass product to one bf16 pass (-52 dB;
+    caught when the interpret-mode kernel diverged on TPU only,
+    round 2). The integer truncation split cannot be elided; hi is
+    exactly a bf16 value (truncated rather than rounded — |lo| <=
+    2^-8 |v|, still well inside the 3-pass error budget)."""
+    u = jax.lax.bitcast_convert_type(v, jnp.uint32)
+    hi = jax.lax.bitcast_convert_type(u & jnp.uint32(0xFFFF0000),
+                                      jnp.float32)
+    return hi.astype(jnp.bfloat16), (v - hi).astype(jnp.bfloat16)
 
 
 def _dot3(ah, al, bh, bl):

@@ -50,9 +50,13 @@ def _split_host(a: np.ndarray):
 
 
 def _splitf(xf):
-    """f32 with int16-range values -> exact (hi, lo) bf16 pair."""
-    xh = xf.astype(jnp.bfloat16)
-    return xh, (xf - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+    """f32 with int16-range values -> exact (hi, lo) bf16 pair via
+    mantissa masking (see kernels/fftconv._split: XLA's
+    allow-excess-precision folds the astype-based split to zero)."""
+    u = jax.lax.bitcast_convert_type(xf, jnp.uint32)
+    hi = jax.lax.bitcast_convert_type(u & jnp.uint32(0xFFFF0000),
+                                      jnp.float32)
+    return hi.astype(jnp.bfloat16), (xf - hi).astype(jnp.bfloat16)
 
 
 def _dot3(xh, xl, wh, wl):
