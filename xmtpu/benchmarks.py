@@ -54,7 +54,8 @@ def config1_resample(batch=32, seconds=10.0):
     def run(v):
         return resample.polyphase_resample(convert.pcm16_to_f32(v), 44100, 16000)
 
-    dt = _timeit(lambda: run(xd), lambda o: np.asarray(o[0, :4]))
+    dt = _timeit(lambda: run(xd), lambda o: np.asarray(o[0, :4]),
+                 iters=20)
     return {"config": 1, "desc": "44.1k->16k polyphase + i16->f32",
             "audio_sec_per_sec": batch * seconds / dt}
 
@@ -78,7 +79,11 @@ def config2_mix(batch=32, seconds=10.0, sr=16000):
         peak = jnp.max(jnp.abs(out), axis=-1, keepdims=True)
         return out * jnp.where(peak > 0, mops.db_to_amp(-1.0) / peak, 1.0)
 
-    dt = _timeit(lambda: run(v, b), lambda o: np.asarray(o[0, :4]))
+    # iters=40: per-iter compute is ~1 ms here, so at iters=10 the
+    # amortized fetch RTT dominates and tunnel jitter swamps the number
+    # (measured 67-87k spread); 40 iterations cut the overhead share 4x
+    dt = _timeit(lambda: run(v, b), lambda o: np.asarray(o[0, :4]),
+                 iters=40)
     return {"config": 2, "desc": "2-track mix gain/fade/normalize",
             "audio_sec_per_sec": batch * seconds / dt}
 
@@ -184,7 +189,11 @@ _CONFIGS = {1: config1_resample, 2: config2_mix, 3: config3_effects,
 
 
 def run(config: int | None = None):
-    """Run one or all configs; prints a JSON line each."""
+    """Run one or all configs; prints a JSON line each.
+
+    For publishable numbers run each config in its OWN process: an
+    all-in-one sweep measured config 3 at less than half its standalone
+    throughput (device-state interference between configs)."""
     results = []
     for k in sorted(_CONFIGS) if config is None else [config]:
         r = _CONFIGS[k]()
