@@ -41,14 +41,11 @@ def test_masked_batch_matches_unbatched(rng):
                                           interpret=True))
     out = np.asarray(step(jnp.asarray(voice), jnp.asarray(bgm),
                           jnp.asarray(lengths, jnp.int32)))
-    solo_step_cache = {}
+    solo_step = jax.jit(xbatch.make_batch_step(
+        sr_in=SR_IN, sr_bus=SR_BUS, interpret=True))  # jit caches per shape
     for i, c in enumerate(clips):
         n = len(c)
-        if n not in solo_step_cache:
-            solo_step_cache[n] = jax.jit(
-                xbatch.make_batch_step(sr_in=SR_IN, sr_bus=SR_BUS,
-                                       interpret=True))
-        solo = np.asarray(solo_step_cache[n](
+        solo = np.asarray(solo_step(
             jnp.asarray(c[None]), jnp.asarray(np.zeros_like(c)[None]),
             jnp.asarray([n], jnp.int32)))[0]
         m = -(-(n * (SR_BUS // 100)) // (SR_IN // 100))  # ceil
@@ -72,8 +69,13 @@ def test_long_clip_length_no_int32_overflow(rng):
     bgm = np.zeros_like(voice)
     step = jax.jit(xbatch.make_batch_step(sr_in=SR_IN, sr_bus=SR_BUS,
                                           interpret=True))
+    # 13_500_000 * L(=160) = 2.16e9 > 2^31-1: actually crosses the
+    # int32 wrap (13_420_000 * 160 = 2.1472e9 did NOT — the original
+    # regression value sat 1,773 samples short of the threshold and
+    # the test stayed green with the bug reverted; review find)
+    assert 13_500_000 * (SR_BUS // 100) > 2**31 - 1
     out = np.asarray(step(jnp.asarray(voice), jnp.asarray(bgm),
-                          jnp.asarray([13_420_000], jnp.int32)))
+                          jnp.asarray([13_500_000], jnp.int32)))
     # out_len >> n_pad, so every produced sample is in-range: non-silent
     assert np.any(out != 0)
 

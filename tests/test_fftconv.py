@@ -16,10 +16,11 @@ from xmtpu.kernels.fftconv import fir_convolve_os_pallas
 from xmtpu.ops import reverb as _rv
 
 
+from tests.conftest import rms_db
+
+
 def _err_db(y, ref):
-    return 10 * np.log10(
-        np.mean((np.asarray(y, np.float64) - ref) ** 2) / np.mean(ref**2)
-    )
+    return rms_db(np.asarray(y, np.float64) - ref, ref)
 
 
 @pytest.mark.parametrize(
@@ -64,10 +65,16 @@ def test_fftconv_block_too_small():
 
 
 def test_reverb_pallas_backend_matches_xla(rng):
-    """reverb(backend='pallas') == reverb(backend='xla') wet/dry mix."""
+    """reverb(backend='pallas') == reverb(backend='xla') wet/dry mix —
+    BOTH backends actually run (review find: the old version compared
+    pallas to the numpy oracle only)."""
     x = rng.standard_normal((2, 9600)).astype(np.float32)
     ir = _rv.synthetic_ir(0.1, 16000)
     y_pl = _rv.reverb(jnp.asarray(x), jnp.asarray(ir), backend="pallas",
                       block=16384, interpret=True)
+    y_xla = _rv.reverb(jnp.asarray(x), jnp.asarray(ir), backend="xla")
     ref = _rv.reverb_np(x, np.asarray(ir))
     assert _err_db(y_pl, ref) < -90
+    assert _err_db(y_xla, ref) < -90
+    assert _err_db(np.asarray(y_pl, np.float64),
+                   np.asarray(y_xla, np.float64)) < -90

@@ -47,7 +47,9 @@ def test_rsmix_matches_xla_front(rng, B, n, sri, sro, fade, gb):
                             bgm_gain=gb, fade=fade, interpret=True))
     ref = _ref(v, b, sri, sro, fade, gb)
     assert y.shape == ref.shape
-    err = 10 * np.log10(np.mean((y - ref) ** 2) / np.mean(ref**2))
+    from tests.conftest import rms_db
+
+    err = rms_db(y.astype(np.float64) - ref, ref)
     assert err < -80, err
 
 

@@ -301,10 +301,7 @@ def test_loop_with_end_trim_matches_offline():
     """A looped track with end_time_ms loops the end-TRIMMED clip in
     both modes (round-2 review find: streaming used to wrap the full
     untrimmed source)."""
-    import numpy as np
     from xmtpu.graph.pipeline import process
-    from xmtpu.graph.streaming import StreamSession
-    from xmtpu.config.schema import PipelineConfig, TrackConfig
 
     rng = np.random.default_rng(3)
     src = (rng.standard_normal(16000) * 0.2).astype(np.float32)  # 1 s
