@@ -201,3 +201,59 @@ def test_process_file_compressed_extension(tmp_path):
     process_file({"v": (_tone(0.5), SR)}, cfg, out)
     head = open(out, "rb").read(4)
     assert head != b"RIFF"  # mp3 frames or ID3, never WAV bytes
+
+
+@pytest.mark.parametrize("ext", ["mp3", "m4a"])
+def test_encode_bitrate_controls_size(tmp_path, ext):
+    """Reference parity: the encoder exposes a bitrate knob (SURVEY.md
+    §2.1 encoder row). Two bitrates must produce measurably different
+    file sizes, and both must round-trip."""
+    import os
+
+    pcm = _tone(2.0, freq=440.0)
+    lo = str(tmp_path / f"lo.{ext}")
+    hi = str(tmp_path / f"hi.{ext}")
+    ff.encode(lo, pcm, SR, bitrate=48000)
+    ff.encode(hi, pcm, SR, bitrate=256000)
+    assert os.path.getsize(hi) > 1.5 * os.path.getsize(lo), (
+        os.path.getsize(lo), os.path.getsize(hi))
+    for p in (lo, hi):
+        got, sr = ff.decode(p)
+        assert sr == SR
+        assert abs(_dominant(got, sr) - 440.0) < 2.0
+
+
+def test_encode_bitrate_via_registry(tmp_path):
+    """The io.encode_audio registry forwards bitrate kwargs."""
+    import os
+
+    from xmtpu.io import encode_audio
+
+    pcm = _tone(2.0)
+    lo = str(tmp_path / "lo.mp3")
+    hi = str(tmp_path / "hi.mp3")
+    encode_audio(lo, pcm, SR, bitrate=48000)
+    encode_audio(hi, pcm, SR, bitrate=256000)
+    assert os.path.getsize(hi) > 1.5 * os.path.getsize(lo)
+
+
+def test_pipeline_config_bitrate_roundtrip(tmp_path):
+    """PipelineConfig.bitrate survives the JSON round trip and reaches
+    the encoder through process_file."""
+    import os
+
+    from xmtpu.config.schema import config_from_dict, config_to_dict
+    from xmtpu.graph.pipeline import process_file
+
+    d = {"tracks": [{"url": "v"}], "sampleRate": SR, "bitrate": 48000}
+    cfg = config_from_dict(d)
+    assert cfg.bitrate == 48000
+    assert config_to_dict(cfg)["bitrate"] == 48000
+    rng = np.random.default_rng(0)
+    voice = (rng.standard_normal(SR) * 9000).astype(np.int16)
+    lo = str(tmp_path / "lo.mp3")
+    hi = str(tmp_path / "hi.mp3")
+    process_file({"v": (voice, SR)}, cfg, lo)
+    cfg_hi = config_from_dict({**d, "bitrate": 256000})
+    process_file({"v": (voice, SR)}, cfg_hi, hi)
+    assert os.path.getsize(hi) > 1.5 * os.path.getsize(lo)

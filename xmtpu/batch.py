@@ -322,16 +322,27 @@ def flagship_step_sharded(mesh, **kw):
     kernels included); no collectives needed for pure DP (SURVEY.md
     §2.2 — peak stats stay per-clip, not global).
 
-    Pass ``fused=True`` (forwarded to make_flagship_step) when a >=128
-    global batch shards into <128-row shards, so the per-shard program
-    takes the same fused-kernel path as the single-chip step — the
-    auto decision only sees the per-shard shape."""
-    step = make_flagship_step(**kw)
+    When ``fused`` is not given, the auto decision is made here from
+    the GLOBAL (pre-shard) batch shape at trace time — inside shard_map
+    the step only sees the per-shard shape, so a >=128 global batch
+    sharded into <128-row shards would silently flip to the non-fused
+    kernels and match single-chip only to the -80 dB gate instead of
+    bit-for-bit (round-2 advisor find)."""
     P = jax.sharding.PartitionSpec
-    spmd = jax.shard_map(
-        step, mesh=mesh,
-        in_specs=(P("dp", None), P("dp", None)),
-        out_specs=P("dp", None),
-        check_vma=False,  # pallas_call outputs carry no vma annotation
-    )
+
+    def spmd(voice_i16, bgm_i16):
+        kw2 = dict(kw)
+        if kw2.get("fused") is None:
+            kw2["fused"] = (
+                kw2.get("iir_backend", "pallas") == "pallas"
+                and int(np.prod(voice_i16.shape[:-1])) >= 128
+            )
+        step = make_flagship_step(**kw2)
+        return jax.shard_map(
+            step, mesh=mesh,
+            in_specs=(P("dp", None), P("dp", None)),
+            out_specs=P("dp", None),
+            check_vma=False,  # pallas_call outputs carry no vma annotation
+        )(voice_i16, bgm_i16)
+
     return jax.jit(spmd)

@@ -74,6 +74,21 @@ def _cmd_bench(args) -> int:
     from xmtpu import benchmarks
     from xmtpu.utils.profiling import trace
 
+    if args.config is None:
+        # one SUBPROCESS per config: an all-in-one in-process sweep
+        # measured config 3 at less than half its standalone throughput
+        # (cross-config device-state interference — BASELINE.md timing
+        # convention), so the publishable path forks per config
+        import subprocess
+
+        rc = 0
+        for k in sorted(benchmarks._CONFIGS):
+            cmd = [sys.executable, "-m", "xmtpu.cli", "bench",
+                   "--config", str(k)]
+            if args.profile:
+                cmd += ["--profile", f"{args.profile}/config{k}"]
+            rc |= subprocess.run(cmd).returncode
+        return rc
     with trace(args.profile):
         benchmarks.run(config=args.config)
     return 0

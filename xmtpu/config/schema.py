@@ -61,6 +61,8 @@ class PipelineConfig:
     # target_db means LUFS) | "rms" ("loudness" = legacy alias of rms)
     normalize_target_db: float = -1.0  # peak target (dBFS)
     block_size: int = 65536  # device block length (samples)
+    bitrate: int | None = None  # encoder bits/s (compressed outputs;
+    # None = codec default; reference encoder's bitrate knob)
 
 
 def _effect_from_json(d) -> EffectConfig:
@@ -102,6 +104,7 @@ def config_from_dict(d: dict) -> PipelineConfig:
         normalize=d.get("normalize", "peak"),
         normalize_target_db=float(d.get("normalizeTargetDb", -1.0)),
         block_size=int(d.get("blockSize", 65536)),
+        bitrate=(None if d.get("bitrate") is None else int(d["bitrate"])),
     )
 
 
@@ -128,6 +131,7 @@ def config_to_dict(cfg: PipelineConfig) -> dict:
         "normalize": cfg.normalize,
         "normalizeTargetDb": cfg.normalize_target_db,
         "blockSize": cfg.block_size,
+        "bitrate": cfg.bitrate,
     }
 
 

@@ -255,24 +255,31 @@ def _chain_key(sample_rate: int, chain) -> str:
                 params["ir_wav"] = str(params["ir_wav"])
         return {"name": name, "params": params}
 
-    def _default(v):
-        # np scalars / arrays anywhere in the tree (nested band lists etc.)
-        import hashlib
-
-        if isinstance(v, (np.ndarray, jnp.ndarray)):
-            a = np.asarray(v)
-            return f"<array:{hashlib.sha1(a.tobytes()).hexdigest()}:{a.shape}:{a.dtype}>"
-        if isinstance(v, np.generic):
-            return v.item()
-        try:  # Path-like / other stringifiable params build_chain accepts
-            return str(v)
-        except Exception:
-            raise TypeError(f"unhashable effect param: {type(v)}")
-
     return json.dumps(
         {"sr": sample_rate, "chain": [canon(e) for e in chain]},
-        sort_keys=True, default=_default,
+        sort_keys=True, default=_json_default,
     )
+
+
+def _json_default(v):
+    """json.dumps ``default`` that canonicalizes arrays by CONTENT.
+
+    np/jnp arrays hash by sha1 of their bytes (``default=str`` would
+    collapse two different large arrays to the same truncated repr —
+    a stale-executable cache bug, round-2 advisor find); np scalars
+    unbox; anything else stringifies.
+    """
+    import hashlib
+
+    if isinstance(v, (np.ndarray, jnp.ndarray)):
+        a = np.asarray(v)
+        return f"<array:{hashlib.sha1(a.tobytes()).hexdigest()}:{a.shape}:{a.dtype}>"
+    if isinstance(v, np.generic):
+        return v.item()
+    try:  # Path-like / other stringifiable params build_chain accepts
+        return str(v)
+    except Exception:
+        raise TypeError(f"unhashable effect param: {type(v)}")
 
 
 def get_compiled_chain(sample_rate: int, chain):

@@ -207,10 +207,18 @@ def mix(tracks, sample_rate: int, normalize: str | None = "peak",
     # as runner._STEP_CACHE).
     import json as _json
 
+    from xmtpu.graph import fx as _fxkey
+
     key = (
         sample_rate, normalize, float(target_db), total, nch, out_int16,
-        _json.dumps(duck_params, sort_keys=True, default=str),
-        _json.dumps(voice_effects, sort_keys=True, default=str),
+        # content-canonical keys: fx._chain_key hashes array params by
+        # sha1 and keys ir_wav by (path, size, mtime) — default=str
+        # collapsed different IR arrays to one key and reused a stale
+        # executable with the old IR baked in (round-2 advisor find)
+        _json.dumps(duck_params, sort_keys=True,
+                    default=_fxkey._json_default),
+        _fxkey._chain_key(sample_rate, list(voice_effects))
+        if voice_effects else None,
         tuple(
             (pcm.shape, str(pcm.dtype), sr, n_bus, t.start_ms, t.gain,
              t.fade_in_ms, t.fade_out_ms, t.loop, t.kind, t.side_duck)

@@ -122,7 +122,8 @@ def process_file(inputs, config: PipelineConfig, out_path, progress=None):
     from xmtpu.io import encode_audio
 
     pcm = process(inputs, config, progress=progress)
-    encode_audio(out_path, pcm, config.sample_rate)
+    encode_audio(out_path, pcm, config.sample_rate,
+                 bitrate=config.bitrate)
     if progress:
         progress(100.0)
     return out_path

@@ -205,6 +205,12 @@ def resample_mix_supported(n: int, B: int, sr_in: int, sr_out: int,
     L, M = sr_out // g, sr_in // g
     if L == M or n % M or n < 2 * M:
         return False
+    if (n // M) * L > 1 << 24:
+        # the in-kernel fade ramp computes its absolute sample index in
+        # f32, which quantizes past 2^24 output samples (~17.5 min at
+        # 16 kHz) and diverges from the f64 ops.mix.fade_ramp this
+        # kernel must match sample-for-sample (round-2 advisor find)
+        return False
     plan = _rs.make_plan(L, M, taps_per_phase, 9.0)
     return (plan.width <= 2 * M and _pick_F(n // M) > 0
             and any(B % g_ == 0 for g_ in (8, 4, 2, 1)))

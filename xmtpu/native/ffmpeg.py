@@ -76,7 +76,7 @@ def load():
         lib.xm_ff_decode.restype = ctypes.c_int
         lib.xm_ff_encode.argtypes = [
             ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64,
-            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ]
         lib.xm_ff_encode.restype = ctypes.c_int
         lib.xm_ff_free.argtypes = [ctypes.c_void_p]
@@ -124,7 +124,12 @@ def decode(path: str):
     return pcm.reshape(n.value, ch.value), int(sr.value)
 
 
-def encode(path: str, pcm: np.ndarray, sample_rate: int) -> None:
+def encode(path: str, pcm: np.ndarray, sample_rate: int,
+           bitrate: int | None = None) -> None:
+    """Encode PCM to ``path`` (codec from the extension). ``bitrate``
+    in bits/s (e.g. 64000, 192000); None = the codec default
+    (128 kb/s). Lossless codecs (FLAC) ignore it. Reference parity:
+    the upstream encoder's bitrate knob (SURVEY.md §2.1 encoder row)."""
     lib = load()
     if lib is None:
         raise RuntimeError("ffmpeg shim unavailable")
@@ -145,7 +150,8 @@ def encode(path: str, pcm: np.ndarray, sample_rate: int) -> None:
     if pcm.ndim == 1:
         pcm = pcm[:, None]
     rc = lib.xm_ff_encode(str(path).encode(), pcm.ctypes.data, pcm.shape[0],
-                          pcm.shape[1], int(sample_rate))
+                          pcm.shape[1], int(sample_rate),
+                          int(bitrate) if bitrate else 0)
     if rc != 0:
         raise ValueError(f"xm_ff_encode({path!r}) failed with code {rc}")
 
@@ -268,7 +274,7 @@ def register() -> bool:
                      path)
             write_wav(path, pcm, sample_rate)
             return
-        encode(path, pcm, sample_rate)
+        encode(path, pcm, sample_rate, bitrate=kw.get("bitrate"))
 
     for ext in DECODE_EXTS:
         register_backend(ext, _dec)

@@ -122,8 +122,11 @@ int xm_ff_decode(const char* path, int16_t** out, int64_t* n_frames,
 
 // Encode interleaved int16 PCM to `path`; container/codec guessed from
 // the extension (aac/m4a -> AAC, mp3 -> libmp3lame, ogg -> vorbis...).
+// `bitrate` in bits/s; <= 0 picks the 128 kb/s default. Lossless
+// codecs (FLAC) ignore it. (Reference parity: the upstream encoder
+// exposes a bitrate knob — SURVEY.md §2.1 encoder row.)
 int xm_ff_encode(const char* path, const int16_t* pcm, int64_t n_frames,
-                 int32_t channels, int32_t sample_rate) {
+                 int32_t channels, int32_t sample_rate, int32_t bitrate) {
   AVFormatContext* oc = nullptr;
   if (avformat_alloc_output_context2(&oc, nullptr, nullptr, path) < 0 || !oc)
     return -1;
@@ -143,7 +146,7 @@ int xm_ff_encode(const char* path, const int16_t* pcm, int64_t n_frames,
     av_channel_layout_default(&enc->ch_layout, channels);
     enc->sample_fmt = codec->sample_fmts ? codec->sample_fmts[0]
                                          : AV_SAMPLE_FMT_S16;
-    enc->bit_rate = 128000;
+    enc->bit_rate = bitrate > 0 ? bitrate : 128000;
     enc->time_base = {1, sample_rate};
     if (oc->oformat->flags & AVFMT_GLOBALHEADER)
       enc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;

@@ -60,10 +60,10 @@ def _decay_max_combine(lhs, rhs):
 
 
 def decaying_max_scan(d, k: float, init):
-    init = jnp.asarray(init, d.dtype)  # accept plain-float state like
-    # the numpy oracle's documented (0.0, 0.0) default
     """env[n] = max(d[n], k*env[n-1]) over the last axis; init = env[-1].
     Returns (env, env_last)."""
+    init = jnp.asarray(init, d.dtype)  # accept plain-float state like
+    # the numpy oracle's documented (0.0, 0.0) default
     p = jnp.full_like(d, k)
     v, _ = jax.lax.associative_scan(_decay_max_combine, (d, p), axis=-1)
     # fold the initial condition: env[n] = max(v[n], k^(n+1) * init)
@@ -83,9 +83,9 @@ def _onepole_combine(lhs, rhs):
 
 
 def onepole_scan(u, c: float, init):
-    init = jnp.asarray(init, u.dtype)  # accept plain-float state
     """e[n] = (1-c) e[n-1] + c u[n] over the last axis; init = e[-1].
     Returns (e, e_last)."""
+    init = jnp.asarray(init, u.dtype)  # accept plain-float state
     if c >= 1.0:
         return u, u[..., -1]
     a = 1.0 - c
