@@ -1,0 +1,65 @@
+"""Serving mode: many concurrent streaming sessions, one device step.
+
+The reference library's deployment shape is many independent
+``xm_audio_utils`` handles in one process; ``SessionPool`` batches K of
+them into a single vmapped TPU program — sessions fill the VPU lanes
+the way the batch pipeline fills them with clips.
+
+    python examples/serving_pool.py
+"""
+
+import time
+
+import numpy as np
+
+from xmtpu.api import SessionPool
+
+
+def main() -> None:
+    sr = 16000
+    rng = np.random.default_rng(11)
+    config = {
+        "sampleRate": sr,
+        "normalize": None,
+        "tracks": [{"url": "voice", "kind": "voice", "fadeInTimeMs": 50}],
+        "effects": [
+            {"name": "equalizer",
+             "params": {"bands": [
+                 {"freq_hz": 300.0, "gain_db": 2.0, "q": 1.0}]}},
+            {"name": "limiter", "params": {"threshold_db": -3.0}},
+        ],
+    }
+
+    K = 8
+    # each "user" brings their own audio (here: noise of varying length)
+    sources = [
+        {"voice": ((0.3 * rng.standard_normal(sr * (4 + i % 3))
+                    ).astype(np.float32), sr)}
+        for i in range(K)
+    ]
+    pool = SessionPool(config, K, frame_ms=20.0, sources=sources)
+    print(f"pool: {K} slots, frame_out={pool.frame_out} samples")
+
+    out = pool.read(25)  # 25 frames (0.5 s) for EVERY slot, one dispatch
+    print("group read:", out.shape, out.dtype)  # (K, 25*frame, 1)
+
+    # users come and go without retracing the device program
+    pool.leave(3)
+    pool.seek(0, 1000.0)  # rewind user 0 to 1.0 s
+    pool.join(3, {"voice": ((0.2 * rng.standard_normal(sr * 2)
+                             ).astype(np.float32), sr)})
+    out = pool.read(25)
+    print("after churn:", out.shape, "active slots:", pool.active())
+
+    t0 = time.perf_counter()
+    groups = 4
+    for _ in range(groups):
+        out = pool.read(25)
+    dt = time.perf_counter() - t0
+    audio = groups * out.shape[0] * out.shape[1] / sr
+    print(f"aggregate throughput: {audio / dt:.0f}x realtime "
+          f"({K} sessions, grouped dispatch)")
+
+
+if __name__ == "__main__":
+    main()

@@ -302,6 +302,22 @@ def test_flagship_rsmix_backend_parity(rng):
                   y_x.astype(np.float64) / 32768.0) < -80
 
 
+def test_flagship_mixfirst_backend_parity(rng):
+    """resample_backend='mixfirst' (mix at the native rate, resample
+    once — exact by LTI commutation and the shared fade window) matches
+    the default front to the -80 dB gate."""
+    v = (rng.standard_normal((2, 44100)) * 8000).astype(np.int16)
+    b = (rng.standard_normal((2, 44100)) * 6000).astype(np.int16)
+    kw = dict(sr_in=SR_IN, sr_bus=SR_BUS, interpret=True)
+    y_m = np.asarray(jax.jit(xbatch.make_flagship_step(
+        resample_backend="mixfirst", **kw))(jnp.asarray(v), jnp.asarray(b)))
+    y_x = np.asarray(jax.jit(xbatch.make_flagship_step(**kw))(
+        jnp.asarray(v), jnp.asarray(b)))
+    assert y_m.shape == y_x.shape
+    assert rms_db((y_m - y_x).astype(np.float64) / 32768.0,
+                  y_x.astype(np.float64) / 32768.0) < -80
+
+
 def test_batch_runner_bad_out_path_isolated(tmp_path, rng):
     """One unwritable output path fails ONLY that job — recorded in
     report.failed, other jobs written, no writer-thread hang (round-2

@@ -1,0 +1,121 @@
+"""SessionPool (serving mode): K concurrent sessions == K independent
+StreamSessions, with per-slot join/leave/seek and no retracing.
+
+Reference usage model: many independent xm_audio_utils handles in one
+process (SURVEY.md §3.2); round-2 VERDICT directive #2.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import xmtpu  # noqa: F401
+from xmtpu.config.schema import EffectConfig, PipelineConfig, TrackConfig
+from xmtpu.graph.pool import SessionPool
+from xmtpu.graph.streaming import StreamSession
+from xmtpu.utils.errors import ConfigError
+
+from .conftest import rms_db
+
+SR = 16000
+
+
+def _cfg(effects=True):
+    eff = (
+        EffectConfig("equalizer", {"bands": [
+            {"freq_hz": 300.0, "gain_db": 2.0, "q": 1.0},
+            {"freq_hz": 3000.0, "gain_db": -3.0, "q": 0.8}]}),
+        EffectConfig("limiter", {}),
+    ) if effects else ()
+    return PipelineConfig(
+        tracks=(TrackConfig(url="v", fade_in_ms=50.0, fade_out_ms=80.0),),
+        effects=eff,
+        sample_rate=SR, normalize=None,
+    )
+
+
+def _voices(rng, k, sr=44100, seconds=1.0):
+    return [
+        {"v": ((0.3 * rng.standard_normal(
+            int(sr * (seconds + 0.2 * i)))).astype(np.float32), sr)}
+        for i in range(k)
+    ]
+
+
+def test_pool_matches_independent_sessions(rng):
+    """K pooled slots == K independent sessions <= -80 dB, int16 out."""
+    K = 3
+    srcs = _voices(rng, K)
+    pool = SessionPool(_cfg(), K, frame_ms=20.0, sources=srcs)
+    sessions = [StreamSession(_cfg(), frame_ms=20.0, sources=s)
+                for s in srcs]
+    assert pool.frame_out == sessions[0].frame_out
+    for _ in range(3):  # several groups: state carries across reads
+        got = pool.read(8)  # (K, 8*frame, ch)
+        for i, sess in enumerate(sessions):
+            ref = sess.read_many(8)
+            g = got[i].astype(np.float64) / 32768.0
+            r = ref.astype(np.float64) / 32768.0
+            assert rms_db(g - r, r + 1e-12) <= -80.0, i
+
+
+def test_pool_join_leave_seek(rng):
+    K = 3
+    srcs = _voices(rng, K)
+    pool = SessionPool(_cfg(), K, frame_ms=20.0, sources=srcs[:2])
+    # slot 2 empty -> exact silence
+    out = pool.read(4)
+    assert np.all(out[2] == 0)
+    assert pool.active() == [0, 1]
+    # join slot 2 mid-stream: matches a fresh session from 0
+    pool.join(2, srcs[2])
+    sess = StreamSession(_cfg(), frame_ms=20.0, sources=srcs[2])
+    got = pool.read(6)[2].astype(np.float64) / 32768.0
+    ref = sess.read_many(6).astype(np.float64) / 32768.0
+    assert rms_db(got - ref, ref + 1e-12) <= -80.0
+    # leave: silence again, others unaffected and state-continuous
+    sess0 = StreamSession(_cfg(), frame_ms=20.0, sources=srcs[0])
+    sess0.read_many(10)  # advance to the pool's slot-0 clock
+    pool.leave(1)
+    out = pool.read(4)
+    assert np.all(out[1] == 0)
+    ref0 = sess0.read_many(4).astype(np.float64) / 32768.0
+    got0 = out[0].astype(np.float64) / 32768.0
+    assert rms_db(got0 - ref0, ref0 + 1e-12) <= -80.0
+    # seek: frame-aligned reposition + state reset, like the reference
+    pool.seek(0, 200.0)
+    sess0b = StreamSession(_cfg(), frame_ms=20.0, sources=srcs[0])
+    sess0b.seek(200.0)
+    got = pool.read(4)[0].astype(np.float64) / 32768.0
+    ref = sess0b.read_many(4).astype(np.float64) / 32768.0
+    assert rms_db(got - ref, ref + 1e-12) <= -80.0
+
+
+def test_pool_geometry_validation(rng):
+    srcs = _voices(rng, 1)
+    pool = SessionPool(_cfg(), 2, sources=srcs)
+    with pytest.raises(ConfigError, match="polyphase"):
+        pool.join(1, {"v": (np.zeros(8000, np.float32), 48000)})
+    with pytest.raises(ConfigError, match="slot"):
+        pool.seek(7, 0.0)
+
+
+def test_pool_ducking_parity(rng):
+    """Side-chain ducking state is carried per slot."""
+    cfg = PipelineConfig(
+        tracks=(TrackConfig(url="v"),
+                TrackConfig(url="b", kind="bgm", side_duck=True, loop=True)),
+        sample_rate=SR, normalize=None,
+    )
+    v = (0.3 * rng.standard_normal(32000)).astype(np.float32)
+    b = (0.2 * np.sin(np.arange(8000) / 20.0)).astype(np.float32)
+    srcs = [{"v": (v, SR), "b": (b, SR)},
+            {"v": (0.5 * v[::-1].copy(), SR), "b": (b, SR)}]
+    pool = SessionPool(cfg, 2, frame_ms=20.0, sources=srcs)
+    sessions = [StreamSession(cfg, frame_ms=20.0, sources=s) for s in srcs]
+    got = pool.read(10)
+    for i, sess in enumerate(sessions):
+        ref = sess.read_many(10).astype(np.float64) / 32768.0
+        g = got[i].astype(np.float64) / 32768.0
+        assert rms_db(g - ref, ref + 1e-12) <= -80.0, i

@@ -36,6 +36,7 @@ from xmtpu.api import (  # noqa: E402
     effects,
     process_file,
     Session,
+    SessionPool,
 )
 from xmtpu import io  # noqa: E402  (xmtpu.io.read_wav / write_wav / open_audio)
 from xmtpu import compat  # noqa: E402  (handle-style reference-parity API)
@@ -51,6 +52,7 @@ __all__ = [
     "effects",
     "process_file",
     "Session",
+    "SessionPool",
     "PipelineConfig",
     "TrackConfig",
     "EffectConfig",

@@ -26,29 +26,36 @@ from xmtpu.config.schema import PipelineConfig, TrackConfig, EffectConfig  # noq
 
 
 def _to_f32_device(pcm) -> tuple[jnp.ndarray, bool, bool]:
-    """-> (f32 array shaped (..., channels_last? no: time-last), was_int16, was_1d).
+    """-> (f32 array, time-LAST layout, was_int16, was_1d).
 
-    xmtpu's device layout is time-LAST: (channels, n). Public layout is
-    time-first (n, channels) to match WAV interleaving; convert here.
+    xmtpu's device layout is time-LAST: (channels, n) or batched
+    (B, channels, n). Public layout is time-first (n, channels) /
+    (B, n, channels) to match WAV interleaving; convert here.
     """
     arr = jnp.asarray(pcm)
     was_1d = arr.ndim == 1
     if was_1d:
         arr = arr[:, None]
-    if arr.ndim != 2:
-        raise ValueError(f"PCM must be (n,) or (n, channels), got {arr.shape}")
-    arr = arr.T  # -> (channels, n), time-last for device ops
+    if arr.ndim == 2:
+        arr = arr.T  # -> (channels, n), time-last for device ops
+    elif arr.ndim == 3:  # batched clips (B, n, ch) -> (B, ch, n)
+        arr = jnp.swapaxes(arr, -1, -2)
+    else:
+        raise ValueError(
+            f"PCM must be (n,), (n, channels) or (B, n, channels), "
+            f"got {arr.shape}")
     if arr.dtype == jnp.int16:
         return _convert.pcm16_to_f32(arr), True, was_1d
     return arr.astype(jnp.float32), False, was_1d
 
 
-def _from_f32_device(y: jnp.ndarray, was_int16: bool, was_1d: bool) -> np.ndarray:
+def _from_f32_device(y: jnp.ndarray, was_int16: bool, was_1d: bool,
+                     to_host: bool = True):
     out = _convert.f32_to_pcm16(y) if was_int16 else y
-    out = out.T  # back to (n, channels)
+    out = jnp.swapaxes(out, -1, -2)  # back to (..., n, channels)
     if was_1d:
-        out = out[:, 0]
-    return np.asarray(out)
+        out = out[..., 0]
+    return np.asarray(out) if to_host else out
 
 
 def resample(
@@ -79,7 +86,16 @@ def mix(tracks, sample_rate: int, normalize: str | None = "peak", **kw):
 
 
 def effects(pcm, sample_rate: int, chain, **kw):
-    """Effect chain — implemented in milestone M3 (SURVEY.md §7.2)."""
+    """Effect chain (config 3, SURVEY.md §3.5).
+
+    ``pcm``: int16 or f32, (n,), (n, ch), or a batched (B, n, ch) clip
+    stack. By default the chain runs the PRODUCTION engine on TPU
+    (sequential Pallas IIR/envelope kernels + the VMEM-resident fftconv
+    reverb — the same kernels the benchmarks measure) and the f64
+    oracle scans on CPU; force with ``backend="scan"|"pallas"``. Other
+    kwargs: ``block_size`` (N3 block scheduler), ``device_out`` (skip
+    the host fetch). See :func:`xmtpu.graph.fx.apply_chain`.
+    """
     from xmtpu.graph import fx
 
     return fx.apply_chain(pcm, sample_rate, chain, **kw)
@@ -134,3 +150,47 @@ class Session:
 
     def read_many(self, k: int):
         return self._impl.read_many(k)
+
+
+class SessionPool:
+    """Serving mode: K concurrent streaming sessions batched into ONE
+    jitted device step (reference analogue: many independent
+    ``xm_audio_utils`` handles in one process — SURVEY.md §3.2). Slots
+    share a config; ``join(slot, sources)`` / ``leave(slot)`` /
+    ``seek(slot, ms)`` manage users without retracing; ``read(k)``
+    advances every active slot k frames with one dispatch + one host
+    fetch, returning (K, k*frame, ch) PCM. See
+    :class:`xmtpu.graph.pool.SessionPool`.
+    """
+
+    def __init__(self, *a, **kw):
+        from xmtpu.graph.pool import SessionPool as _Pool
+
+        self._impl = _Pool(*a, **kw)
+
+    @property
+    def n_slots(self):
+        return self._impl.n_slots
+
+    @property
+    def frame_out(self):
+        return self._impl.frame_out
+
+    @property
+    def sr(self):
+        return self._impl.sr
+
+    def join(self, slot: int, sources):
+        return self._impl.join(slot, sources)
+
+    def leave(self, slot: int):
+        return self._impl.leave(slot)
+
+    def seek(self, slot: int, ms: float):
+        return self._impl.seek(slot, ms)
+
+    def active(self):
+        return self._impl.active()
+
+    def read(self, k: int = 1):
+        return self._impl.read(k)

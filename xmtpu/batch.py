@@ -139,6 +139,20 @@ def make_flagship_step(
                     voice_i16, bgm_i16, sr_in, sr_bus, bgm_gain=bgm_gain,
                     fade=fade, interpret=interpret)
                 out = out * jnp.float32(1.0 / 32768.0)
+        elif resample_backend == "mixfirst":
+            with stage("mixfirst"):
+                # mix BEFORE the rate conversion: both tracks share the
+                # same fade window, so out = ramp (.) (v + g*b) with the
+                # ramp applied at the bus rate — and the resampler is
+                # LTI, so resample(voice) + g*resample(bgm) ==
+                # resample(voice + g*bgm) exactly. Halves the resample's
+                # rows (256 vs 512 at the headline shape) and drops the
+                # i16 concat pass.
+                m = (_convert.pcm16_to_f32(voice_i16)
+                     + jnp.float32(bgm_gain) * _convert.pcm16_to_f32(bgm_i16))
+                m = _rs(m, sr_in, sr_bus)
+                nb = m.shape[-1]
+                out = _mix.apply_gain_fade(m, 1.0, fade, fade, length=nb)
         else:
             with stage("resample"):
                 # concat the i16 inputs BEFORE the f32 convert: the
@@ -157,9 +171,14 @@ def make_flagship_step(
         n = out.shape[-1]
         with stage("normalize"):
             # per-clip peak normalize (NOT global: clips are independent,
-            # and dp-sharded must match single-chip bit-for-bit)
+            # and dp-sharded must match single-chip bit-for-bit).
+            # The gain is NOT applied here: the next stage is an opaque
+            # Pallas call which XLA cannot fuse into, so a multiply now
+            # costs a full HBM write+read; reverb is linear, so the
+            # scale folds into its wet/dry epilogue (prescale=) on the
+            # fused path and into the elementwise pre-EQ pass otherwise.
             peak = jnp.max(jnp.abs(out), axis=-1, keepdims=True)
-            out = out * jnp.where(
+            scale = jnp.where(
                 peak > 0, _mix.db_to_amp(-1.0) / jnp.maximum(peak, 1e-30), 1.0
             )
         # The fused EQ+envelope kernel has no small-batch time
@@ -184,11 +203,12 @@ def make_flagship_step(
             with stage("reverb"):
                 # VMEM-resident overlap-save DFT kernel (kernels/
                 # fftconv.py): 7.1 ms vs 16-24 ms for the XLA einsum
-                # four-step at batch 256 (HBM-bound on intermediates)
+                # four-step at batch 256 (HBM-bound on intermediates);
+                # the normalize gain rides the wet/dry epilogue
                 out = _reverb.reverb(out, ir, wet=wet, dry=dry,
                                      block=_reverb_block(ir.shape[-1]),
                                      gp=16, backend="pallas",
-                                     interpret=interpret)
+                                     interpret=interpret, prescale=scale)
             with stage("eq+limiter"):
                 k_rel = _limiter._release_coeff(LIM_RELEASE_MS, sr_bus)
                 c_att = _limiter._attack_coeff(LIM_ATTACK_MS, sr_bus)
@@ -198,7 +218,7 @@ def make_flagship_step(
                     y[..., None, :], e2, threshold_db)[..., 0, :]
             return _convert.f32_to_pcm16(out)
         with stage("eq"):
-            out = eq(out)
+            out = eq(out * scale)
         with stage("reverb"):
             out = _reverb.reverb(out, ir, wet=wet, dry=dry,
                                  block=_reverb_block(ir.shape[-1]),
@@ -270,7 +290,10 @@ def make_batch_step(
             ramp = jnp.float32(1.0)
         out = (v + jnp.float32(bgm_gain) * b) * ramp * mask
         peak = jnp.max(jnp.abs(out), axis=-1, keepdims=True)  # pad is 0
-        out = out * jnp.where(
+        # normalize gain folds into the next stage (see the twin
+        # comment in make_flagship_step — no HBM pass before the
+        # opaque Pallas call)
+        scale = jnp.where(
             peak > 0, _mix.db_to_amp(-1.0) / jnp.maximum(peak, 1e-30), 1.0
         )
         use_fused = fused if fused is not None else (
@@ -284,7 +307,7 @@ def make_batch_step(
             out = _reverb.reverb(out, ir, wet=wet, dry=dry,
                                  block=_reverb_block(ir.shape[-1]),
                                  gp=16, backend="pallas",
-                                 interpret=interpret)
+                                 interpret=interpret, prescale=scale)
             k_rel = _limiter._release_coeff(LIM_RELEASE_MS, sr_bus)
             c_att = _limiter._attack_coeff(LIM_ATTACK_MS, sr_bus)
             y, e2, _, _ = eq_env_pallas(sos, out, k_rel, c_att,
@@ -292,7 +315,7 @@ def make_batch_step(
             out = _limiter.apply_gain_curve(
                 y[..., None, :], e2, threshold_db)[..., 0, :]
             return _convert.f32_to_pcm16(out * mask)
-        out, _ = sosfilt_pallas(sos, out, interpret=interpret)
+        out, _ = sosfilt_pallas(sos, out * scale, interpret=interpret)
         out = _reverb.reverb(out, ir, wet=wet, dry=dry,
                              block=_reverb_block(ir.shape[-1]),
                              backend="pallas", interpret=interpret)

@@ -164,8 +164,10 @@ def mix(tracks, sample_rate: int, normalize: str | None = "peak",
             from xmtpu.graph import fx as _fx
 
             effs = _fx.build_chain(sample_rate, list(voice_effects))
+            # None states = whole-clip fast paths (auto backend: the
+            # production kernels on TPU, f64 scans on CPU)
             voice_bus, _ = _fx.chain_apply(
-                effs, voice_bus, _fx.chain_init_state(effs, nch)
+                effs, voice_bus, tuple(None for _ in effs)
             )
         # side-chain ducking: tracks flagged side_duck are attenuated by
         # the voice-bus envelope (reference BGM-under-voice behaviour;

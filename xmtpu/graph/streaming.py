@@ -119,6 +119,31 @@ class _TrackStream:
         w[:, valid] = self.pcm[:, idx[valid]]
         return w
 
+    def windows_block(self, frame_idx: int, k: int):
+        """Vectorized :meth:`window_always` for k consecutive frames ->
+        (W (k, nch, need), t0s (k,) f64). Consecutive frames' source
+        windows advance by a CONSTANT stride, so the whole group is one
+        union-range gather + k strided views — the per-frame Python
+        loop was the serving pool's host bottleneck (round 3)."""
+        t0s = (np.arange(frame_idx, frame_idx + k, dtype=np.float64)
+               * self.frame_out - self.start_bus)
+        if self.plan is None:
+            lo0 = frame_idx * self.frame_out - self.start_bus
+            u = self._gather(np.arange(lo0, lo0 + k * self.frame_out))
+            w = np.ascontiguousarray(
+                u.reshape(self.nch, k, self.frame_out).swapaxes(0, 1))
+            return w, t0s
+        p = self.plan
+        need = _resample.plan_rows(p, self.nj) * p.M
+        step = (self.frame_out // self.L) * p.M  # per-frame source stride
+        t0_0 = frame_idx * self.frame_out - self.start_bus
+        lo0 = (t0_0 - self.r0) // self.L * p.M + p.base - p.pad_left
+        u = self._gather(np.arange(lo0, lo0 + (k - 1) * step + need))
+        w = np.empty((k, self.nch, need), np.float32)
+        for f in range(k):  # k slice-copies of views (cheap)
+            w[f] = u[:, f * step : f * step + need]
+        return w, t0s
+
 
 class StreamSession:
     """Streaming mixer+effects session (reference handle-API parity).
@@ -169,9 +194,14 @@ class StreamSession:
         # master_effects run post-mix. The offline pipeline applies them
         # at the SAME point (mixer.mix voice_effects), so streaming ==
         # offline holds for any chain and any track native rate (§4.2).
-        self.voice_effects = _fx.build_chain(self.sr, list(config.effects))
+        # default_backend="scan": streaming frames are short (compile
+        # is cheap) and the f64 scan twins carry state at oracle grade;
+        # an effect's params can still force backend="pallas"
+        self.voice_effects = _fx.build_chain(self.sr, list(config.effects),
+                                             default_backend="scan")
         self.master_effects = _fx.build_chain(self.sr,
-                                              list(config.master_effects))
+                                              list(config.master_effects),
+                                              default_backend="scan")
         for e in self.voice_effects + self.master_effects:
             if hasattr(e, "set_streaming"):  # needs the frame geometry
                 e.set_streaming(self.frame_out)
@@ -205,55 +235,10 @@ class StreamSession:
     # -- device step ---------------------------------------------------------
 
     def _make_step(self):
-        tracks = self.tracks
-        voice_effects = self.voice_effects
-        master_effects = self.master_effects
-        nch = self.nch
-        frame_out = self.frame_out
-        has_duck = self.has_duck
-        duck_params = self.duck_params
-        sr = self.sr
-
-        def step(windows, offsets, state):
-            vfx_state, mfx_state, duck_state = state
-            # three buses: voice-kind tracks (get config.effects and drive
-            # the duck envelope), side-ducked tracks, everything else
-            voice = jnp.zeros((nch, frame_out), jnp.float32)
-            ducked = jnp.zeros((nch, frame_out), jnp.float32)
-            other = jnp.zeros((nch, frame_out), jnp.float32)
-            for ts, w, off in zip(tracks, windows, offsets):
-                if w is None:
-                    continue
-                if ts.plan is None:
-                    y = w
-                else:
-                    y = _resample.resample_window(w, ts.plan, ts.nj)
-                    y = y[..., ts.r0 : ts.r0 + frame_out]
-                y = _track_env(y, ts, off)
-                if y.shape[0] == 1 and nch > 1:
-                    y = jnp.broadcast_to(y, (nch, frame_out))
-                if ts.cfg.side_duck:
-                    ducked = ducked + y
-                elif ts.cfg.kind == "voice":
-                    voice = voice + y
-                else:
-                    other = other + y
-            voice, vfx_state = _fx.chain_apply(voice_effects, voice,
-                                               vfx_state)
-            if has_duck:
-                from xmtpu.ops.mix import duck_gain_block
-
-                # offline parity: the envelope keys off ALL non-ducked
-                # tracks (mixer.py builds its voice bus the same way)
-                g, duck_state = duck_gain_block(voice + other, sr,
-                                                duck_state, **duck_params)
-                acc = voice + other + ducked * g.astype(jnp.float32)
-            else:
-                acc = voice + other
-            out, mfx_state = _fx.chain_apply(master_effects, acc, mfx_state)
-            return out, (vfx_state, mfx_state, duck_state)
-
-        return step
+        return _session_step_fn(
+            self.tracks, self.voice_effects, self.master_effects, self.nch,
+            self.frame_out, self.has_duck, self.duck_params, self.sr,
+        )
 
     # -- public API ------------------------------------------------------------
 
@@ -313,13 +298,9 @@ class StreamSession:
         wstacks = []
         ostacks = []
         for ts in self.tracks:
-            ws, os_ = [], []
-            for j in range(k):
-                w, t0 = ts.window_always(self.frame_idx + j)
-                ws.append(w)
-                os_.append(np.float64(t0))
-            wstacks.append(jnp.asarray(np.stack(ws)))
-            ostacks.append(jnp.asarray(np.asarray(os_)))
+            ws, os_ = ts.windows_block(self.frame_idx, k)
+            wstacks.append(jnp.asarray(ws))
+            ostacks.append(jnp.asarray(os_))
         out_dev, state = self._scan_step(tuple(wstacks), tuple(ostacks),
                                          self.fx_state)
         self.fx_state = state
@@ -391,13 +372,73 @@ class StreamSession:
         self._pending = None
 
 
-def _track_env(y, ts: _TrackStream, off):
+def _session_step_fn(tracks, voice_effects, master_effects, nch: int,
+                     frame_out: int, has_duck: bool, duck_params, sr: int,
+                     n_out_traced: bool = False):
+    """Build the per-frame device step shared by :class:`StreamSession`
+    and the pooled serving mode (:class:`xmtpu.graph.pool.SessionPool`).
+
+    ``n_out_traced``: when True the step takes an extra ``n_outs``
+    argument (one f64 scalar per track) instead of baking each track's
+    static length — pool slots share ONE executable across sessions
+    whose sources differ in length.
+    """
+
+    def step(windows, offsets, state, n_outs=None):
+        vfx_state, mfx_state, duck_state = state
+        # three buses: voice-kind tracks (get config.effects and drive
+        # the duck envelope), side-ducked tracks, everything else
+        voice = jnp.zeros((nch, frame_out), jnp.float32)
+        ducked = jnp.zeros((nch, frame_out), jnp.float32)
+        other = jnp.zeros((nch, frame_out), jnp.float32)
+        for k, (ts, w, off) in enumerate(zip(tracks, windows, offsets)):
+            if w is None:
+                continue
+            if ts.plan is None:
+                y = w
+            else:
+                y = _resample.resample_window(w, ts.plan, ts.nj)
+                y = y[..., ts.r0 : ts.r0 + frame_out]
+            y = _track_env(y, ts, off,
+                           n_out=(n_outs[k] if n_out_traced else None))
+            if y.shape[0] == 1 and nch > 1:
+                y = jnp.broadcast_to(y, (nch, frame_out))
+            if ts.cfg.side_duck:
+                ducked = ducked + y
+            elif ts.cfg.kind == "voice":
+                voice = voice + y
+            else:
+                other = other + y
+        voice, vfx_state = _fx.chain_apply(voice_effects, voice,
+                                           vfx_state)
+        if has_duck:
+            from xmtpu.ops.mix import duck_gain_block
+
+            # offline parity: the envelope keys off ALL non-ducked
+            # tracks (mixer.py builds its voice bus the same way)
+            g, duck_state = duck_gain_block(voice + other, sr,
+                                            duck_state, **duck_params)
+            acc = voice + other + ducked * g.astype(jnp.float32)
+        else:
+            acc = voice + other
+        out, mfx_state = _fx.chain_apply(master_effects, acc, mfx_state)
+        return out, (vfx_state, mfx_state, duck_state)
+
+    return step
+
+
+def _track_env(y, ts: _TrackStream, off, n_out=None):
     """Gain + fades + placement mask at track-local offset ``off``
     (a traced scalar — one executable serves all frames; ramps computed
-    from scalar params in-kernel per SURVEY.md §3.4)."""
+    from scalar params in-kernel per SURVEY.md §3.4). ``n_out``: traced
+    track length override (pool mode); None bakes the static length."""
     t = ts.cfg
     n = y.shape[-1]
     sr = ts.sr_bus
+    if n_out is None:
+        n_out = float(ts.n_out)
+    else:
+        n_out = jnp.asarray(n_out, jnp.float64)
     # f64 indices: f32 loses integer precision past 2^24 samples (~6 min
     # at 48 kHz), which would step the ramps and shift the placement mask
     i = jnp.arange(n, dtype=jnp.float64) + off.astype(jnp.float64)
@@ -407,9 +448,9 @@ def _track_env(y, ts: _TrackStream, off):
     if fade_in > 0:
         g = g * jnp.clip((i + 1.0) / float(fade_in), None, 1.0)
     if fade_out > 0 and not t.loop:
-        g = g * jnp.clip((float(ts.n_out) - i) / float(fade_out), 0.0, 1.0)
+        g = g * jnp.clip((n_out - i) / float(fade_out), 0.0, 1.0)
     if t.loop:
         g = jnp.where(i >= 0, g, 0.0)
     else:
-        g = jnp.where((i >= 0) & (i < float(ts.n_out)), g, 0.0)
+        g = jnp.where((i >= 0) & (i < n_out), g, 0.0)
     return y * g[None, :].astype(y.dtype)

@@ -142,12 +142,21 @@ def _call(kern, coef, initp, dt, Rp, npad, tc, ntc, interpret):
 # ---------------------------------------------------------------------------
 
 
+def _decay_cut(r: float, n: int) -> int:
+    """Samples until r^t < 1e-40 (below any f32 signal's resolution):
+    the correction window is the filter's memory, not the segment."""
+    if r <= 0.0:
+        return 1
+    if r >= 1.0:
+        return n
+    return min(n, int(np.ceil(np.log(1e-40) / np.log(r))))
+
+
 def _envelope_seg(d2d, k_rel, c_att, init2, S_seg, tc, interpret):
     R, n = d2d.shape
     seglen = n // S_seg
     ds = d2d.reshape(R * S_seg, seglen)
     zeros = jnp.zeros((2, R * S_seg), jnp.float32)
-    t1 = np.arange(1, seglen + 1, dtype=np.float64)
 
     # pass A: decaying max only (c_att=1 -> e2 == env)
     coef_a = jnp.array([[k_rel, 1.0]], jnp.float32)
@@ -161,25 +170,30 @@ def _envelope_seg(d2d, k_rel, c_att, init2, S_seg, tc, interpret):
 
     e_last, e_ins = jax.lax.scan(chain_max, init2[0].astype(jnp.float32),
                                  jnp.moveaxis(envf, 1, 0))
-    ktab = jnp.asarray((float(k_rel) ** t1).astype(np.float32))
+    kc = _decay_cut(float(k_rel), seglen)
+    t1k = np.arange(1, kc + 1, dtype=np.float64)
+    ktab = jnp.asarray((float(k_rel) ** t1k).astype(np.float32))
     e_in_rows = jnp.moveaxis(e_ins, 0, 1).reshape(R * S_seg, 1)
-    env_true = jnp.maximum(env0, e_in_rows * ktab[None, :])
+    env_true = env0.at[:, :kc].max(e_in_rows * ktab[None, :])
 
     # pass B: one-pole only (k_rel=0 passes the input straight through)
     coef_b = jnp.array([[0.0, c_att]], jnp.float32)
     e2_0, zf_b = _envelope_2d(env_true, coef_b, zeros, time_chunk=tc,
                               interpret=interpret)
     e2f = zf_b[1].reshape(R, S_seg)
-    ap = jnp.float32((1.0 - float(c_att)) ** seglen)
+    a = 1.0 - float(c_att)
+    ap = jnp.float32(a ** seglen)
 
     def chain_sum(s, vk):
         return vk + ap * s, s
 
     s_last, s_ins = jax.lax.scan(chain_sum, init2[1].astype(jnp.float32),
                                  jnp.moveaxis(e2f, 1, 0))
-    atab = jnp.asarray(((1.0 - float(c_att)) ** t1).astype(np.float32))
+    ac = _decay_cut(a, seglen)
+    t1a = np.arange(1, ac + 1, dtype=np.float64)
+    atab = jnp.asarray((a ** t1a).astype(np.float32))
     s_in_rows = jnp.moveaxis(s_ins, 0, 1).reshape(R * S_seg, 1)
-    e2 = (e2_0 + s_in_rows * atab[None, :]).reshape(R, n)
+    e2 = e2_0.at[:, :ac].add(s_in_rows * atab[None, :]).reshape(R, n)
     return e2, jnp.stack([e_last, s_last])
 
 

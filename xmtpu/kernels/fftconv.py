@@ -143,7 +143,7 @@ def _cmm(w, pre, vr, vi, right: bool):
 _NW = 16  # len(_W_NAMES)
 
 
-def _fftconv_kernel(x_ref, *refs, pp_rows, gp):
+def _fftconv_kernel(x_ref, *refs, pp_rows, gp, wide=False):
     """One (pair-group, frame) step over ``gp`` row pairs.
 
     Perf structure (each measured round 2 at the config-3 shape):
@@ -157,6 +157,13 @@ def _fftconv_kernel(x_ref, *refs, pp_rows, gp):
       (frame b's window is [carry | hop rows]; the b=0 carry is the
       overlap-save left zero-pad);
     - ``gp`` pairs per step amortize the ~15 us fixed grid-step cost.
+    - ``wide`` (round 3): the N1-DFT stages contract each pair's OWN
+      n1 axis, so the baseline runs 2*gp small (n1,n1)@(n1,n2) Gauss
+      dots per step — each pays the MXU weight-load/drain overhead on
+      only n2 streamed columns. Concatenating the pairs along the LANE
+      axis turns them into ONE (n1,n1)@(n1,gp*n2) dot per stage (the
+      same weight loads amortized over gp times the columns); the
+      strip gather/scatter around it is cheap VPU traffic.
     """
     w_hbm = refs[:_NW]
     o_ref = refs[_NW]
@@ -198,13 +205,26 @@ def _fftconv_kernel(x_ref, *refs, pp_rows, gp):
     # 8x ([n1,n2]@[n2,n2]) dots into one big one, and the
     # twiddle/spectral VPU work into one broadcast op per stage
     # (measured round 2: 6.9 -> see BASELINE for the gain).
-    ar_l, ai_l = [], []
-    for g in range(gp):
-        r_, i_ = _cmm(w, "w1", zbuf[2 * g], zbuf[2 * g + 1], right=False)
-        ar_l.append(r_)
-        ai_l.append(i_)
-    ar = jnp.concatenate(ar_l, axis=0).reshape(gp, n1, n2)
-    ai = jnp.concatenate(ai_l, axis=0).reshape(gp, n1, n2)
+    if wide and gp > 1:
+        # one (n1,n1)@(n1,gp*n2) dot per Gauss pass instead of gp small
+        # ones: same weight loads stream gp x the columns
+        zr = jnp.concatenate([zbuf[2 * g] for g in range(gp)], axis=1)
+        zi = jnp.concatenate([zbuf[2 * g + 1] for g in range(gp)], axis=1)
+        arw, aiw = _cmm(w, "w1", zr, zi, right=False)
+        ar = jnp.concatenate(
+            [arw[:, g * n2 : (g + 1) * n2] for g in range(gp)], axis=0
+        ).reshape(gp, n1, n2)
+        ai = jnp.concatenate(
+            [aiw[:, g * n2 : (g + 1) * n2] for g in range(gp)], axis=0
+        ).reshape(gp, n1, n2)
+    else:
+        ar_l, ai_l = [], []
+        for g in range(gp):
+            r_, i_ = _cmm(w, "w1", zbuf[2 * g], zbuf[2 * g + 1], right=False)
+            ar_l.append(r_)
+            ai_l.append(i_)
+        ar = jnp.concatenate(ar_l, axis=0).reshape(gp, n1, n2)
+        ai = jnp.concatenate(ai_l, axis=0).reshape(gp, n1, n2)
     br = (bmul(ar, w["twr"]) - bmul(ai, w["twi"])).reshape(gp * n1, n2)
     bi = (bmul(ar, w["twi"]) + bmul(ai, w["twr"])).reshape(gp * n1, n2)
     xr, xi = _cmm(w, "w2", br, bi, right=True)          # forward N2-DFT
@@ -219,18 +239,27 @@ def _fftconv_kernel(x_ref, *refs, pp_rows, gp):
     ui = ui.reshape(gp, n1, n2)
     vr = (bmul(ur, w["twr"]) - bmul(ui, w["twi"])).reshape(gp, n1, n2)
     vi = (bmul(ur, w["twi"]) + bmul(ui, w["twr"])).reshape(gp, n1, n2)
-    for g in range(gp):
-        yr, yi = _cmm(w, "w1", vr[g], vi[g], right=False)
-        o_ref[2 * g] = yr[pp_rows:, :]
-        o_ref[2 * g + 1] = -yi[pp_rows:, :]
+    if wide and gp > 1:
+        vrw = jnp.concatenate([vr[g] for g in range(gp)], axis=1)
+        viw = jnp.concatenate([vi[g] for g in range(gp)], axis=1)
+        yr, yi = _cmm(w, "w1", vrw, viw, right=False)
+        for g in range(gp):
+            o_ref[2 * g] = yr[pp_rows:, g * n2 : (g + 1) * n2]
+            o_ref[2 * g + 1] = -yi[pp_rows:, g * n2 : (g + 1) * n2]
+    else:
+        for g in range(gp):
+            yr, yi = _cmm(w, "w1", vr[g], vi[g], right=False)
+            o_ref[2 * g] = yr[pp_rows:, :]
+            o_ref[2 * g + 1] = -yi[pp_rows:, :]
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("block", "hm", "pp_rows", "nblk", "n", "gp",
-                     "interpret"),
+                     "interpret", "wide"),
 )
-def _fftconv_2d(x2d, weights, block, hm, pp_rows, nblk, n, gp, interpret):
+def _fftconv_2d(x2d, weights, block, hm, pp_rows, nblk, n, gp, interpret,
+                wide=False):
     """x2d: (R, n) f32, R a multiple of 2*gp -> (R, n) f32 same-length
     causal conv.
 
@@ -245,7 +274,8 @@ def _fftconv_2d(x2d, weights, block, hm, pp_rows, nblk, n, gp, interpret):
     # right-pad to nblk*hop and view as (R, nblk*hm, n2)
     xp = jnp.pad(x2d.astype(jnp.float32), ((0, 0), (0, nblk * hop - n)))
     x3 = xp.reshape(R, nblk * hm, n2)
-    kern = functools.partial(_fftconv_kernel, pp_rows=pp_rows, gp=gp)
+    kern = functools.partial(_fftconv_kernel, pp_rows=pp_rows, gp=gp,
+                             wide=wide)
     wscratch = [pltpu.VMEM(wa.shape, wa.dtype) for wa in weights]
     with jax.enable_x64(False):  # Mosaic rejects i64 index types
         out = pl.pallas_call(
@@ -286,7 +316,8 @@ def _auto_gp(block: int, n1: int, n2: int, R: int) -> int:
 
 def fir_convolve_os_pallas(x: jnp.ndarray, ir, block: int = 65536,
                            gp: int | None = None,
-                           interpret: bool = False) -> jnp.ndarray:
+                           interpret: bool = False,
+                           wide: bool | None = None) -> jnp.ndarray:
     """Same-length causal convolution of the last axis with host-known
     ``ir``; drop-in twin of ops.fftmm.fir_convolve_os_mxu.
 
@@ -317,7 +348,10 @@ def fir_convolve_os_pallas(x: jnp.ndarray, ir, block: int = 65536,
     rpad = _cdiv(R, 2 * gp) * 2 * gp - R
     if rpad:
         x2 = jnp.concatenate([x2, jnp.zeros((rpad, n), jnp.float32)])
+    if wide is None:
+        wide = gp > 1  # measured round 3: the wide N1 dots win at gp>1
     c = _consts_np(block, ir_np.tobytes())
     weights = tuple(jnp.asarray(c[k]) for k in _W_NAMES)
-    y = _fftconv_2d(x2, weights, block, hm, pp_rows, nblk, n, gp, interpret)
+    y = _fftconv_2d(x2, weights, block, hm, pp_rows, nblk, n, gp, interpret,
+                    wide=bool(wide))
     return y[:R].reshape(*batch, n).astype(x.dtype)

@@ -210,8 +210,17 @@ def _seg_consts(sos_np: np.ndarray, seglen: int):
         _SEG_CACHE[key] = None  # unstable / defective: no segmentation
         return None
     T = (C @ V)[:, None] * np.linalg.inv(V)  # corr = sum_j lam_j^t (T z)_j
-    t = np.arange(seglen)
-    L = lam[:, None] ** t[None, :]  # (D, seglen), |lam|<1 so underflow->0
+    # truncate the per-sample table where every |lam|^t < 1e-40: the
+    # correction is below any f32 signal's resolution there, so the
+    # corrected span shrinks from seglen to the filter's actual memory
+    # (~2k-20k samples for audio EQs) — essential at the 1M-sample
+    # shards of parallel/sp.py, a free matmul-shrink for in-chip
+    # segmentation
+    lam_max = float(np.max(np.abs(lam)))
+    t_cut = seglen if lam_max <= 0.0 else min(
+        seglen, int(np.ceil(np.log(1e-40) / np.log(lam_max))))
+    t = np.arange(max(1, t_cut))
+    L = lam[:, None] ** t[None, :]  # (D, t_cut), |lam|<1 so underflow->0
     consts = {
         "A_seg": np.linalg.matrix_power(A, seglen),  # f64 (D, D)
         "Tr": np.ascontiguousarray(T.real),
@@ -265,7 +274,9 @@ def _sosfilt_seg(sos, x2d, zi3, S_seg: int, consts, time_chunk, interpret):
         jnp.einsum("rd,dt->rt", wr, jnp.asarray(consts["Lr"]), precision=_HI)
         - jnp.einsum("rd,dt->rt", wi, jnp.asarray(consts["Li"]), precision=_HI)
     )
-    y = (y0 + corr).reshape(R, n)
+    # L tables are truncated at the filter's memory (see _seg_consts);
+    # past that the correction is < 1e-40 absolute — exact zero in f32
+    y = y0.at[:, : corr.shape[-1]].add(corr).reshape(R, n)
     zf = jnp.transpose(z_last.reshape(R, ns, 2), (1, 2, 0)).astype(jnp.float32)
     return y, zf
 

@@ -169,7 +169,9 @@ def limiter(
     if state is None:
         z = jnp.zeros(d.shape[:-1], work)
         state = (z, z)
-    env_init, sm_init = state
+    # cast carried state to the backend's working dtype (a chain built
+    # for one backend may hand its f64/f32 state to the other)
+    env_init, sm_init = (jnp.asarray(s, work) for s in state)
     if backend == "scan":
         env, env_last = decaying_max_scan(d, k_rel, env_init)
         e2, sm_last = onepole_scan(env, c_att, sm_init)

@@ -11,9 +11,25 @@ Pinned xmtpu semantics (mirrored by :func:`suppress_np`, the oracle):
    product is Hann and overlap-adds to exactly 1 at 50% hop), ``nfft``
    (default 512); frames zero-padded at the clip edges so output
    length == input and reconstruction is exact everywhere.
-2. Noise PSD: median of the first ``noise_frames`` frame PSDs (the
-   reference adapts continuously; xmtpu pins a lead-in estimate, or the
-   caller passes ``noise_psd`` explicitly).
+2. Noise PSD — two modes (``noise_update``):
+   * ``"frozen"`` (default): median of the first ``noise_frames``
+     frame PSDs, then fixed (or the caller passes ``noise_psd``).
+   * ``"adaptive"`` (the reference's continuously-updated WebRTC-style
+     estimator, SURVEY.md §2.1 NS row): seeded by the same lead-in
+     median, then per frame and per bin a speech-presence gate — a bin
+     whose instantaneous PSD is within ``presence_thresh`` (linear
+     power ratio) of the current noise estimate is deemed
+     noise-dominated and updates it through a one-pole,
+     ``noise[t] = a_n noise[t-1] + (1-a_n) psd[t]`` (a_n =
+     ``noise_smooth``); speech-dominated bins RISE by the slow
+     multiplicative leak ``up_leak`` per frame (minimum-statistics-
+     style escape: a step INCREASE in the noise floor looks like
+     speech to the ratio gate and would otherwise freeze the estimate
+     forever; the leak climbs it into the gate's capture range, and
+     genuine speech pauses pull it back down through the fast branch).
+     Tracks drifting noise floors on long recordings; offline and
+     streaming run the IDENTICAL recursion (exact parity after the
+     lead-in, tested).
 3. Per-frame PSD smoothing: one-pole over frames,
    ``P[t] = a P[t-1] + (1-a) |X[t]|^2`` (a = ``smooth``).
 4. Wiener gain with floor: ``snr = max(P/noise - 1, 0)``;
@@ -105,6 +121,40 @@ def _onepole_frames(psd, a):
     return v
 
 
+def _adaptive_noise_step(noise, psd_t, a_n: float, thresh: float,
+                         up_leak: float):
+    """One frame of the pinned adaptive noise recursion (shared —
+    literally this function — by the offline scan, the streaming step
+    and, in f64, the numpy oracle). See module docstring item 2."""
+    ratio = psd_t / jnp.maximum(noise, 1e-20)
+    upd = a_n * noise + (1.0 - a_n) * psd_t
+    return jnp.where(ratio < thresh, upd, noise * up_leak)
+
+
+def _adaptive_noise_track(psd, noise_frames: int, a_n: float, thresh: float,
+                          up_leak: float):
+    """Per-frame noise estimates (..., T, F) from the adaptive rule.
+
+    Seeded by the lead-in median (the frozen-mode estimate); the
+    recursion starts AT frame ``noise_frames`` — lead frames hold the
+    seed — so a streaming session, which can only know the seed once
+    its lead buffer fills, runs the identical state sequence from
+    there (exact offline==streaming parity after the lead-in, tested).
+    """
+    seed = jnp.median(psd[..., :noise_frames, :], axis=-2)
+    T = psd.shape[-2]
+
+    def step(noise, xs):
+        pt, t = xs
+        new = _adaptive_noise_step(noise, pt, a_n, thresh, up_leak)
+        noise = jnp.where(t >= noise_frames, new, noise)
+        return noise, noise
+
+    _, noise_t = jax.lax.scan(
+        step, seed, (jnp.moveaxis(psd, -2, 0), jnp.arange(T)))
+    return jnp.moveaxis(noise_t, 0, -2)
+
+
 def suppress(
     x: jnp.ndarray,
     nfft: int = _DEF_NFFT,
@@ -112,16 +162,33 @@ def suppress(
     smooth: float = 0.7,
     floor: float = _DEF_FLOOR,
     noise_psd: jnp.ndarray | None = None,
+    noise_update: str = "frozen",
+    noise_smooth: float = 0.95,
+    presence_thresh: float = 4.0,
+    up_leak: float = 1.02,
 ):
-    """Suppress stationary noise in (..., n) float PCM. Jittable."""
+    """Suppress stationary noise in (..., n) float PCM. Jittable.
+
+    ``noise_update="adaptive"`` tracks a drifting noise floor (module
+    docstring item 2) — the reference's continuously-updated estimator.
+    """
     in_dtype = x.dtype
     X = stft(x.astype(jnp.float32), nfft)
     psd = jnp.square(jnp.abs(X))
     P = _onepole_frames(psd, jnp.float32(smooth))
-    if noise_psd is None:
+    if noise_psd is not None:
+        noise = jnp.asarray(noise_psd, jnp.float32)[..., None, :]
+    elif noise_update == "adaptive":
+        noise = _adaptive_noise_track(psd, noise_frames,
+                                      float(noise_smooth),
+                                      float(presence_thresh),
+                                      float(up_leak))
+    elif noise_update == "frozen":
         noise = jnp.median(psd[..., :noise_frames, :], axis=-2, keepdims=True)
     else:
-        noise = jnp.asarray(noise_psd, jnp.float32)[..., None, :]
+        raise ValueError(
+            f"noise_update must be 'frozen' or 'adaptive', got "
+            f"{noise_update!r}")
     snr = jnp.maximum(P / jnp.maximum(noise, 1e-20) - 1.0, 0.0)
     G = jnp.maximum(snr / (1.0 + snr), jnp.float32(floor))
     y = istft(X * G, x.shape[-1], nfft)
@@ -147,23 +214,33 @@ def stream_init(nch: int, nfft: int = _DEF_NFFT, noise_frames: int = 8):
         "ola": jnp.zeros((nch, nfft - hop), jnp.float32),
         "lead": jnp.zeros((noise_frames, nch, F), jnp.float32),
         "psd_s": jnp.zeros((nch, F), jnp.float32),
+        "noise": jnp.zeros((nch, F), jnp.float32),  # running estimate
         "count": jnp.zeros((), jnp.int32),
     }
 
 
 def stream_suppress(x, state, nfft: int = _DEF_NFFT, noise_frames: int = 8,
-                    smooth: float = 0.7, floor: float = _DEF_FLOOR):
+                    smooth: float = 0.7, floor: float = _DEF_FLOOR,
+                    noise_update: str = "frozen", noise_smooth: float = 0.95,
+                    presence_thresh: float = 4.0, up_leak: float = 1.02):
     """Causal streaming twin of :func:`suppress` for (ch, n) blocks.
 
     Semantics (pinned): output is DELAYED by nfft-hop samples (the OLA
     synthesis latency); frames seen during the ``noise_frames`` lead-in
-    pass through at unity gain while their PSDs build the (then frozen)
-    median noise estimate — identical to the offline estimate, so after
-    the lead-in the streaming gains equal the offline gains exactly
-    (tested). ``n`` must be a multiple of hop (= nfft/2).
+    pass through at unity gain while their PSDs build the median noise
+    estimate — identical to the offline estimate, so after the lead-in
+    the streaming gains equal the offline gains exactly (tested).
+    ``noise_update="adaptive"`` then keeps updating the estimate with
+    the same per-frame recursion the offline path runs (module
+    docstring item 2; exact parity preserved). ``n`` must be a multiple
+    of hop (= nfft/2).
 
     Returns (y (ch, n), new_state).
     """
+    if noise_update not in ("frozen", "adaptive"):
+        raise ValueError(
+            f"noise_update must be 'frozen' or 'adaptive', got "
+            f"{noise_update!r}")
     hop = nfft // 2
     n = x.shape[-1]
     if n % hop:
@@ -191,7 +268,21 @@ def stream_suppress(x, state, nfft: int = _DEF_NFFT, noise_frames: int = 8,
             lambda l: l,
             st["lead"],
         )
-        noise = jnp.median(lead, axis=0)
+        if noise_update == "adaptive":
+            # during the lead-in the running estimate tracks the
+            # partial-lead median (== the offline seed once full); past
+            # it, the SAME recursion the offline scan runs — so the two
+            # state sequences are identical from frame noise_frames on
+            noise = jnp.where(
+                in_lead,
+                jnp.median(lead, axis=0),
+                _adaptive_noise_step(st["noise"], psd,
+                                     float(noise_smooth),
+                                     float(presence_thresh),
+                                     float(up_leak)),
+            )
+        else:
+            noise = jnp.median(lead, axis=0)  # frozen once lead stops
         snr = jnp.maximum(psd_s / jnp.maximum(noise, 1e-20) - 1.0, 0.0)
         G = jnp.maximum(snr / (1.0 + snr), jnp.float32(floor))
         G = jnp.where(in_lead, 1.0, G)  # unity during lead-in
@@ -200,6 +291,7 @@ def stream_suppress(x, state, nfft: int = _DEF_NFFT, noise_frames: int = 8,
         new = dict(st)
         new["psd_s"] = psd_s
         new["lead"] = lead
+        new["noise"] = noise
         new["count"] = cnt + 1
         new["ola"] = yf[:, hop:]
         return new, out
@@ -218,7 +310,8 @@ def stream_suppress(x, state, nfft: int = _DEF_NFFT, noise_frames: int = 8,
 
 
 def suppress_np(x, nfft=_DEF_NFFT, noise_frames=8, smooth=0.7,
-                floor=_DEF_FLOOR, noise_psd=None):
+                floor=_DEF_FLOOR, noise_psd=None, noise_update="frozen",
+                noise_smooth=0.95, presence_thresh=4.0, up_leak=1.02):
     x = np.asarray(x, np.float64)
     hop = nfft // 2
     n = x.shape[-1]
@@ -235,8 +328,20 @@ def suppress_np(x, nfft=_DEF_NFFT, noise_frames=8, smooth=0.7,
     for t in range(T):
         acc = smooth * acc + (1 - smooth) * psd[..., t, :]
         P[..., t, :] = acc
-    noise = (np.median(psd[..., :noise_frames, :], axis=-2, keepdims=True)
-             if noise_psd is None else np.asarray(noise_psd)[..., None, :])
+    if noise_psd is not None:
+        noise = np.asarray(noise_psd)[..., None, :]
+    elif noise_update == "adaptive":
+        nz = np.median(psd[..., :noise_frames, :], axis=-2)
+        noise = np.empty_like(psd)
+        for t in range(T):
+            if t >= noise_frames:  # pinned: recursion starts post-lead
+                pt = psd[..., t, :]
+                ratio = pt / np.maximum(nz, 1e-20)
+                upd = noise_smooth * nz + (1 - noise_smooth) * pt
+                nz = np.where(ratio < presence_thresh, upd, nz * up_leak)
+            noise[..., t, :] = nz
+    else:
+        noise = np.median(psd[..., :noise_frames, :], axis=-2, keepdims=True)
     snr = np.maximum(P / np.maximum(noise, 1e-20) - 1.0, 0.0)
     G = np.maximum(snr / (1.0 + snr), floor)
     yf = np.fft.irfft(X * G, n=nfft, axis=-1) * w

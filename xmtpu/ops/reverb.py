@@ -78,7 +78,7 @@ def fir_convolve_os(x: jnp.ndarray, ir: jnp.ndarray, block: int = 65536):
 def reverb(
     x: jnp.ndarray, ir: jnp.ndarray, wet: float = 0.3, dry: float = 0.7,
     block: int | None = None, backend: str = "xla", precision=None,
-    gp: int | None = None, interpret: bool = False,
+    gp: int | None = None, interpret: bool = False, prescale=None,
 ) -> jnp.ndarray:
     """Wet/dry reverb, output length == input length (tail truncated —
     the reference's same-length PCM-in/PCM-out convention).
@@ -91,7 +91,14 @@ def reverb(
     — measured a further 1.9-3.4x over "mxu", which is HBM-bound on
     stage intermediates). "mxu"/"pallas" require a host-known numpy
     ``ir`` and a power-of-two ``block``; ``gp``/``interpret`` thread
-    through to the Pallas kernel."""
+    through to the Pallas kernel.
+
+    ``prescale``: broadcastable gain applied to the INPUT by linearity
+    — ``reverb(s*x) == s*reverb(x)`` exactly, so the multiply rides the
+    post-convolution wet/dry combine (one fused elementwise pass)
+    instead of materializing ``s*x`` to HBM in front of an opaque
+    Pallas call. The batch chain folds its peak-normalize gain here
+    (round-3 front-end roofline work)."""
     n = x.shape[-1]
     if backend == "pallas":
         from xmtpu.kernels.fftconv import fir_convolve_os_pallas
@@ -107,7 +114,12 @@ def reverb(
         w = fir_convolve_os(x, ir, block)
     else:
         w = fir_convolve_full(x, ir)[..., :n]
-    return jnp.asarray(dry, x.dtype) * x + jnp.asarray(wet, x.dtype) * w
+    dry_g = jnp.asarray(dry, x.dtype)
+    wet_g = jnp.asarray(wet, x.dtype)
+    if prescale is not None:
+        s = jnp.asarray(prescale, x.dtype)
+        return (s * dry_g) * x + (s * wet_g) * w
+    return dry_g * x + wet_g * w
 
 
 def reverb_block(x, ir, tail, wet: float = 0.3, dry: float = 0.7):
