@@ -29,7 +29,8 @@ TARGET_RT = 500.0  # x realtime per chip (BASELINE.json:5)
 
 
 def main(batch: int = 256, clip_seconds: float = 10.0, iters: int = 10,
-         iir_backend: str = "pallas") -> dict:
+         iir_backend: str = "pallas",
+         resample_backend: str = "mixfirst") -> dict:
     # iters=10: the single end-of-region host fetch costs one tunnel RTT
     # (~33 ms); at 3 iters that inflated every per-iter time by ~11 ms.
     # 10 iters amortizes the same fetch to ~3 ms/iter — closer to true
@@ -47,7 +48,8 @@ def main(batch: int = 256, clip_seconds: float = 10.0, iters: int = 10,
     )
 
     step = jax.jit(xbatch.make_flagship_step(
-        sr_in=sr_in, sr_bus=16000, iir_backend=iir_backend))
+        sr_in=sr_in, sr_bus=16000, iir_backend=iir_backend,
+        resample_backend=resample_backend))
     v_dev = jax.device_put(jnp.asarray(voice))
     b_dev = jax.device_put(jnp.asarray(bgm))
 
@@ -78,6 +80,6 @@ if __name__ == "__main__":
             kw[k] = int(v)
         elif k == "clip_seconds":
             kw[k] = float(v)
-        elif k == "iir_backend":
+        elif k in ("iir_backend", "resample_backend"):
             kw[k] = v
     print(json.dumps(main(**kw)))

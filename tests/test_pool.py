@@ -63,7 +63,10 @@ def test_pool_matches_independent_sessions(rng):
 def test_pool_join_leave_seek(rng):
     K = 3
     srcs = _voices(rng, K)
-    pool = SessionPool(_cfg(), K, frame_ms=20.0, sources=srcs[:2])
+    # max_seconds: slot 2's later join brings a LONGER clip than any
+    # at construction — the device source buffers must be sized for it
+    pool = SessionPool(_cfg(), K, frame_ms=20.0, sources=srcs[:2],
+                       max_seconds=2.0)
     # slot 2 empty -> exact silence
     out = pool.read(4)
     assert np.all(out[2] == 0)
@@ -119,3 +122,10 @@ def test_pool_ducking_parity(rng):
         ref = sess.read_many(10).astype(np.float64) / 32768.0
         g = got[i].astype(np.float64) / 32768.0
         assert rms_db(g - ref, ref + 1e-12) <= -80.0, i
+
+
+def test_pool_buffer_capacity_guard(rng):
+    srcs = _voices(rng, 1, seconds=0.5)
+    pool = SessionPool(_cfg(), 2, sources=srcs)
+    with pytest.raises(ConfigError, match="max_seconds"):
+        pool.join(1, _voices(rng, 1, seconds=3.0)[0])

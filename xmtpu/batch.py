@@ -69,7 +69,7 @@ def make_flagship_step(
     fade_ms: float = 250.0,
     threshold_db: float = -3.0,
     iir_backend: str = "pallas",
-    resample_backend: str = "xla",
+    resample_backend: str = "mixfirst",
     interpret: bool | None = None,
     fused: bool | None = None,
 ):
@@ -267,10 +267,13 @@ def make_batch_step(
     def step(voice_i16, bgm_i16, lengths):
         from xmtpu.kernels.iir import sosfilt_pallas
 
-        vb = _convert.pcm16_to_f32(
-            jnp.concatenate([voice_i16, bgm_i16], axis=0))
-        vb = _resample.polyphase_resample(vb, sr_in, sr_bus)
-        v, b = jnp.split(vb, 2, axis=0)
+        # mixfirst front (see make_flagship_step): the gain/ramp/mask
+        # all apply at the bus rate, so mixing at the NATIVE rate and
+        # resampling ONCE is exact by LTI commutation and halves the
+        # resample rows (measured 129k -> 152k on the flagship chain)
+        v = (_convert.pcm16_to_f32(voice_i16)
+             + jnp.float32(bgm_gain) * _convert.pcm16_to_f32(bgm_i16))
+        v = _resample.polyphase_resample(v, sr_in, sr_bus)
         n = v.shape[-1]
         # per-clip output lengths at the bus rate: ceil(len * L / M).
         # int64: int32 lengths*L wraps negative for clips >= ~304 s at
@@ -288,7 +291,7 @@ def make_batch_step(
             )).astype(jnp.float32)
         else:  # no 0/0 NaN (would poison the peak normalize)
             ramp = jnp.float32(1.0)
-        out = (v + jnp.float32(bgm_gain) * b) * ramp * mask
+        out = v * ramp * mask  # v already carries the mixed bgm
         peak = jnp.max(jnp.abs(out), axis=-1, keepdims=True)  # pad is 0
         # normalize gain folds into the next stage (see the twin
         # comment in make_flagship_step — no HBM pass before the

@@ -186,14 +186,18 @@ def config5_streaming(seconds=4.0):
     from xmtpu.graph.pool import SessionPool
 
     K = 32
-    srcs = [{"v": ((0.3 * rng.standard_normal(n_v)).astype(np.float32),
+    n_vp = int(44100 * 8.0)  # cover warmup + measured groups with audio
+    srcs = [{"v": ((0.3 * rng.standard_normal(n_vp)).astype(np.float32),
                    44100)} for _ in range(K)]
     pool = SessionPool(cfg, K, frame_ms=20.0, sources=srcs)
-    pool.read(k)  # compile
+    kp = 50  # 1 s groups: the fetch RTT amortizes over K*kp frames
+    pool.read(kp)  # compile + fill the prefetch pipeline
+    pool.read(kp)
     t0 = time.perf_counter()
     audio_pool = 0.0
-    for _ in range(max(1, groups)):
-        out = pool.read(k)
+    pg = 3
+    for _ in range(pg):
+        out = pool.read(kp)
         audio_pool += out.shape[0] * out.shape[1] / pool.sr
     dt_pool = time.perf_counter() - t0
     return {"config": 5, "desc": "20 ms streaming frames",

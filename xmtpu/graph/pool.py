@@ -5,27 +5,31 @@ independent ``xm_audio_utils`` handles in one process (SURVEY.md
 §1.1 L4 "interactive handle API", §3.2) — each handle a single-stream
 frame loop on its own core. On TPU, K separate per-session dispatches
 leave 127/128 VPU lanes idle and pay K host round trips per frame
-group; :class:`SessionPool` stacks K same-config sessions' input
-windows and DSP state pytrees and runs ONE jitted (vmapped) step, so
-sessions fill the lane dimension exactly like the batch pipeline fills
-it with clips (round-2 VERDICT directive #2).
+group; :class:`SessionPool` stacks K same-config sessions' DSP state
+pytrees and runs ONE jitted (vmapped) step, so sessions fill the lane
+dimension exactly like the batch pipeline fills it with clips (round-2
+VERDICT directive #2).
 
-Design:
+Design (round-3 final, measured on the axon tunnel):
 
-* All slots share one ``PipelineConfig`` (same tracks/effects/rates) —
-  the serving pattern is one DSP graph, many users. Per-slot variation
-  is the SOURCE AUDIO (and its length), the frame clock, and the DSP
-  state; source length rides through the step as a traced scalar
-  (``_session_step_fn(n_out_traced=True)``), so one executable serves
-  every slot.
-* ``join``/``leave``/``seek`` are per-slot and never retrace: an empty
-  slot contributes zero windows (exact silence through the chain) and
-  its state slice is re-initialized on join via an ``at[i].set``
-  scatter — static shapes throughout.
-* ``read(k)`` gathers k frames of windows for every slot on the host,
-  runs a ``lax.scan`` over frames of the vmapped step (one dispatch,
-  one device->host fetch for the whole K x k group — the high-RTT-link
-  rule from BASELINE.md), and returns (K, k*frame, ch) PCM.
+* **Sources are device-resident.** Each user's PCM uploads ONCE at
+  :meth:`join` into a per-track ``(K, ch, L)`` HBM buffer; the per-frame
+  input windows are carved out IN-JIT with ``dynamic_slice`` (the
+  buffer carries ``need`` zeros on both ends, so partial/out-of-range
+  windows come back as exact zeros with no masks). The first design
+  gathered windows on the host and shipped them per group — at 32
+  sessions x 25 frames that is ~3 MB per group through a ~42 MB/s
+  tunnel, which capped the pool at 40-50x aggregate realtime. Now only
+  the (K,) frame clocks cross per group.
+* All slots share one ``PipelineConfig`` — the serving pattern is one
+  DSP graph, many users. Per-slot variation (source audio, length,
+  clock, DSP state) rides through the step as traced values, so one
+  executable serves every slot and ``join``/``leave``/``seek`` never
+  retrace.
+* ``read(k)`` runs a ``lax.scan`` over k frames of the vmapped step —
+  one dispatch, one device->host fetch (int16 on device) per K x k
+  group — and speculatively dispatches the NEXT group before fetching,
+  so the device computes group g+1 while group g transfers.
 """
 
 from __future__ import annotations
@@ -40,7 +44,15 @@ from xmtpu.config.schema import PipelineConfig, config_from_dict
 from xmtpu.graph import fx as _fx
 from xmtpu.graph.streaming import _session_step_fn, _TrackStream
 from xmtpu.ops import convert as _convert
+from xmtpu.ops import resample as _resample
 from xmtpu.utils.errors import ConfigError
+
+
+def _track_need(ts: _TrackStream) -> int:
+    """Static per-frame source-window length for one track geometry."""
+    if ts.plan is None:
+        return ts.frame_out
+    return _resample.plan_rows(ts.plan, ts.nj) * ts.plan.M
 
 
 class SessionPool:
@@ -49,14 +61,18 @@ class SessionPool:
     ``config``: the shared pipeline config (dict or PipelineConfig).
     ``n_slots``: pool capacity K. ``sources``: optional list of per-slot
     source dicts (name -> pcm | (pcm, sr), as :class:`StreamSession`);
-    missing/None entries start empty. Attach a user with
-    :meth:`join`, detach with :meth:`leave`, reposition with
-    :meth:`seek`; :meth:`read` advances every active slot.
+    missing/None entries start empty. ``max_seconds``: capacity of the
+    device-resident per-slot source buffers (None = the longest source
+    provided at construction; a later ``join`` with a longer clip
+    raises). Attach a user with :meth:`join`, detach with
+    :meth:`leave`, reposition with :meth:`seek`; :meth:`read` advances
+    every active slot.
     """
 
     def __init__(self, config, n_slots: int, frame_ms: float = 20.0,
                  sources=None, output_dtype=np.int16,
-                 duck_params: dict | None = None):
+                 duck_params: dict | None = None,
+                 max_seconds: float | None = None):
         if isinstance(config, dict):
             config = config_from_dict(config)
         if not isinstance(config, PipelineConfig):
@@ -79,8 +95,9 @@ class SessionPool:
                 "track native rates fix the pool's frame geometry")
 
         # --- shared geometry from slot 0 (validated on every join) ---
-        self._slot_tracks: list = [None] * self.n_slots
-        self._frame_idx = np.zeros(self.n_slots, np.int64)
+        K = self.n_slots
+        self._slot_tracks: list = [None] * K
+        self._frame_idx = np.zeros(K, np.int64)
         geom = self._build_tracks(sources[0])
         base_frame = max(1, int(round(self.frame_ms * self.sr / 1000.0)))
         lcm = 1
@@ -92,6 +109,25 @@ class SessionPool:
         geom = self._build_tracks(sources[0])
         self._geom = geom
         self.nch = max((ts.nch for ts in geom), default=config.channels)
+
+        # --- device-resident source buffers (one per track) ---
+        init_tracks = [self._build_tracks(s) for s in sources
+                       if s is not None]
+        self._need = [_track_need(ts) for ts in geom]
+        self._lmax = []
+        for j, gs in enumerate(geom):
+            lm = max(tr[j].n_native for tr in init_tracks)
+            if max_seconds is not None:
+                sr_nat = self.sr * gs.M // gs.L
+                lm = max(lm, int(math.ceil(max_seconds * sr_nat)))
+            self._lmax.append(lm)
+        self._srcbuf = [
+            jnp.zeros((K, gs.nch, self._need[j] + self._lmax[j]
+                       + self._need[j]), jnp.float32)
+            for j, gs in enumerate(geom)
+        ]
+        self._n_nat = [np.zeros(K, np.int64) for _ in geom]
+        self._n_out = [np.zeros(K, np.float64) for _ in geom]
 
         # scan backend: oracle-grade f64 state carry on short frames,
         # identical math to StreamSession (pool == K sessions, tested)
@@ -106,17 +142,11 @@ class SessionPool:
         self.has_duck = any(ts.cfg.side_duck for ts in geom)
         self.duck_params = dict(duck_params or {})
         self._state0 = self._init_state_single()
-        K = self.n_slots
         self.states = jax.tree.map(
             lambda s: jnp.broadcast_to(s[None], (K,) + s.shape), self._state0)
 
-        step1 = _session_step_fn(
-            geom, self.voice_effects, self.master_effects, self.nch,
-            self.frame_out, self.has_duck, self.duck_params, self.sr,
-            n_out_traced=True,
-        )
+        self._vslot = jax.vmap(self._make_slot_fn())
         self._scan_steps: dict[int, object] = {}
-        self._vstep = jax.vmap(step1)  # leading axis = slot
         self._pending = None  # speculative next group (read prefetch)
 
         for i, src in enumerate(sources):
@@ -144,10 +174,12 @@ class SessionPool:
         return tracks
 
     def join(self, slot: int, sources) -> None:
-        """Attach a user's sources to ``slot`` (state + clock reset).
+        """Attach a user's sources to ``slot`` (state + clock reset;
+        ONE source upload per track — windows are carved on device).
 
         The slot's track native rates and channel counts must match the
-        pool geometry (one executable serves all slots)."""
+        pool geometry, and each source must fit the pool's buffer
+        capacity (``max_seconds``)."""
         self._check_slot(slot)
         tracks = self._build_tracks(sources)
         for j, (ts, gs) in enumerate(zip(tracks, self._geom)):
@@ -159,18 +191,34 @@ class SessionPool:
                 raise ConfigError(
                     f"slot {slot} track {j}: {ts.nch} channels, pool "
                     f"geometry has {gs.nch}")
+            if ts.n_native > self._lmax[j]:
+                raise ConfigError(
+                    f"slot {slot} track {j}: {ts.n_native} samples exceed "
+                    f"the pool source buffer ({self._lmax[j]}); construct "
+                    "the pool with a larger max_seconds")
         self._slot_tracks[slot] = tracks
+        for j, ts in enumerate(tracks):
+            need, lmax = self._need[j], self._lmax[j]
+            row = np.zeros((self._geom[j].nch, need + lmax + need),
+                           np.float32)
+            row[:, need : need + ts.n_native] = ts.pcm
+            self._srcbuf[j] = self._srcbuf[j].at[slot].set(jnp.asarray(row))
+            self._n_nat[j][slot] = ts.n_native
+            self._n_out[j][slot] = float(ts.n_out)
         self._frame_idx[slot] = 0
         self._pending = None  # stale windows/state
         self._reset_state(slot)
 
     def leave(self, slot: int) -> None:
         """Detach ``slot``: its lanes output exact silence until the
-        next :meth:`join` (zero windows + state reset — a departed
-        user's filter tails must not ring into the freed slot; no
-        retrace)."""
+        next :meth:`join` (zero source/length + state reset — a
+        departed user's filter tails must not ring into the freed
+        slot; no retrace)."""
         self._check_slot(slot)
         self._slot_tracks[slot] = None
+        for j in range(len(self._geom)):
+            self._n_nat[j][slot] = 0
+            self._n_out[j][slot] = 0.0
         self._pending = None
         self._reset_state(slot)
 
@@ -202,63 +250,95 @@ class SessionPool:
         self.states = jax.tree.map(
             lambda S, s0: S.at[slot].set(s0), self.states, self._state0)
 
-    # -- reading ----------------------------------------------------------
+    # -- device step -------------------------------------------------------
 
-    def _gather(self, k: int, frame_idx):
-        """Host-side window stacks for k frames of every slot ->
-        (wstacks, ostacks, nstacks): per track, (k, K, ch, w) windows,
-        (k, K) offsets, (K,) track lengths. One vectorized
-        strided-union gather per (slot, track) — the per-frame Python
-        loop was the serving bottleneck (round 3)."""
-        K = self.n_slots
-        ws_t, os_t, ns_t = [], [], []
-        for j, gs in enumerate(self._geom):
-            w_shape = gs.window_always(0)[0].shape
-            wk = np.zeros((k, K) + w_shape, np.float32)
-            ok = np.zeros((k, K), np.float64)
-            nk = np.zeros((K,), np.float64)
-            for i in range(K):
-                tr = self._slot_tracks[i]
-                if tr is None:
-                    continue  # zero windows, zero n_out -> exact silence
-                ts = tr[j]
-                nk[i] = float(ts.n_out)
-                w, t0s = ts.windows_block(int(frame_idx[i]), k)
-                wk[:, i] = w
-                ok[:, i] = t0s
-            ws_t.append(jnp.asarray(wk))
-            os_t.append(jnp.asarray(ok))
-            ns_t.append(jnp.asarray(nk))
-        return tuple(ws_t), tuple(os_t), tuple(ns_t)
+    def _make_slot_fn(self):
+        """Per-slot step: carve each track's source window out of the
+        device-resident buffer, then run the shared session step."""
+        geom = self._geom
+        needs = self._need
+        frame_out = self.frame_out
+        step1 = _session_step_fn(
+            geom, self.voice_effects, self.master_effects, self.nch,
+            frame_out, self.has_duck, self.duck_params, self.sr,
+            n_out_traced=True,
+        )
+
+        def extract(src_row, lo, n_nat, active, need, loop):
+            # src_row: (ch, need + lmax + need) with zeros outside the
+            # clip — the pads make partial/past-end windows exact zeros
+            # with a plain clipped dynamic_slice (no masks)
+            if loop:
+                ar = jnp.arange(need, dtype=lo.dtype)
+                nn = jnp.maximum(n_nat, 1)
+                idx = (lo + ar) % nn  # numpy-sign mod: non-negative
+                w = jnp.take(src_row[:, need:], idx, axis=-1)
+                # f32 zero: a python 0.0 would promote w to f64 under
+                # the package-wide x64 mode
+                w = jnp.where((lo + ar) >= 0, w, jnp.float32(0))
+            else:
+                start = jnp.clip(lo + need, 0, src_row.shape[-1] - need)
+                w = jax.lax.dynamic_slice(
+                    src_row, (0, start), (src_row.shape[0], need))
+            return w * active
+
+        def slot_fn(src_rows, fi, n_nats, n_outs, active, state):
+            windows, offsets = [], []
+            for j, gs in enumerate(geom):
+                t0 = fi * frame_out - gs.start_bus  # i64
+                if gs.plan is None:
+                    lo = t0
+                else:
+                    c0 = (t0 - gs.r0) // gs.L
+                    lo = c0 * gs.M + gs.plan.base - gs.plan.pad_left
+                w = extract(src_rows[j], lo, n_nats[j], active,
+                            needs[j], bool(gs.cfg.loop))
+                windows.append(w)
+                offsets.append(t0.astype(jnp.float64))
+            return step1(tuple(windows), tuple(offsets), state,
+                         tuple(n_outs))
+
+        return slot_fn
 
     def _make_scan(self, k: int):
-        vstep = self._vstep
+        vslot = self._vslot
         K, nch, frame_out = self.n_slots, self.nch, self.frame_out
+        to_i16 = self.output_dtype == np.int16
 
-        def scan_fn(wstacks, ostacks, nstacks, state):
-            def body(st, xs):
-                ws, os_ = xs
-                out, st = vstep(ws, os_, st, nstacks)
+        def scan_fn(srcs, fi0, n_nats, n_outs, active, state):
+            def body(st, f):
+                out, st = vslot(srcs, fi0 + f, n_nats, n_outs, active, st)
                 return st, out
 
-            state, outs = jax.lax.scan(body, state, (wstacks, ostacks))
+            state, outs = jax.lax.scan(body, state,
+                                       jnp.arange(k, dtype=fi0.dtype))
             # outs (k, K, ch, frame) -> (K, ch, k*frame)
             out = jnp.transpose(outs, (1, 2, 0, 3)).reshape(
                 K, nch, k * frame_out)
+            if to_i16:  # convert on DEVICE: halves the fetch bytes
+                out = _convert.f32_to_pcm16(out)
             return out, state
 
         return jax.jit(scan_fn)
 
+    # -- reading ----------------------------------------------------------
+
     def _dispatch(self, k: int):
         """Enqueue one K x k group for the current clocks (non-blocking:
-        JAX async dispatch) -> (k, clock snapshot, out_dev, new_states)."""
+        JAX async dispatch; per-group upload = the (K,) clocks and
+        per-slot lengths — the sources already live in HBM)."""
         fn = self._scan_steps.get(k)
         if fn is None:
             fn = self._scan_steps[k] = self._make_scan(k)
             if len(self._scan_steps) > 8:
                 self._scan_steps.pop(next(iter(self._scan_steps)))
-        ws, os_, ns = self._gather(k, self._frame_idx)
-        out_dev, states = fn(ws, os_, ns, self.states)
+        fi0 = jnp.asarray(self._frame_idx)
+        n_nats = tuple(jnp.asarray(a) for a in self._n_nat)
+        n_outs = tuple(jnp.asarray(a) for a in self._n_out)
+        active = jnp.asarray(
+            np.array([t is not None for t in self._slot_tracks], np.float32))
+        out_dev, states = fn(tuple(self._srcbuf), fi0, n_nats, n_outs,
+                             active, self.states)
         return (k, self._frame_idx.copy(), out_dev, states)
 
     def read(self, k: int = 1) -> np.ndarray:
@@ -282,6 +362,4 @@ class SessionPool:
                 self._frame_idx[i] += k
         self._pending = self._dispatch(k)  # overlap: next group computes
         out = np.moveaxis(np.asarray(out_dev), 1, 2)  # fetch blocks here
-        if self.output_dtype == np.int16:
-            out = _convert.f32_to_pcm16_np(out)
         return out

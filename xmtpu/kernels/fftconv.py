@@ -122,12 +122,30 @@ def _dot3(ah, al, bh, bl):
             + jnp.dot(al, bh, preferred_element_type=f))
 
 
-def _cmm(w, pre, vr, vi, right: bool):
-    """Gauss 3-mult complex matmul: W @ v (right=False) or v @ W
-    (right=True); W's r/i/s parts host-split into bf16 hi/lo pairs."""
-    vs = vr + vi
+def _cmm(w, pre, vr, vi, right: bool, gauss: bool = True):
+    """Complex matmul: W @ v (right=False) or v @ W (right=True); W's
+    r/i/s parts host-split into bf16 hi/lo pairs.
+
+    ``gauss=True``: Gauss 3-mult identity (25% fewer MXU flops, but an
+    extra activation SPLIT + two recombination passes — more VPU/VMEM
+    traffic). ``gauss=False``: classic 4-mult (33% more MXU flops, one
+    less split, one-op recombines) — the better trade if the kernel is
+    elementwise-pass-bound rather than MXU-bound."""
     vrh, vrl = _split(vr)
     vih, vil = _split(vi)
+    if not gauss:
+        if right:
+            re = (_dot3(vrh, vrl, w[pre + "rh"], w[pre + "rl"])
+                  - _dot3(vih, vil, w[pre + "ih"], w[pre + "il"]))
+            im = (_dot3(vrh, vrl, w[pre + "ih"], w[pre + "il"])
+                  + _dot3(vih, vil, w[pre + "rh"], w[pre + "rl"]))
+        else:
+            re = (_dot3(w[pre + "rh"], w[pre + "rl"], vrh, vrl)
+                  - _dot3(w[pre + "ih"], w[pre + "il"], vih, vil))
+            im = (_dot3(w[pre + "ih"], w[pre + "il"], vrh, vrl)
+                  + _dot3(w[pre + "rh"], w[pre + "rl"], vih, vil))
+        return re, im
+    vs = vr + vi
     vsh, vsl = _split(vs)
     if right:
         m1 = _dot3(vrh, vrl, w[pre + "rh"], w[pre + "rl"])
@@ -143,7 +161,8 @@ def _cmm(w, pre, vr, vi, right: bool):
 _NW = 16  # len(_W_NAMES)
 
 
-def _fftconv_kernel(x_ref, *refs, pp_rows, gp, wide=False):
+def _fftconv_kernel(x_ref, *refs, pp_rows, gp, wide=False,
+                    gauss=True):
     """One (pair-group, frame) step over ``gp`` row pairs.
 
     Perf structure (each measured round 2 at the config-3 shape):
@@ -210,7 +229,7 @@ def _fftconv_kernel(x_ref, *refs, pp_rows, gp, wide=False):
         # ones: same weight loads stream gp x the columns
         zr = jnp.concatenate([zbuf[2 * g] for g in range(gp)], axis=1)
         zi = jnp.concatenate([zbuf[2 * g + 1] for g in range(gp)], axis=1)
-        arw, aiw = _cmm(w, "w1", zr, zi, right=False)
+        arw, aiw = _cmm(w, "w1", zr, zi, right=False, gauss=gauss)
         ar = jnp.concatenate(
             [arw[:, g * n2 : (g + 1) * n2] for g in range(gp)], axis=0
         ).reshape(gp, n1, n2)
@@ -220,21 +239,22 @@ def _fftconv_kernel(x_ref, *refs, pp_rows, gp, wide=False):
     else:
         ar_l, ai_l = [], []
         for g in range(gp):
-            r_, i_ = _cmm(w, "w1", zbuf[2 * g], zbuf[2 * g + 1], right=False)
+            r_, i_ = _cmm(w, "w1", zbuf[2 * g], zbuf[2 * g + 1],
+                          right=False, gauss=gauss)
             ar_l.append(r_)
             ai_l.append(i_)
         ar = jnp.concatenate(ar_l, axis=0).reshape(gp, n1, n2)
         ai = jnp.concatenate(ai_l, axis=0).reshape(gp, n1, n2)
     br = (bmul(ar, w["twr"]) - bmul(ai, w["twi"])).reshape(gp * n1, n2)
     bi = (bmul(ar, w["twi"]) + bmul(ai, w["twr"])).reshape(gp * n1, n2)
-    xr, xi = _cmm(w, "w2", br, bi, right=True)          # forward N2-DFT
+    xr, xi = _cmm(w, "w2", br, bi, right=True, gauss=gauss)          # forward N2-DFT
     xr = xr.reshape(gp, n1, n2)
     xi = xi.reshape(gp, n1, n2)
     sr = (bmul(xr, w["hr"]) - bmul(xi, w["hi"])).reshape(gp * n1, n2)
     si = (bmul(xr, w["hi"]) + bmul(xi, w["hr"])).reshape(gp * n1, n2)
     # inverse via the conjugation identity (module docstring): the same
     # two stage matrices rerun on conj(S); conjugate the result
-    ur, ui = _cmm(w, "w2", sr, -si, right=True)
+    ur, ui = _cmm(w, "w2", sr, -si, right=True, gauss=gauss)
     ur = ur.reshape(gp, n1, n2)
     ui = ui.reshape(gp, n1, n2)
     vr = (bmul(ur, w["twr"]) - bmul(ui, w["twi"])).reshape(gp, n1, n2)
@@ -242,13 +262,14 @@ def _fftconv_kernel(x_ref, *refs, pp_rows, gp, wide=False):
     if wide and gp > 1:
         vrw = jnp.concatenate([vr[g] for g in range(gp)], axis=1)
         viw = jnp.concatenate([vi[g] for g in range(gp)], axis=1)
-        yr, yi = _cmm(w, "w1", vrw, viw, right=False)
+        yr, yi = _cmm(w, "w1", vrw, viw, right=False, gauss=gauss)
         for g in range(gp):
             o_ref[2 * g] = yr[pp_rows:, g * n2 : (g + 1) * n2]
             o_ref[2 * g + 1] = -yi[pp_rows:, g * n2 : (g + 1) * n2]
     else:
         for g in range(gp):
-            yr, yi = _cmm(w, "w1", vr[g], vi[g], right=False)
+            yr, yi = _cmm(w, "w1", vr[g], vi[g], right=False,
+                          gauss=gauss)
             o_ref[2 * g] = yr[pp_rows:, :]
             o_ref[2 * g + 1] = -yi[pp_rows:, :]
 
@@ -256,10 +277,10 @@ def _fftconv_kernel(x_ref, *refs, pp_rows, gp, wide=False):
 @functools.partial(
     jax.jit,
     static_argnames=("block", "hm", "pp_rows", "nblk", "n", "gp",
-                     "interpret", "wide"),
+                     "interpret", "wide", "gauss"),
 )
 def _fftconv_2d(x2d, weights, block, hm, pp_rows, nblk, n, gp, interpret,
-                wide=False):
+                wide=False, gauss=True):
     """x2d: (R, n) f32, R a multiple of 2*gp -> (R, n) f32 same-length
     causal conv.
 
@@ -275,7 +296,7 @@ def _fftconv_2d(x2d, weights, block, hm, pp_rows, nblk, n, gp, interpret,
     xp = jnp.pad(x2d.astype(jnp.float32), ((0, 0), (0, nblk * hop - n)))
     x3 = xp.reshape(R, nblk * hm, n2)
     kern = functools.partial(_fftconv_kernel, pp_rows=pp_rows, gp=gp,
-                             wide=wide)
+                             wide=wide, gauss=gauss)
     wscratch = [pltpu.VMEM(wa.shape, wa.dtype) for wa in weights]
     with jax.enable_x64(False):  # Mosaic rejects i64 index types
         out = pl.pallas_call(
@@ -317,7 +338,8 @@ def _auto_gp(block: int, n1: int, n2: int, R: int) -> int:
 def fir_convolve_os_pallas(x: jnp.ndarray, ir, block: int = 65536,
                            gp: int | None = None,
                            interpret: bool = False,
-                           wide: bool | None = None) -> jnp.ndarray:
+                           wide: bool | None = None,
+                           gauss: bool = True) -> jnp.ndarray:
     """Same-length causal convolution of the last axis with host-known
     ``ir``; drop-in twin of ops.fftmm.fir_convolve_os_mxu.
 
@@ -353,5 +375,5 @@ def fir_convolve_os_pallas(x: jnp.ndarray, ir, block: int = 65536,
     c = _consts_np(block, ir_np.tobytes())
     weights = tuple(jnp.asarray(c[k]) for k in _W_NAMES)
     y = _fftconv_2d(x2, weights, block, hm, pp_rows, nblk, n, gp, interpret,
-                    wide=bool(wide))
+                    wide=bool(wide), gauss=gauss)
     return y[:R].reshape(*batch, n).astype(x.dtype)
