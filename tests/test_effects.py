@@ -487,6 +487,59 @@ def test_effects_batched_clip_stack(signals):
             assert db <= -80.0, (backend, i, db)
 
 
+def test_lti_fold_structure():
+    """Adjacent pallas-engine EQ+reverb(+volume) collapse into ONE
+    FusedLTIFx; the scan engine and fold=False keep per-effect kernels;
+    a non-LTI stage (limiter) breaks the run."""
+    chain = PCHAIN[:2] + [{"name": "volume", "gain_db": -2.0}] + PCHAIN[2:]
+    folded = fxg.build_chain(SR, chain, default_backend="pallas")
+    assert [type(e).__name__ for e in folded] == ["FusedLTIFx", "LimiterFx"]
+    assert len(folded[0].folded) == 3
+    unfolded = fxg.build_chain(SR, chain, default_backend="pallas",
+                               fold=False)
+    assert [type(e).__name__ for e in unfolded] == [
+        "EqualizerFx", "ReverbFx", "VolumeFx", "LimiterFx"]
+    scan = fxg.build_chain(SR, chain, default_backend="scan")
+    assert not any(type(e).__name__ == "FusedLTIFx" for e in scan)
+    # reverb-less LTI runs are NOT folded (segmented IIR stays)
+    eq_only = fxg.build_chain(SR, [PCHAIN[0], PCHAIN[2]],
+                              default_backend="pallas")
+    assert [type(e).__name__ for e in eq_only] == ["EqualizerFx",
+                                                   "LimiterFx"]
+
+
+def test_sos_impulse_matches_iir():
+    """The truncated cascade impulse response reproduces the exact IIR
+    by convolution at the -120 dB l1 budget (pure host numpy)."""
+    sos = biquad.eq_sos(FIVE_BANDS, SR)
+    h = biquad.sos_impulse_np(sos)
+    assert h is not None and h.ndim == 1
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(9600)
+    ref, _ = biquad.sosfilt_np(sos, x)
+    got = np.convolve(x, h)[: x.shape[-1]]
+    db = rms_db(got - ref, ref)
+    assert db <= -100.0, db
+    # degenerate: empty cascade = identity
+    np.testing.assert_array_equal(biquad.sos_impulse_np(np.zeros((0, 6))),
+                                  np.ones(1))
+
+
+def test_lti_fold_combined_ir_exact():
+    """The folded stage's combined IR equals dry*h_eq + wet*(h_eq (*)
+    ir) (host check — no device compile)."""
+    effs = fxg.build_chain(SR, PCHAIN, default_backend="pallas")
+    assert type(effs[0]).__name__ == "FusedLTIFx"
+    h_eq = biquad.sos_impulse_np(biquad.eq_sos(FIVE_BANDS, SR))
+    ir = reverb.synthetic_ir(0.1, SR, seed=7)
+    comb = 0.3 * np.convolve(h_eq, ir)
+    comb[0] += 0.7 * h_eq[0]
+    comb[1: len(h_eq)] += 0.7 * h_eq[1:]
+    got = effs[0].ir.astype(np.float64)
+    db = rms_db(got - comb[: len(got)], comb[: len(got)])
+    assert db <= -100.0, db
+
+
 def test_effects_device_out(signals):
     """device_out=True returns the device array without a host fetch."""
     x = signals(4800, SR)["noise"]

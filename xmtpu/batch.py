@@ -58,6 +58,26 @@ def _reverb_block(m: int) -> int:
     return b
 
 
+def _combined_ir(sos, ir, wet: float, dry: float):
+    """Host-precomputed combined impulse response of EQ -> reverb.
+
+    LTI fold (round 3): the EQ cascade is LTI, so on the fused path it
+    folds into the reverb convolution — ``dry*h_eq + wet*(h_eq (*) ir)``
+    with ``h_eq`` truncated at a -120 dB l1 tail (``ops.biquad.
+    sos_impulse_np``). The MXU DFT pipeline then does the EQ for free
+    and the sequential kernel shrinks from the fused EQ+envelope pass
+    (~20 dependent VPU ops/step) to the envelope alone (~4). Same math
+    as ``graph.fx.FusedLTIFx``; parity gated in tests/test_batch.py.
+    Returns None (caller keeps the eq_env path) if the cascade's
+    response will not truncate."""
+    h_eq = _biquad.sos_impulse_np(sos)
+    if h_eq is None:
+        return None
+    c = wet * np.convolve(h_eq, np.asarray(ir, np.float64))
+    c[: len(h_eq)] += dry * h_eq
+    return c.astype(np.float32)
+
+
 def make_flagship_step(
     sr_in: int = 44100,
     sr_bus: int = 16000,
@@ -72,6 +92,7 @@ def make_flagship_step(
     resample_backend: str = "mixfirst",
     interpret: bool | None = None,
     fused: bool | None = None,
+    lti_fold: bool = True,
 ):
     """Build the full-chain step fn(voice_i16[B,n], bgm_i16[B,n]) -> i16[B,m].
 
@@ -89,6 +110,8 @@ def make_flagship_step(
     ir = _reverb.synthetic_ir(ir_seconds, sr_bus).astype("float32")
     if interpret is None:
         interpret = _interpret_auto()
+    ir_comb = _combined_ir(sos, ir, wet, dry) if (
+        lti_fold and iir_backend == "pallas") else None
 
     def eq(x):
         if iir_backend == "pallas":
@@ -193,6 +216,26 @@ def make_flagship_step(
         # takes the non-fused path and only matches single-chip to the
         # -80 dB gate instead of using the same kernels.
         if use_fused:
+            k_rel = _limiter._release_coeff(LIM_RELEASE_MS, sr_bus)
+            c_att = _limiter._attack_coeff(LIM_ATTACK_MS, sr_bus)
+            if ir_comb is not None:
+                # LTI fold: EQ rides the reverb convolution (one
+                # combined IR, see _combined_ir) — the sequential pass
+                # is the envelope alone.
+                from xmtpu.kernels.envelope import envelope_pallas
+
+                with stage("eq+reverb"):
+                    out = _reverb.reverb(
+                        out, ir_comb, wet=1.0, dry=0.0,
+                        block=_reverb_block(ir_comb.shape[-1]),
+                        gp=16, backend="pallas", interpret=interpret,
+                        prescale=scale)
+                with stage("limiter"):
+                    e2, _ = envelope_pallas(jnp.abs(out), k_rel, c_att,
+                                            interpret=interpret)
+                    out = _limiter.apply_gain_curve(
+                        out[..., None, :], e2, threshold_db)[..., 0, :]
+                return _convert.f32_to_pcm16(out)
             # EQ and reverb are both LTI over the full row, so they
             # commute exactly; evaluating reverb FIRST makes EQ adjacent
             # to the limiter, and kernels/eq_env.py runs the 5-section
@@ -210,8 +253,6 @@ def make_flagship_step(
                                      gp=16, backend="pallas",
                                      interpret=interpret, prescale=scale)
             with stage("eq+limiter"):
-                k_rel = _limiter._release_coeff(LIM_RELEASE_MS, sr_bus)
-                c_att = _limiter._attack_coeff(LIM_ATTACK_MS, sr_bus)
                 y, e2, _, _ = eq_env_pallas(sos, out, k_rel, c_att,
                                             interpret=interpret)
                 out = _limiter.apply_gain_curve(
@@ -246,6 +287,7 @@ def make_batch_step(
     threshold_db: float = -3.0,
     interpret: bool | None = None,
     fused: bool | None = None,
+    lti_fold: bool = True,
 ):
     """Masked flagship step for RAGGED clip batches (BASELINE.json:10).
 
@@ -259,6 +301,7 @@ def make_batch_step(
     ir = _reverb.synthetic_ir(ir_seconds, sr_bus).astype("float32")
     if interpret is None:
         interpret = _interpret_auto()
+    ir_comb = _combined_ir(sos, ir, wet, dry) if lti_fold else None
     import math as _math
 
     g = _math.gcd(sr_in, sr_bus)
@@ -303,6 +346,21 @@ def make_batch_step(
             int(np.prod(out.shape[:-1])) >= 128
         )
         if use_fused:
+            k_rel = _limiter._release_coeff(LIM_RELEASE_MS, sr_bus)
+            c_att = _limiter._attack_coeff(LIM_ATTACK_MS, sr_bus)
+            if ir_comb is not None:
+                # LTI fold — see the twin comment in make_flagship_step
+                from xmtpu.kernels.envelope import envelope_pallas
+
+                out = _reverb.reverb(out, ir_comb, wet=1.0, dry=0.0,
+                                     block=_reverb_block(ir_comb.shape[-1]),
+                                     gp=16, backend="pallas",
+                                     interpret=interpret, prescale=scale)
+                e2, _ = envelope_pallas(jnp.abs(out), k_rel, c_att,
+                                        interpret=interpret)
+                out = _limiter.apply_gain_curve(
+                    out[..., None, :], e2, threshold_db)[..., 0, :]
+                return _convert.f32_to_pcm16(out * mask)
             # reverb-first + fused EQ/envelope kernel — see the twin
             # comment in make_flagship_step (LTI stages commute)
             from xmtpu.kernels.eq_env import eq_env_pallas
@@ -311,8 +369,6 @@ def make_batch_step(
                                  block=_reverb_block(ir.shape[-1]),
                                  gp=16, backend="pallas",
                                  interpret=interpret, prescale=scale)
-            k_rel = _limiter._release_coeff(LIM_RELEASE_MS, sr_bus)
-            c_att = _limiter._attack_coeff(LIM_ATTACK_MS, sr_bus)
             y, e2, _, _ = eq_env_pallas(sos, out, k_rel, c_att,
                                         interpret=interpret)
             out = _limiter.apply_gain_curve(

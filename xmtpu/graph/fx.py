@@ -89,12 +89,13 @@ class EqualizerFx:
 def _reverb_block_for(m: int) -> tuple[int, int]:
     """(block, gp) for an m-tap IR on the fftconv kernel: the smallest
     power-of-two block with hop >= block/2 (kernel requirement), floored
-    at 32768; gp=16 at 32768 and gp=1 above are the measured optima
-    (BASELINE.md round-2 history)."""
+    at 32768; gp=16 at 32768, gp=4 at 65536 (4.54 vs 4.90 ms at the
+    config-3 shape, round-3 chip sweep), gp=1 above are the measured
+    optima (BASELINE.md)."""
     b = 32768
     while b < 2 * max(1, m - 1):
         b *= 2
-    return b, (16 if b == 32768 else 1)
+    return b, {32768: 16, 65536: 4}.get(b, 1)
 
 
 class ReverbFx:
@@ -168,6 +169,112 @@ class ReverbFx:
                                block=self.block)
             return y, None
         return _reverb.reverb_block(x, ir, state, wet=self.wet, dry=self.dry)
+
+
+class FusedLTIFx:
+    """One combined-IR FIR stage standing in for an adjacent run of LTI
+    effects (EQ / reverb / volume) on the pallas engine.
+
+    The run is a composition of LTI systems, so it equals convolution
+    with ONE combined impulse response (host-precomputed in f64:
+    ``ops.biquad.sos_impulse_np`` truncates each EQ cascade at a
+    -120 dB l1 tail; reverb contributes ``dry*delta + wet*ir``; volume
+    a scalar). Collapsing EQ -> reverb from two device passes — a
+    sequential 5-section Pallas IIR (latency-floor-bound at ~41 ns per
+    lane-step) plus an fftconv — into a SINGLE fftconv call is the
+    config-3 perf move of round 3: the MXU does the EQ for free inside
+    the DFT pipeline it already runs for the reverb.
+
+    Reference analogue: the separate EQ and reverb C loops of the voice
+    chain (``xm_audio_effects.c`` [upstream, SURVEY.md §2.1]) — here
+    fused because both are LTI, which the reference's in-place
+    sample-loop architecture cannot see.
+
+    State is the last ``m-1`` INPUT samples (overlap-save history),
+    exactly like :class:`ReverbFx`'s pallas branch, so blocked mode
+    stays block-size invariant.
+    """
+
+    def __init__(self, ir: np.ndarray, interpret: bool, folded: tuple):
+        self.ir = np.ascontiguousarray(ir, np.float32)
+        self.block, self.gp = _reverb_block_for(len(self.ir))
+        self.interpret = interpret
+        self.folded = folded  # the effect objects this stage replaces
+
+    def init_state(self, batch_shape):
+        bs = _as_batch_shape(batch_shape)
+        return jnp.zeros(bs + (len(self.ir) - 1,), jnp.float32)
+
+    def apply(self, x, state):
+        from xmtpu.kernels.fftconv import fir_convolve_os_pallas
+
+        m = len(self.ir)
+        if state is None or m == 1:
+            xa, off = x, 0
+        else:
+            xa = jnp.concatenate([state.astype(x.dtype), x], axis=-1)
+            off = m - 1
+        y = fir_convolve_os_pallas(xa, self.ir, self.block, gp=self.gp,
+                                   interpret=self.interpret)[..., off:]
+        if state is None or m == 1:
+            return y, state
+        return y, xa[..., -(m - 1):]
+
+
+def _lti_ir(fx):
+    """The effect's (finite) impulse response in f64, or None if it is
+    not foldable — not LTI, not on the pallas engine, or an IIR whose
+    response will not truncate."""
+    if isinstance(fx, VolumeFx):
+        return np.array([fx.gain], np.float64)
+    if isinstance(fx, EqualizerFx) and fx.engine == "pallas":
+        return _biquad.sos_impulse_np(fx.sos)
+    if isinstance(fx, ReverbFx) and fx.engine == "pallas":
+        h = fx.wet * fx.ir.astype(np.float64)
+        h[0] += fx.dry
+        return h
+    return None
+
+
+def _fold_lti(effects):
+    """Collapse maximal adjacent runs of foldable LTI effects that
+    contain at least one pallas-engine reverb into FusedLTIFx stages
+    (the reverb's fftconv is already being paid; EQs and volumes along
+    for the ride are free). Runs without a reverb keep their exact
+    per-effect kernels (a lone EQ's segmented IIR is not obviously
+    beaten by a conv, and the scan engine is the oracle)."""
+    out, run = [], []
+
+    def flush():
+        if not run:
+            return
+        if any(isinstance(f, ReverbFx) for f, _ in run) and len(run) > 1:
+            h = np.ones(1, np.float64)
+            for _, hi in run:
+                h = np.convolve(h, hi)
+            # re-trim: the composition can decay sooner than the parts
+            tail = np.cumsum(np.abs(h[::-1]))[::-1]
+            if tail[0] > 0:
+                over = np.nonzero(tail > 1e-6 * tail[0])[0]
+                h = h[: (int(over[-1]) + 1 if over.size else 1)]
+            block, _ = _reverb_block_for(len(h))
+            if block <= 131072:
+                interp = any(getattr(f, "interpret", False) for f, _ in run)
+                out.append(FusedLTIFx(h, interp, tuple(f for f, _ in run)))
+                run.clear()
+                return
+        out.extend(f for f, _ in run)
+        run.clear()
+
+    for fx in effects:
+        h = _lti_ir(fx)
+        if h is not None:
+            run.append((fx, h))
+        else:
+            flush()
+            out.append(fx)
+    flush()
+    return out
 
 
 class LimiterFx:
@@ -301,7 +408,8 @@ _EFFECTS = {
 }
 
 
-def build_chain(sample_rate: int, chain, default_backend: str | None = None):
+def build_chain(sample_rate: int, chain, default_backend: str | None = None,
+                fold: bool = True):
     """Resolve a list of EffectConfig/dicts into effect objects.
 
     ``default_backend``: backend for effects that don't name one in
@@ -309,6 +417,11 @@ def build_chain(sample_rate: int, chain, default_backend: str | None = None):
     "auto" (production kernels on TPU). Streaming sessions pass "scan"
     to keep the oracle-grade f64 state-carry twins on their short
     frames.
+
+    ``fold``: collapse adjacent pallas-engine LTI runs (EQ/reverb/
+    volume) into single combined-IR FIR stages (:class:`FusedLTIFx`) —
+    semantics-preserving to ~-120 dB; False keeps every effect its own
+    kernel (oracle comparisons, debugging).
     """
     out = []
     for e in chain:
@@ -327,7 +440,7 @@ def build_chain(sample_rate: int, chain, default_backend: str | None = None):
         if default_backend is not None and "backend" not in params:
             params["backend"] = default_backend
         out.append(_EFFECTS[name](sample_rate, params))
-    return out
+    return _fold_lti(out) if fold else out
 
 
 def chain_init_state(effects, batch_shape):

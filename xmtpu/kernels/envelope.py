@@ -10,11 +10,28 @@ recurrences over the detector signal d[n] (ops.limiter pinned math):
     e2[n]  = (1-c_att) e2[n-1] + c_att env[n] (attack smoothing)
 
 Everything else (channel-link max, soft-knee curve, gain, clamp) is
-elementwise and stays in XLA where it fuses. Same layout/grid as
+elementwise and stays in XLA where it fuses. Layout/grid as
 ``kernels.iir``: time on sublanes, batch rows on lanes, state in VMEM
-scratch across sequential time-chunk grid steps. Accuracy: sequential
-f32 (see tests) — compile stays tiny vs the associative-scan twin,
-whose unrolled log-depth graph stalls the remote TPU compiler at long n.
+scratch across sequential time-chunk grid steps.
+
+WIDE-LANE CHAIN INTERLEAVE (round 3). Measured per-step cost of the
+(1, 128) sequential loop is ~20 cycles for only ~4 ALU ops — the loop
+is LATENCY-bound on the dependent recurrence, not issue-bound (VPU op
+cost is otherwise proportional to elements: an (8,128) op costs ~8x a
+(1,128) op — measured round 2 — so vectorizing the math CANNOT win; a
+stride-4 restride with masked prefix trees measured 1.4x SLOWER).
+Widening the row tile to (1, lanes) with lanes = 256/512 puts 2/4
+INDEPENDENT chains (different rows or time segments) in each op: their
+dependency chains interleave in the pipeline and the stalls fill with
+real work at zero extra arithmetic. Lane count is a parameter; the
+auto picks fill up to ``_LANES_TARGET`` when enough rows/segments
+exist.
+
+INLINE SEGMENT CORRECTION: the segmented path's pass B (one-pole over
+the corrected envelope max(env0[t], E * k^(t+1))) reads env0 raw and
+applies the correction on the loaded tile from a per-lane row ``E``
+and a shared time column ``ktab`` — the (R, n)-sized corrected
+envelope is never materialized to HBM (saves a full write+read).
 """
 
 from __future__ import annotations
@@ -27,14 +44,16 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LANES = 128
+LANES = 128  # minimum/base lane tile (f32 vreg width)
+_LANES_TARGET = 512  # chain-interleave width the auto paths fill toward
 
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _env_kernel(coef_ref, init_ref, d_ref, o_ref, zf_ref, st_ref, *, n_total, tc):
+def _env_kernel(coef_ref, init_ref, d_ref, kt_ref, e_ref, o_ref, zf_ref,
+                st_ref, *, n_total, tc):
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -45,7 +64,7 @@ def _env_kernel(coef_ref, init_ref, d_ref, o_ref, zf_ref, st_ref, *, n_total, tc
     c_att = coef_ref[0, 1]
     a_att = 1.0 - c_att
 
-    state = (st_ref[0:1, :], st_ref[1:2, :])  # (env, e2), each (1, LANES)
+    state = (st_ref[0:1, :], st_ref[1:2, :])  # (env, e2), each (1, lanes)
 
     UNROLL = 8  # amortize VMEM traffic/loop overhead (see kernels/iir.py)
 
@@ -57,6 +76,10 @@ def _env_kernel(coef_ref, init_ref, d_ref, o_ref, zf_ref, st_ref, *, n_total, tc
 
     def body8(i, st):
         tile = d_ref[pl.ds(i * UNROLL, UNROLL), :]
+        # inline segment correction on the whole tile (2 wide ops per 8
+        # samples; E is 0 on uncorrected paths and d >= 0, so the max
+        # is then a no-op)
+        tile = jnp.maximum(tile, e_ref[:] * kt_ref[pl.ds(i * UNROLL, UNROLL), :])
         ys = []
         for j in range(UNROLL):
             y, st = update(tile[j : j + 1, :], st)
@@ -65,7 +88,9 @@ def _env_kernel(coef_ref, init_ref, d_ref, o_ref, zf_ref, st_ref, *, n_total, tc
         return st
 
     def body1(i, st):
-        y, st = update(d_ref[pl.ds(i, 1), :], st)
+        di = jnp.maximum(d_ref[pl.ds(i, 1), :],
+                         e_ref[:] * kt_ref[pl.ds(i, 1), :])
+        y, st = update(di, st)
         o_ref[pl.ds(i, 1), :] = y
         return st
 
@@ -81,11 +106,20 @@ def _env_kernel(coef_ref, init_ref, d_ref, o_ref, zf_ref, st_ref, *, n_total, tc
     zf_ref[:] = st_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("time_chunk", "interpret"))
-def _envelope_2d(d2d, coef, init, time_chunk=2048, interpret=False):
-    """d2d: (R, n) f32 detector rows. init: (2, R). -> (e2 (R, n), zf (2, R))."""
+@functools.partial(jax.jit,
+                   static_argnames=("time_chunk", "interpret", "lanes"))
+def _envelope_2d(d2d, coef, init, ecorr=None, ktab=None, time_chunk=2048,
+                 interpret=False, lanes=LANES):
+    """d2d: (R, n) f32 detector rows. init: (2, R). -> (e2 (R, n), zf (2, R)).
+
+    ``ecorr``/``ktab``: optional inline segment correction — the kernel
+    processes ``max(d2d[r, t], ecorr[r] * ktab[t])`` (pass B of the
+    segmented path). None = zeros (no-op: the detector is nonnegative).
+    ``lanes``: row-tile width; >128 interleaves independent chains to
+    hide recurrence latency (module docstring).
+    """
     R, n = d2d.shape
-    Rp = _cdiv(R, LANES) * LANES
+    Rp = _cdiv(R, lanes) * lanes
     tc = time_chunk
     ntc = _cdiv(n, tc)
     npad = ntc * tc
@@ -94,41 +128,65 @@ def _envelope_2d(d2d, coef, init, time_chunk=2048, interpret=False):
     dt = jax.lax.dynamic_update_slice(dt, d2d.T.astype(jnp.float32), (0, 0))
     initp = jnp.zeros((2, Rp), jnp.float32)
     initp = jax.lax.dynamic_update_slice(initp, init.astype(jnp.float32), (0, 0))
+    ep = jnp.zeros((1, Rp), jnp.float32)
+    if ecorr is not None:
+        ep = jax.lax.dynamic_update_slice(
+            ep, ecorr.reshape(1, R).astype(jnp.float32), (0, 0))
+    kt = jnp.zeros((npad, 1), jnp.float32)
+    if ktab is not None:
+        kt = jax.lax.dynamic_update_slice(
+            kt, ktab.reshape(n, 1).astype(jnp.float32), (0, 0))
 
     kern = functools.partial(_env_kernel, n_total=n, tc=tc)
     # x64 off during kernel trace — Mosaic rejects i64 index types
     with jax.enable_x64(False):
-        e2, zf = _call(kern, coef, initp, dt, Rp, npad, tc, ntc, interpret)
+        e2, zf = _call(kern, coef, initp, dt, kt, ep, Rp, npad, tc, ntc,
+                       interpret, lanes)
     return e2[:n, :R].T, zf[:, :R]
 
 
-def _call(kern, coef, initp, dt, Rp, npad, tc, ntc, interpret):
+def _call(kern, coef, initp, dt, kt, ep, Rp, npad, tc, ntc, interpret, lanes):
     return pl.pallas_call(
         kern,
-        grid=(Rp // LANES, ntc),
+        grid=(Rp // lanes, ntc),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # coef (1, 2)
-            pl.BlockSpec((2, LANES), lambda b, t: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tc, LANES), lambda b, t: (t, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, lanes), lambda b, t: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc, lanes), lambda b, t: (t, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc, 1), lambda b, t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lanes), lambda b, t: (0, b), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tc, LANES), lambda b, t: (t, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, LANES), lambda b, t: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc, lanes), lambda b, t: (t, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, lanes), lambda b, t: (0, b), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((npad, Rp), jnp.float32),
             jax.ShapeDtypeStruct((2, Rp), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((2, LANES), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((2, lanes), jnp.float32)],
         interpret=interpret,
-    )(coef.astype(jnp.float32), initp, dt)
+    )(coef.astype(jnp.float32), initp, dt, kt, ep)
+
+
+def _pick_lanes(R: int) -> int:
+    """Widest lane tile that the rows fill without padding waste:
+    interleaving independent chains hides recurrence latency, but a
+    mostly-empty tile pays issue slots for dead lanes."""
+    lanes = LANES
+    while lanes < _LANES_TARGET and R >= 2 * lanes:
+        lanes *= 2
+    if lanes < _LANES_TARGET and R >= (3 * lanes) // 2:
+        lanes *= 2  # 3/4-full wide tile still wins
+    return lanes
 
 
 # ---------------------------------------------------------------------------
 # Time segmentation for small batches — the envelope twin of
 # kernels/iir.py's segmented sosfilt (see the long comment there): rows
-# R < 128 waste lanes, so each row splits into S segments run zero-init
-# in parallel, then exact cross-segment corrections:
+# R < the lane target waste issue slots, so each row splits into S
+# segments run zero-init in parallel, then exact cross-segment
+# corrections:
 #
 #   decaying max is affine in the (max, *) semiring:
 #       env[t] = max(env0[t], k^(t+1) * env_in)
@@ -137,8 +195,8 @@ def _call(kern, coef, initp, dt, Rp, npad, tc, ntc, interpret):
 #
 # (the same summaries parallel/sp.py chains across CHIPS, here chained
 # across lane segments). Two kernel passes (max-only via c_att=1, then
-# one-pole-only via k_rel=0) at S-fold lane parallelism — measured ~2x
-# on the config-3 limiter (R=16).
+# one-pole-only via k_rel=0, with the env correction applied INLINE on
+# pass B's read — see the module docstring) at S-fold lane parallelism.
 # ---------------------------------------------------------------------------
 
 
@@ -157,11 +215,12 @@ def _envelope_seg(d2d, k_rel, c_att, init2, S_seg, tc, interpret):
     seglen = n // S_seg
     ds = d2d.reshape(R * S_seg, seglen)
     zeros = jnp.zeros((2, R * S_seg), jnp.float32)
+    lanes = _pick_lanes(R * S_seg)
 
     # pass A: decaying max only (c_att=1 -> e2 == env)
     coef_a = jnp.array([[k_rel, 1.0]], jnp.float32)
     env0, zf_a = _envelope_2d(ds, coef_a, zeros, time_chunk=tc,
-                              interpret=interpret)
+                              interpret=interpret, lanes=lanes)
     envf = zf_a[0].reshape(R, S_seg)
     kp = jnp.float32(float(k_rel) ** seglen)
 
@@ -170,16 +229,19 @@ def _envelope_seg(d2d, k_rel, c_att, init2, S_seg, tc, interpret):
 
     e_last, e_ins = jax.lax.scan(chain_max, init2[0].astype(jnp.float32),
                                  jnp.moveaxis(envf, 1, 0))
-    kc = _decay_cut(float(k_rel), seglen)
-    t1k = np.arange(1, kc + 1, dtype=np.float64)
-    ktab = jnp.asarray((float(k_rel) ** t1k).astype(np.float32))
-    e_in_rows = jnp.moveaxis(e_ins, 0, 1).reshape(R * S_seg, 1)
-    env_true = env0.at[:, :kc].max(e_in_rows * ktab[None, :])
-
-    # pass B: one-pole only (k_rel=0 passes the input straight through)
+    # pass B: one-pole only (k_rel=0 passes the input straight through);
+    # the env correction max(env0[t], E * k^(t+1)) is applied INLINE on
+    # the kernel's read — no (R, n) corrected array hits HBM. The k^t
+    # column underflows to 0 once below f32 range, which is exact
+    # (the true correction is below denormal resolution there).
+    t1k = np.arange(1, seglen + 1, dtype=np.float64)
+    with np.errstate(under="ignore"):
+        ktab = jnp.asarray((float(k_rel) ** t1k).astype(np.float32))
+    e_in_rows = jnp.moveaxis(e_ins, 0, 1).reshape(R * S_seg)
     coef_b = jnp.array([[0.0, c_att]], jnp.float32)
-    e2_0, zf_b = _envelope_2d(env_true, coef_b, zeros, time_chunk=tc,
-                              interpret=interpret)
+    e2_0, zf_b = _envelope_2d(env0, coef_b, zeros, ecorr=e_in_rows,
+                              ktab=ktab, time_chunk=tc, interpret=interpret,
+                              lanes=lanes)
     e2f = zf_b[1].reshape(R, S_seg)
     a = 1.0 - float(c_att)
     ap = jnp.float32(a ** seglen)
@@ -223,7 +285,8 @@ def envelope_pallas(d, k_rel: float, c_att: float, init=None, time_chunk=2048,
         init2 = jnp.stack(
             [jnp.asarray(init[0]).reshape(R), jnp.asarray(init[1]).reshape(R)]
         )
-    S_seg = pick_segments(R, n) if segments is None else int(segments)
+    S_seg = (pick_segments(R, n, lanes=_LANES_TARGET)
+             if segments is None else int(segments))
     if S_seg > 1 and n % S_seg:
         raise ValueError(
             f"segments={S_seg} does not divide n={n} (exact state "
@@ -234,7 +297,7 @@ def envelope_pallas(d, k_rel: float, c_att: float, init=None, time_chunk=2048,
     else:
         coef = jnp.array([[k_rel, c_att]], jnp.float32)
         e2, zf = _envelope_2d(d2d, coef, init2, time_chunk=time_chunk,
-                              interpret=interpret)
+                              interpret=interpret, lanes=_pick_lanes(R))
     return (
         e2.reshape(*batch, n).astype(d.dtype),
         (zf[0].reshape(batch), zf[1].reshape(batch)),

@@ -366,6 +366,7 @@ def fir_convolve_os_pallas(x: jnp.ndarray, ir, block: int = 65536,
     R = int(np.prod(batch)) if batch else 1
     if gp is None:
         gp = _auto_gp(block, n1, n2, R)
+    gp = max(1, min(gp, _cdiv(R, 2)))  # don't pad rows past the batch
     x2 = x.reshape(R, n).astype(jnp.float32)
     rpad = _cdiv(R, 2 * gp) * 2 * gp - R
     if rpad:

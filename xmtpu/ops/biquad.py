@@ -253,3 +253,46 @@ def sosfilt_np(sos: np.ndarray, x: np.ndarray, zi=None):
         z[s, ..., 0] = z1
         z[s, ..., 1] = z2
     return y, z
+
+
+def sos_impulse_np(sos, tol: float = 1e-6, max_len: int = 1 << 21):
+    """Truncated impulse response of the cascade (f64, host-side).
+
+    The cascade is LTI, so at an l1-tail tolerance its action equals a
+    finite FIR: worst-case truncation error of ``conv(x, h)`` vs the
+    exact IIR is ``||x||_inf * sum(|h[cut:]|) <= tol * sum(|h|)`` —
+    the default 1e-6 is a -120 dB budget, far under the chain's -80 dB
+    gate. This is what lets the fx graph fold an EQ into an adjacent
+    FIR reverb and run the whole LTI run as ONE MXU convolution
+    (``graph.fx`` LTI fold; reference analogue: the separate EQ and
+    reverb loops of the voice chain, SURVEY.md §2.1).
+
+    Adaptive length: simulate, cut where the l1 tail mass drops below
+    ``tol`` of the total, doubling the window until the cut converges.
+    Returns None if the response has not decayed within ``max_len``
+    samples (unstable or pathologically resonant design) — callers
+    must then keep the exact IIR path.
+    """
+    from scipy import signal as sps
+
+    sos = np.asarray(sos, np.float64)
+    if sos.shape[0] == 0:
+        return np.ones(1, np.float64)
+    n = 4096
+    while True:
+        x = np.zeros(n, np.float64)
+        x[0] = 1.0
+        h = sps.sosfilt(sos, x)
+        if not np.all(np.isfinite(h)):
+            return None
+        tail = np.cumsum(np.abs(h[::-1]))[::-1]  # tail[i] = sum_{t>=i} |h|
+        total = tail[0]
+        if total == 0.0:
+            return h[:1]
+        over = np.nonzero(tail > tol * total)[0]
+        cut = int(over[-1]) + 1 if over.size else 1
+        if cut < n:  # the discarded tail is genuinely below tolerance
+            return np.ascontiguousarray(h[:cut])
+        if n >= max_len:
+            return None
+        n *= 2

@@ -116,6 +116,11 @@ def reverb(
         w = fir_convolve_full(x, ir)[..., :n]
     dry_g = jnp.asarray(dry, x.dtype)
     wet_g = jnp.asarray(wet, x.dtype)
+    if dry == 0.0:  # combined-IR callers (LTI fold): pure convolution —
+        # don't emit the 0*x term (XLA can't DCE it under f32 semantics)
+        if prescale is not None:
+            return (jnp.asarray(prescale, x.dtype) * wet_g) * w
+        return wet_g * w if wet != 1.0 else w
     if prescale is not None:
         s = jnp.asarray(prescale, x.dtype)
         return (s * dry_g) * x + (s * wet_g) * w
