@@ -28,13 +28,15 @@ import numpy as np  # noqa: E402
 TARGET_RT = 500.0  # x realtime per chip (BASELINE.json:5)
 
 
-def main(batch: int = 256, clip_seconds: float = 10.0, iters: int = 10,
+def main(batch: int = 256, clip_seconds: float = 10.0, iters: int = 40,
          iir_backend: str = "pallas",
          resample_backend: str = "mixfirst") -> dict:
-    # iters=10: the single end-of-region host fetch costs one tunnel RTT
-    # (~33 ms); at 3 iters that inflated every per-iter time by ~11 ms.
-    # 10 iters amortizes the same fetch to ~3 ms/iter — closer to true
-    # steady-state throughput, same one-fetch convention.
+    # iters=40: the single end-of-region host fetch costs one tunnel RTT
+    # (~33 ms); at 10 iters that still inflated every per-iter time by
+    # ~3.3 ms (measured round 3: a near-noop dispatch runs 5.25 ms/iter
+    # at iters=10 vs 1.85 at 40). 40 iters amortizes the same ONE fetch
+    # to ~0.8 ms/iter — steady-state throughput, same one-fetch
+    # convention (configs 1-2 made this move in round 2).
     import jax
     import jax.numpy as jnp
     from xmtpu import batch as xbatch

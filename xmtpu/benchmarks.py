@@ -16,7 +16,7 @@ import time
 import numpy as np
 
 
-def _timeit(fn, fetch, warmup=1, iters=10):
+def _timeit(fn, fetch, warmup=1, iters=40):
     """Steady-state seconds per iteration.
 
     Timing convention (load-bearing for every number in BASELINE.md):
@@ -24,9 +24,12 @@ def _timeit(fn, fetch, warmup=1, iters=10):
     with ONE host fetch of a 4-sample slice — the fetch forces
     completion (``block_until_ready`` lies on the axon tunnel) but
     under-fetches output bytes, and its ~33 ms tunnel RTT is amortized
-    across the iters (hence 10, not 3: ~3 ms/iter of overhead instead
-    of ~11). Device->host transfer of full outputs is NOT included in
-    any throughput number; config 5 (streaming) measures it separately.
+    across the iters. iters=40 (round 3, all configs — configs 1-2 made
+    the move in round 2): a near-noop dispatch measures 5.25 ms/iter at
+    iters=10 vs 1.85 at 40, so the old 10-iter convention charged every
+    config ~3.3 ms/iter of pure tunnel artifact. Device->host transfer
+    of full outputs is NOT included in any throughput number; config 5
+    (streaming) measures it separately.
     """
     for _ in range(warmup):
         out = fn()

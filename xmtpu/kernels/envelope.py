@@ -45,7 +45,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128  # minimum/base lane tile (f32 vreg width)
-_LANES_TARGET = 512  # chain-interleave width the auto paths fill toward
+_LANES_TARGET = 256  # chain-interleave width the auto paths fill toward
+# (256 = 2 f32 vregs: the 2-op/step recurrence stays latency-covered;
+# 512 tips into issue-bound — chip sweep round 3: 6.43 ms at 256 vs
+# 7.64 at 512 on a (32, 480k) segmented envelope)
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -106,26 +109,52 @@ def _env_kernel(coef_ref, init_ref, d_ref, kt_ref, e_ref, o_ref, zf_ref,
     zf_ref[:] = st_ref[:]
 
 
+@functools.partial(jax.jit, static_argnames=("n", "tc", "interpret", "lanes"))
+def _envelope_2d_t(dt, coef, initp, kt, ep, *, n, tc, interpret, lanes):
+    """KERNEL-LAYOUT core: ``dt`` is (npad, Rp) time-major padded input
+    (npad = ntc*tc, Rp a multiple of ``lanes``); returns (e2_t (npad,
+    Rp), zf (2, Rp)) in the SAME layout. The segmented path runs both
+    passes through this core so pass A's output feeds pass B directly —
+    no transpose back to (R, n) in between (two full HBM round-trips of
+    the detector array saved, measured the dominant cost at long n).
+
+    ``kt``/``ep``: inline segment correction — the kernel processes
+    ``max(dt[t, r], ep[r] * kt[t])``; pass zeros for a no-op (the
+    detector is nonnegative).
+    """
+    npad, Rp = dt.shape
+    ntc = npad // tc
+    kern = functools.partial(_env_kernel, n_total=n, tc=tc)
+    # x64 off during kernel trace — Mosaic rejects i64 index types
+    with jax.enable_x64(False):
+        return _call(kern, coef, initp, dt, kt, ep, Rp, npad, tc, ntc,
+                     interpret, lanes)
+
+
+def _pad_t(d2d, lanes, tc):
+    """(R, n) -> time-major (npad, Rp) zero-padded kernel layout."""
+    R, n = d2d.shape
+    Rp = _cdiv(R, lanes) * lanes
+    npad = _cdiv(n, tc) * tc
+    dt = jnp.zeros((npad, Rp), jnp.float32)
+    return jax.lax.dynamic_update_slice(dt, d2d.T.astype(jnp.float32), (0, 0))
+
+
 @functools.partial(jax.jit,
                    static_argnames=("time_chunk", "interpret", "lanes"))
 def _envelope_2d(d2d, coef, init, ecorr=None, ktab=None, time_chunk=2048,
                  interpret=False, lanes=LANES):
     """d2d: (R, n) f32 detector rows. init: (2, R). -> (e2 (R, n), zf (2, R)).
 
-    ``ecorr``/``ktab``: optional inline segment correction — the kernel
-    processes ``max(d2d[r, t], ecorr[r] * ktab[t])`` (pass B of the
-    segmented path). None = zeros (no-op: the detector is nonnegative).
-    ``lanes``: row-tile width; >128 interleaves independent chains to
-    hide recurrence latency (module docstring).
+    Row-major convenience wrapper over :func:`_envelope_2d_t` (see
+    there for ``ecorr``/``ktab``/``lanes``).
     """
     R, n = d2d.shape
     Rp = _cdiv(R, lanes) * lanes
     tc = time_chunk
-    ntc = _cdiv(n, tc)
-    npad = ntc * tc
+    npad = _cdiv(n, tc) * tc
 
-    dt = jnp.zeros((npad, Rp), jnp.float32)
-    dt = jax.lax.dynamic_update_slice(dt, d2d.T.astype(jnp.float32), (0, 0))
+    dt = _pad_t(d2d, lanes, tc)
     initp = jnp.zeros((2, Rp), jnp.float32)
     initp = jax.lax.dynamic_update_slice(initp, init.astype(jnp.float32), (0, 0))
     ep = jnp.zeros((1, Rp), jnp.float32)
@@ -136,12 +165,8 @@ def _envelope_2d(d2d, coef, init, ecorr=None, ktab=None, time_chunk=2048,
     if ktab is not None:
         kt = jax.lax.dynamic_update_slice(
             kt, ktab.reshape(n, 1).astype(jnp.float32), (0, 0))
-
-    kern = functools.partial(_env_kernel, n_total=n, tc=tc)
-    # x64 off during kernel trace — Mosaic rejects i64 index types
-    with jax.enable_x64(False):
-        e2, zf = _call(kern, coef, initp, dt, kt, ep, Rp, npad, tc, ntc,
-                       interpret, lanes)
+    e2, zf = _envelope_2d_t(dt, coef, initp, kt, ep, n=n, tc=tc,
+                            interpret=interpret, lanes=lanes)
     return e2[:n, :R].T, zf[:, :R]
 
 
@@ -213,15 +238,24 @@ def _decay_cut(r: float, n: int) -> int:
 def _envelope_seg(d2d, k_rel, c_att, init2, S_seg, tc, interpret):
     R, n = d2d.shape
     seglen = n // S_seg
-    ds = d2d.reshape(R * S_seg, seglen)
-    zeros = jnp.zeros((2, R * S_seg), jnp.float32)
-    lanes = _pick_lanes(R * S_seg)
+    RS = R * S_seg
+    lanes = _pick_lanes(RS)
+    Rp = _cdiv(RS, lanes) * lanes
+    npad = _cdiv(seglen, tc) * tc
+    # both passes run in KERNEL LAYOUT (time-major (npad, Rp)): pass A's
+    # output feeds pass B directly, so the detector array crosses HBM
+    # in (R, n) layout exactly twice (transpose in, transpose out) —
+    # the earlier per-pass wrappers paid two extra full transposes.
+    dt = _pad_t(d2d.reshape(RS, seglen), lanes, tc)
+    zerosp = jnp.zeros((2, Rp), jnp.float32)
+    kt0 = jnp.zeros((npad, 1), jnp.float32)
+    ep0 = jnp.zeros((1, Rp), jnp.float32)
 
     # pass A: decaying max only (c_att=1 -> e2 == env)
     coef_a = jnp.array([[k_rel, 1.0]], jnp.float32)
-    env0, zf_a = _envelope_2d(ds, coef_a, zeros, time_chunk=tc,
-                              interpret=interpret, lanes=lanes)
-    envf = zf_a[0].reshape(R, S_seg)
+    env0_t, zf_a = _envelope_2d_t(dt, coef_a, zerosp, kt0, ep0, n=seglen,
+                                  tc=tc, interpret=interpret, lanes=lanes)
+    envf = zf_a[0, :RS].reshape(R, S_seg)
     kp = jnp.float32(float(k_rel) ** seglen)
 
     def chain_max(e, vk):
@@ -236,13 +270,16 @@ def _envelope_seg(d2d, k_rel, c_att, init2, S_seg, tc, interpret):
     # (the true correction is below denormal resolution there).
     t1k = np.arange(1, seglen + 1, dtype=np.float64)
     with np.errstate(under="ignore"):
-        ktab = jnp.asarray((float(k_rel) ** t1k).astype(np.float32))
-    e_in_rows = jnp.moveaxis(e_ins, 0, 1).reshape(R * S_seg)
+        ktab = np.zeros((npad, 1), np.float32)
+        ktab[:seglen, 0] = (float(k_rel) ** t1k).astype(np.float32)
+    e_in_rows = jnp.moveaxis(e_ins, 0, 1).reshape(RS)
+    ep = jax.lax.dynamic_update_slice(ep0, e_in_rows[None].astype(jnp.float32),
+                                      (0, 0))
     coef_b = jnp.array([[0.0, c_att]], jnp.float32)
-    e2_0, zf_b = _envelope_2d(env0, coef_b, zeros, ecorr=e_in_rows,
-                              ktab=ktab, time_chunk=tc, interpret=interpret,
-                              lanes=lanes)
-    e2f = zf_b[1].reshape(R, S_seg)
+    e2_t, zf_b = _envelope_2d_t(env0_t, coef_b, zerosp, jnp.asarray(ktab),
+                                ep, n=seglen, tc=tc, interpret=interpret,
+                                lanes=lanes)
+    e2f = zf_b[1, :RS].reshape(R, S_seg)
     a = 1.0 - float(c_att)
     ap = jnp.float32(a ** seglen)
 
@@ -254,8 +291,13 @@ def _envelope_seg(d2d, k_rel, c_att, init2, S_seg, tc, interpret):
     ac = _decay_cut(a, seglen)
     t1a = np.arange(1, ac + 1, dtype=np.float64)
     atab = jnp.asarray((a ** t1a).astype(np.float32))
-    s_in_rows = jnp.moveaxis(s_ins, 0, 1).reshape(R * S_seg, 1)
-    e2 = e2_0.at[:, :ac].add(s_in_rows * atab[None, :]).reshape(R, n)
+    s_in_cols = jnp.zeros((Rp,), jnp.float32)
+    s_in_cols = jax.lax.dynamic_update_slice(
+        s_in_cols, jnp.moveaxis(s_ins, 0, 1).reshape(RS), (0,))
+    # cross-segment one-pole correction applied in kernel layout, then
+    # ONE transpose back to row-major
+    e2_t = e2_t.at[:ac, :].add(atab[:, None] * s_in_cols[None, :])
+    e2 = e2_t[:seglen, :RS].T.reshape(R, n)
     return e2, jnp.stack([e_last, s_last])
 
 
