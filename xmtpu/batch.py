@@ -15,6 +15,8 @@ SURVEY.md §2.2.
 from __future__ import annotations
 
 
+import math as _math
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -148,6 +150,7 @@ def make_flagship_step(
                                          resample_mix_supported)
 
         B_, n_in = voice_i16.shape
+        deferred_ramp = None  # set by mixfirst; applied in-kernel or below
         if (resample_backend == "rsmix"
                 and resample_mix_supported(n_in, B_, sr_in, sr_bus)):
             with stage("rsmix"):
@@ -171,11 +174,33 @@ def make_flagship_step(
                 # resample(voice + g*bgm) exactly. Halves the resample's
                 # rows (256 vs 512 at the headline shape) and drops the
                 # i16 concat pass.
-                m = (_convert.pcm16_to_f32(voice_i16)
-                     + jnp.float32(bgm_gain) * _convert.pcm16_to_f32(bgm_i16))
-                m = _rs(m, sr_in, sr_bus)
+                gmix = jnp.float32(bgm_gain)
+                if (resample_backend == "mixfirst"
+                        and _resample.aligned_supported(n_in, sr_in, sr_bus)):
+                    # frame the i16 inputs FIRST (a true bitcast), so
+                    # the convert+mix fusion writes the resample
+                    # matmul's (.., nc, M) operand layout directly —
+                    # the (B, n) -> (B, nc, M) reshape AFTER the mix
+                    # materialized as a full 1.38 ms copy (layout
+                    # assignment; see ops.resample._apply_aligned)
+                    Mloc = sr_in // _math.gcd(sr_in, sr_bus)
+                    v3 = voice_i16.reshape(B_, n_in // Mloc, Mloc)
+                    b3 = bgm_i16.reshape(B_, n_in // Mloc, Mloc)
+                    m3 = (_convert.pcm16_to_f32(v3)
+                          + gmix * _convert.pcm16_to_f32(b3))
+                    m = _resample.polyphase_resample_framed(
+                        m3, sr_in, sr_bus).reshape(B_, -1)
+                else:
+                    m = (_convert.pcm16_to_f32(voice_i16)
+                         + gmix * _convert.pcm16_to_f32(bgm_i16))
+                    m = _rs(m, sr_in, sr_bus)
                 nb = m.shape[-1]
-                out = _mix.apply_gain_fade(m, 1.0, fade, fade, length=nb)
+                # the fade ramp is DEFERRED on this path: the fold-path
+                # reverb kernel applies it in-kernel on the tile load
+                # (pre_col=), and the peak detector fuses |m|*ramp into
+                # its reduce — the faded bus signal never hits HBM
+                ramp = _mix.fade_ramp(nb, fade, fade, nb)
+                out, deferred_ramp = m, ramp
         else:
             with stage("resample"):
                 # concat the i16 inputs BEFORE the f32 convert: the
@@ -200,7 +225,10 @@ def make_flagship_step(
             # costs a full HBM write+read; reverb is linear, so the
             # scale folds into its wet/dry epilogue (prescale=) on the
             # fused path and into the elementwise pre-EQ pass otherwise.
-            peak = jnp.max(jnp.abs(out), axis=-1, keepdims=True)
+            det = jnp.abs(out)
+            if deferred_ramp is not None:
+                det = det * deferred_ramp  # == |ramp*out|: ramp >= 0
+            peak = jnp.max(det, axis=-1, keepdims=True)
             scale = jnp.where(
                 peak > 0, _mix.db_to_amp(-1.0) / jnp.maximum(peak, 1e-30), 1.0
             )
@@ -225,17 +253,24 @@ def make_flagship_step(
                 from xmtpu.kernels.envelope import envelope_pallas
 
                 with stage("eq+reverb"):
+                    # trim=False: the hop-padded kernel output flows to
+                    # padded-aware consumers (envelope n_valid=, sliced
+                    # elementwise epilogues) — the standalone trim copy
+                    # between two opaque kernels is saved
                     out = _reverb.reverb(
                         out, ir_comb, wet=1.0, dry=0.0,
                         block=_reverb_block(ir_comb.shape[-1]),
                         gp=16, backend="pallas", interpret=interpret,
-                        prescale=scale)
+                        pre_row=scale[..., 0], pre_col=deferred_ramp,
+                        trim=False)
                 with stage("limiter"):
                     e2, _ = envelope_pallas(jnp.abs(out), k_rel, c_att,
-                                            interpret=interpret)
+                                            interpret=interpret, n_valid=n)
                     out = _limiter.apply_gain_curve(
-                        out[..., None, :], e2, threshold_db)[..., 0, :]
+                        out[..., None, :n], e2, threshold_db)[..., 0, :]
                 return _convert.f32_to_pcm16(out)
+            if deferred_ramp is not None:
+                out = out * deferred_ramp
             # EQ and reverb are both LTI over the full row, so they
             # commute exactly; evaluating reverb FIRST makes EQ adjacent
             # to the limiter, and kernels/eq_env.py runs the 5-section
@@ -258,6 +293,8 @@ def make_flagship_step(
                 out = _limiter.apply_gain_curve(
                     y[..., None, :], e2, threshold_db)[..., 0, :]
             return _convert.f32_to_pcm16(out)
+        if deferred_ramp is not None:
+            out = out * deferred_ramp
         with stage("eq"):
             out = eq(out * scale)
         with stage("reverb"):

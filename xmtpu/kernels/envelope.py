@@ -132,27 +132,59 @@ def _envelope_2d_t(dt, coef, initp, kt, ep, *, n, tc, interpret, lanes):
 
 
 def _pad_t(d2d, lanes, tc):
-    """(R, n) -> time-major (npad, Rp) zero-padded kernel layout."""
+    """(R, n) -> time-major (npad, Rp) zero-padded kernel layout.
+
+    When no padding is needed the result is a bare transpose — a
+    fusible XLA op (the |x| detector pass and the transpose then run as
+    ONE HBM pass), where the zeros+dynamic_update_slice form always
+    materializes a second full copy. ``_auto_tc`` picks tc to make this
+    the common case."""
     R, n = d2d.shape
     Rp = _cdiv(R, lanes) * lanes
     npad = _cdiv(n, tc) * tc
+    if npad == n and Rp == R:
+        return d2d.T.astype(jnp.float32)
     dt = jnp.zeros((npad, Rp), jnp.float32)
     return jax.lax.dynamic_update_slice(dt, d2d.T.astype(jnp.float32), (0, 0))
 
 
+def _auto_tc(n: int, tc: int) -> int:
+    """Largest time chunk <= tc that divides n (8-multiple for the f32
+    sublane tile); falls back to tc (ceil-padding) when n has no
+    suitable divisor >= tc//2. An exact divisor keeps _pad_t a bare
+    transpose AND avoids the partial last grid step."""
+    if n % tc == 0:
+        return tc
+    for d in range(tc - tc % 8, tc // 2 - 1, -8):
+        if d > 0 and n % d == 0:
+            return d
+    return tc
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("time_chunk", "interpret", "lanes"))
+                   static_argnames=("time_chunk", "interpret", "lanes",
+                                    "n_valid"))
 def _envelope_2d(d2d, coef, init, ecorr=None, ktab=None, time_chunk=2048,
-                 interpret=False, lanes=LANES):
+                 interpret=False, lanes=LANES, n_valid=None):
     """d2d: (R, n) f32 detector rows. init: (2, R). -> (e2 (R, n), zf (2, R)).
 
     Row-major convenience wrapper over :func:`_envelope_2d_t` (see
-    there for ``ecorr``/``ktab``/``lanes``).
+    there for ``ecorr``/``ktab``/``lanes``). ``n_valid``: treat only
+    the first n_valid columns as signal (d2d may be the padded output
+    of an upstream kernel — the excess columns are sliced away here,
+    which fuses with the transpose instead of costing a standalone
+    trim pass upstream); outputs are (R, n_valid).
     """
     R, n = d2d.shape
+    if n_valid is not None:
+        n = int(n_valid)
     Rp = _cdiv(R, lanes) * lanes
     tc = time_chunk
     npad = _cdiv(n, tc) * tc
+    if d2d.shape[1] > npad:
+        # keep up to npad real columns (the [n, npad) tail is ignored
+        # by the kernel's n_total loop bound)
+        d2d = d2d[:, :npad]
 
     dt = _pad_t(d2d, lanes, tc)
     initp = jnp.zeros((2, Rp), jnp.float32)
@@ -302,12 +334,17 @@ def _envelope_seg(d2d, k_rel, c_att, init2, S_seg, tc, interpret):
 
 
 def envelope_pallas(d, k_rel: float, c_att: float, init=None, time_chunk=2048,
-                    interpret=False, segments=None):
+                    interpret=False, segments=None, n_valid=None):
     """Smoothed limiter envelope of detector ``d`` shaped (..., n).
 
     ``init``: (env_last, e2_last) each shaped (...,) or None. Returns
     (e2 (..., n), (env_last, e2_last)). f32 compute. ``segments``:
     small-batch time segmentation (None = auto; exact, see above).
+
+    ``n_valid``: d's last axis is the PADDED output of an upstream
+    kernel (e.g. fftconv ``trim=False``) and only the first n_valid
+    samples are signal — outputs are (..., n_valid) and the upstream
+    trim pass is saved (its slice fuses here).
 
     PRECONDITION: ``d`` and ``init`` must be NONNEGATIVE (true for the
     limiter's |x| detector). The max-semiring corrections compose with
@@ -318,9 +355,9 @@ def envelope_pallas(d, k_rel: float, c_att: float, init=None, time_chunk=2048,
 
     d = jnp.asarray(d)
     batch = d.shape[:-1]
-    n = d.shape[-1]
+    n = d.shape[-1] if n_valid is None else int(n_valid)
     R = int(np.prod(batch)) if batch else 1
-    d2d = d.reshape(R, n)
+    d2d = d.reshape(R, d.shape[-1])
     if init is None:
         init2 = jnp.zeros((2, R), jnp.float32)
     else:
@@ -334,12 +371,16 @@ def envelope_pallas(d, k_rel: float, c_att: float, init=None, time_chunk=2048,
             f"segments={S_seg} does not divide n={n} (exact state "
             "corrections need equal segments)")
     if S_seg > 1:
+        if d2d.shape[1] != n:
+            d2d = d2d[:, :n]  # materialize: segmentation reshapes (R, n)
         e2, zf = _envelope_seg(d2d, k_rel, c_att, init2, S_seg,
-                               time_chunk, interpret)
+                               _auto_tc(n // S_seg, time_chunk), interpret)
     else:
         coef = jnp.array([[k_rel, c_att]], jnp.float32)
-        e2, zf = _envelope_2d(d2d, coef, init2, time_chunk=time_chunk,
-                              interpret=interpret, lanes=_pick_lanes(R))
+        e2, zf = _envelope_2d(d2d, coef, init2,
+                              time_chunk=_auto_tc(n, time_chunk),
+                              interpret=interpret, lanes=_pick_lanes(R),
+                              n_valid=(None if d2d.shape[1] == n else n))
     return (
         e2.reshape(*batch, n).astype(d.dtype),
         (zf[0].reshape(batch), zf[1].reshape(batch)),

@@ -162,7 +162,7 @@ _NW = 16  # len(_W_NAMES)
 
 
 def _fftconv_kernel(x_ref, *refs, pp_rows, gp, wide=False,
-                    gauss=True):
+                    gauss=True, has_pre=False):
     """One (pair-group, frame) step over ``gp`` row pairs.
 
     Perf structure (each measured round 2 at the config-3 shape):
@@ -184,6 +184,9 @@ def _fftconv_kernel(x_ref, *refs, pp_rows, gp, wide=False,
       same weight loads amortized over gp times the columns); the
       strip gather/scatter around it is cheap VPU traffic.
     """
+    if has_pre:
+        pr_ref, pc_ref = refs[0], refs[1]
+        refs = refs[2:]
     w_hbm = refs[:_NW]
     o_ref = refs[_NW]
     wv = refs[_NW + 1 : 2 * _NW + 1]
@@ -212,7 +215,16 @@ def _fftconv_kernel(x_ref, *refs, pp_rows, gp, wide=False,
         # from the destination rows: n1 >= 2*pp_rows by construction)
         zbuf[:, :pp_rows] = zbuf[:, n1 - pp_rows :]
 
-    zbuf[:, pp_rows:] = x_ref[:]
+    if has_pre:
+        # input-side gain fusion: per-row prescale x per-sample window
+        # (fade ramp) applied ON THE TILE as it enters the overlap-save
+        # window — the carry rows then hold already-scaled samples, so
+        # the result is exactly conv(pre_row * pre_col * x) with no
+        # full-array elementwise pass in front of the kernel
+        zbuf[:, pp_rows:] = (x_ref[:] * pr_ref[:].reshape(2 * gp, 1, 1)
+                             * pc_ref[:][None])
+    else:
+        zbuf[:, pp_rows:] = x_ref[:]
     n2 = zbuf.shape[2]
 
     def bmul(a3, c):  # (gp, n1, n2) * broadcast (n1, n2) elementwise
@@ -280,30 +292,46 @@ def _fftconv_kernel(x_ref, *refs, pp_rows, gp, wide=False,
                      "interpret", "wide", "gauss"),
 )
 def _fftconv_2d(x2d, weights, block, hm, pp_rows, nblk, n, gp, interpret,
-                wide=False, gauss=True):
+                wide=False, gauss=True, pre_row=None, pre_col=None):
     """x2d: (R, n) f32, R a multiple of 2*gp -> (R, n) f32 same-length
     causal conv.
 
     ``weights``: tuple of jnp arrays in _W_NAMES order. Static geometry
     (all multiples of the f32 (8, n2) tile): hop = hm*n2 useful samples
     per frame, pp = pp_rows*n2 = block - hop samples of left overlap.
+    ``pre_row``/``pre_col``: optional (R,)/(n,) input gains applied
+    in-kernel (both or neither): conv(pre_row * pre_col * x).
     """
     n1, n2 = _split_factors(block)
     R = x2d.shape[0]
     hop = hm * n2
+    has_pre = pre_row is not None
     # disjoint hop tiling (the carry scratch supplies the overlap):
     # right-pad to nblk*hop and view as (R, nblk*hm, n2)
     xp = jnp.pad(x2d.astype(jnp.float32), ((0, 0), (0, nblk * hop - n)))
     x3 = xp.reshape(R, nblk * hm, n2)
     kern = functools.partial(_fftconv_kernel, pp_rows=pp_rows, gp=gp,
-                             wide=wide, gauss=gauss)
+                             wide=wide, gauss=gauss, has_pre=has_pre)
     wscratch = [pltpu.VMEM(wa.shape, wa.dtype) for wa in weights]
+    pre_args, pre_specs = (), []
+    if has_pre:
+        prp = pre_row.astype(jnp.float32).reshape(R, 1)
+        pcp = jnp.pad(pre_col.astype(jnp.float32),
+                      (0, nblk * hop - n)).reshape(nblk * hm, n2)
+        pre_args = (prp, pcp)
+        pre_specs = [
+            pl.BlockSpec((2 * gp, 1), lambda p, b: (p, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hm, n2), lambda p, b: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ]
     with jax.enable_x64(False):  # Mosaic rejects i64 index types
         out = pl.pallas_call(
             kern,
             grid=(R // (2 * gp), nblk),
             in_specs=[pl.BlockSpec((2 * gp, hm, n2), lambda p, b: (p, b, 0),
                                    memory_space=pltpu.VMEM)]
+            + pre_specs
             + [pl.BlockSpec(memory_space=pl.ANY)] * len(_W_NAMES),
             out_specs=pl.BlockSpec((2 * gp, hm, n2), lambda p, b: (p, b, 0),
                                    memory_space=pltpu.VMEM),
@@ -317,8 +345,8 @@ def _fftconv_2d(x2d, weights, block, hm, pp_rows, nblk, n, gp, interpret,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=64 << 20),
             interpret=interpret,
-        )(x3, *weights)
-    return out.reshape(R, nblk * hm * n2)[:, :n]
+        )(x3, *pre_args, *weights)
+    return out.reshape(R, nblk * hm * n2)
 
 
 def _auto_gp(block: int, n1: int, n2: int, R: int) -> int:
@@ -339,7 +367,9 @@ def fir_convolve_os_pallas(x: jnp.ndarray, ir, block: int = 65536,
                            gp: int | None = None,
                            interpret: bool = False,
                            wide: bool | None = None,
-                           gauss: bool = True) -> jnp.ndarray:
+                           gauss: bool = True,
+                           pre_row=None, pre_col=None,
+                           trim: bool = True) -> jnp.ndarray:
     """Same-length causal convolution of the last axis with host-known
     ``ir``; drop-in twin of ops.fftmm.fir_convolve_os_mxu.
 
@@ -348,6 +378,20 @@ def fir_convolve_os_pallas(x: jnp.ndarray, ir, block: int = 65536,
     complex transforms and process ``gp`` pairs per grid step (None =
     auto from the VMEM budget); the row count is zero-padded up to a
     multiple of 2*gp.
+
+    ``pre_row`` (batch-shaped) / ``pre_col`` ((n,)) — optional input
+    gains applied in-kernel on the tile load: the result equals
+    ``conv(pre_row[..., None] * pre_col * x)`` with no elementwise HBM
+    pass in front of the kernel (the batch chain's fade ramp +
+    normalize prescale ride here). Either may be None (treated as 1).
+
+    ``trim=False`` returns the full hop-padded output (..., nblk*hop)
+    — samples [n, nblk*hop) are the (valid) convolution tail of the
+    zero-padded input, NOT garbage. Trimming materializes a full-array
+    slice copy when the consumer is another opaque kernel (measured
+    0.59 ms at the headline shape); padded-aware consumers (the
+    limiter envelope's ``n_valid``) skip it and fuse the final slice
+    into their own elementwise epilogue.
     """
     ir_np = np.ascontiguousarray(np.asarray(ir, np.float64))
     m = ir_np.shape[-1]
@@ -373,8 +417,18 @@ def fir_convolve_os_pallas(x: jnp.ndarray, ir, block: int = 65536,
         x2 = jnp.concatenate([x2, jnp.zeros((rpad, n), jnp.float32)])
     if wide is None:
         wide = gp > 1  # measured round 3: the wide N1 dots win at gp>1
+    pr = pc = None
+    if pre_row is not None or pre_col is not None:
+        pr = (jnp.ones((R,), jnp.float32) if pre_row is None
+              else jnp.asarray(pre_row, jnp.float32).reshape(R))
+        if rpad:
+            pr = jnp.concatenate([pr, jnp.zeros((rpad,), jnp.float32)])
+        pc = (jnp.ones((n,), jnp.float32) if pre_col is None
+              else jnp.asarray(pre_col, jnp.float32).reshape(n))
     c = _consts_np(block, ir_np.tobytes())
     weights = tuple(jnp.asarray(c[k]) for k in _W_NAMES)
     y = _fftconv_2d(x2, weights, block, hm, pp_rows, nblk, n, gp, interpret,
-                    wide=bool(wide), gauss=gauss)
-    return y[:R].reshape(*batch, n).astype(x.dtype)
+                    wide=bool(wide), gauss=gauss, pre_row=pr, pre_col=pc)
+    if trim:
+        return y[:R, :n].reshape(*batch, n).astype(x.dtype)
+    return y[:R].reshape(*batch, y.shape[-1]).astype(x.dtype)

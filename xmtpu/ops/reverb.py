@@ -79,6 +79,7 @@ def reverb(
     x: jnp.ndarray, ir: jnp.ndarray, wet: float = 0.3, dry: float = 0.7,
     block: int | None = None, backend: str = "xla", precision=None,
     gp: int | None = None, interpret: bool = False, prescale=None,
+    pre_row=None, pre_col=None, trim: bool = True,
 ) -> jnp.ndarray:
     """Wet/dry reverb, output length == input length (tail truncated —
     the reference's same-length PCM-in/PCM-out convention).
@@ -98,13 +99,26 @@ def reverb(
     post-convolution wet/dry combine (one fused elementwise pass)
     instead of materializing ``s*x`` to HBM in front of an opaque
     Pallas call. The batch chain folds its peak-normalize gain here
-    (round-3 front-end roofline work)."""
+    (round-3 front-end roofline work).
+
+    ``pre_row``/``pre_col`` (pallas backend only): batch-shaped /
+    per-sample input gains applied IN-KERNEL on the tile load —
+    ``reverb(pre_row[..., None] * pre_col * x)`` with zero extra HBM
+    passes. Unlike ``prescale`` the per-sample ``pre_col`` does NOT
+    commute with the convolution, so it must (and does) scale the
+    input side; the batch chain's fade ramp rides here."""
     n = x.shape[-1]
+    if not trim and (backend != "pallas" or dry != 0.0):
+        raise ValueError("trim=False requires backend='pallas', dry=0")
     if backend == "pallas":
         from xmtpu.kernels.fftconv import fir_convolve_os_pallas
 
         w = fir_convolve_os_pallas(x, np.asarray(ir), block or 65536,
-                                   gp=gp, interpret=interpret)
+                                   gp=gp, interpret=interpret,
+                                   pre_row=pre_row, pre_col=pre_col,
+                                   trim=trim)
+    elif pre_row is not None or pre_col is not None:
+        raise ValueError("pre_row/pre_col require backend='pallas'")
     elif backend == "mxu":
         from xmtpu.ops.fftmm import fir_convolve_os_mxu
 
