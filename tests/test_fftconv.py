@@ -78,3 +78,41 @@ def test_reverb_pallas_backend_matches_xla(rng):
     assert _err_db(y_xla, ref) < -90
     assert _err_db(np.asarray(y_pl, np.float64),
                    np.asarray(y_xla, np.float64)) < -90
+
+
+def test_fftconv_pre_gains_and_trim(rng):
+    """pre_row/pre_col in-kernel input gains == explicit pre-multiply;
+    trim=False returns the hop-padded output whose [:n] equals the
+    trimmed result (round-3 batch-chain fusions)."""
+    R, n = 4, 9600
+    x = rng.standard_normal((R, n)).astype(np.float32)
+    ir = _rv.synthetic_ir(0.1, 16000)
+    pr = np.linspace(0.5, 2.0, R).astype(np.float32)
+    pc = np.abs(rng.standard_normal(n)).astype(np.float32)
+    y = fir_convolve_os_pallas(jnp.asarray(x), ir, block=16384,
+                               interpret=True, pre_row=jnp.asarray(pr),
+                               pre_col=jnp.asarray(pc))
+    ref = fir_convolve_os_pallas(
+        jnp.asarray(x * pr[:, None] * pc[None, :]), ir, block=16384,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=0, atol=1e-6)
+    yp = fir_convolve_os_pallas(jnp.asarray(x), ir, block=16384,
+                                interpret=True, pre_row=jnp.asarray(pr),
+                                pre_col=jnp.asarray(pc), trim=False)
+    assert yp.shape[-1] >= n and yp.shape[-1] % 128 == 0
+    np.testing.assert_array_equal(np.asarray(yp[..., :n]), np.asarray(y))
+    # row-only gain (pre_col=None) matches linearity
+    y_r = fir_convolve_os_pallas(jnp.asarray(x), ir, block=16384,
+                                 interpret=True, pre_row=jnp.asarray(pr))
+    ref_r = fir_convolve_os_pallas(jnp.asarray(x * pr[:, None]), ir,
+                                   block=16384, interpret=True)
+    np.testing.assert_allclose(np.asarray(y_r), np.asarray(ref_r),
+                               rtol=0, atol=1e-6)
+
+
+def test_reverb_trim_requires_pure_conv():
+    with pytest.raises(ValueError):
+        _rv.reverb(jnp.zeros((2, 4800)), jnp.ones(100), wet=0.3, dry=0.7,
+                   backend="pallas", block=16384, interpret=True,
+                   trim=False)

@@ -246,3 +246,25 @@ def test_eq_env_fused_state_carry(sos, rng):
         np.asarray(y_full), np.concatenate([y1, y2], axis=-1))
     np.testing.assert_array_equal(
         np.asarray(e2_full), np.concatenate([e1, e2_], axis=-1))
+
+
+def test_envelope_n_valid_padded_detector():
+    """n_valid= consumes a padded upstream array: outputs and carried
+    state equal the sliced-input call exactly (round-3 padded kernel
+    handoff, kernels/fftconv trim=False)."""
+    import numpy as np
+    from xmtpu.kernels.envelope import envelope_pallas
+
+    rng = np.random.default_rng(5)
+    n, n_pad = 4800, 5632
+    d = np.abs(rng.standard_normal((130, n_pad))).astype(np.float32)
+    init = (jnp.asarray(np.abs(rng.standard_normal(130)), jnp.float32),
+            jnp.asarray(np.abs(rng.standard_normal(130)), jnp.float32))
+    e_ref, z_ref = envelope_pallas(jnp.asarray(d[:, :n]), 0.999, 0.04,
+                                   init=init, interpret=True)
+    e_nv, z_nv = envelope_pallas(jnp.asarray(d), 0.999, 0.04, init=init,
+                                 interpret=True, n_valid=n)
+    assert e_nv.shape == (130, n)
+    np.testing.assert_array_equal(np.asarray(e_nv), np.asarray(e_ref))
+    for a, b in zip(z_nv, z_ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -188,8 +188,12 @@ def make_flagship_step(
                     b3 = bgm_i16.reshape(B_, n_in // Mloc, Mloc)
                     m3 = (_convert.pcm16_to_f32(v3)
                           + gmix * _convert.pcm16_to_f32(b3))
+                    # HIGH (3-pass bf16): -98 dB vs the f64 oracle —
+                    # well inside the chain's -80 dB gate, ~9% faster
+                    # than HIGHEST (3.54 vs 3.86 ms standalone, chip)
                     m = _resample.polyphase_resample_framed(
-                        m3, sr_in, sr_bus).reshape(B_, -1)
+                        m3, sr_in, sr_bus,
+                        precision=jax.lax.Precision.HIGH).reshape(B_, -1)
                 else:
                     m = (_convert.pcm16_to_f32(voice_i16)
                          + gmix * _convert.pcm16_to_f32(bgm_i16))
