@@ -21,7 +21,12 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/xmtpu_jax_cache")
+# host-fingerprinted cache dir (a different host's cache loads with a
+# warning and computes wrong numerics — see xmtpu/_cachedir.py)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from xmtpu._cachedir import host_cache_dir  # noqa: E402
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", host_cache_dir())
 
 import numpy as np  # noqa: E402
 

@@ -12,9 +12,15 @@ interpret mode so the suite is TPU-optional.
 from __future__ import annotations
 
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # Persist XLA compilations across test runs (first TPU compile is slow).
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/xmtpu_jax_cache")
+# Importing xmtpu sets a HOST-FINGERPRINTED cache dir before jax loads:
+# a stale cache from a different driver host loads with only a warning
+# and computes WRONG numerics (see xmtpu/_cachedir.py).
+import xmtpu  # noqa: E402,F401
 
 import numpy as np
 import pytest

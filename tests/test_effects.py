@@ -547,3 +547,22 @@ def test_effects_device_out(signals):
     assert isinstance(y, jnp.ndarray)
     yh = fxg.apply_chain(x, SR, PCHAIN, backend="scan")
     np.testing.assert_allclose(np.asarray(y), yh, atol=0)
+
+
+def test_reverb_explicit_pallas_rejects_oversize_ir():
+    """Review find: an explicit backend='pallas' used to silently
+    downgrade to the XLA path for IRs needing block > 131072; the auto
+    pick still downgrades quietly."""
+    import pytest
+    from xmtpu.utils.errors import ConfigError  # noqa: F401
+
+    big = np.zeros(150000, np.float32)
+    big[0] = 1.0
+    with pytest.raises(ValueError, match="pallas"):
+        fxg.build_chain(48000, [{"name": "reverb",
+                                 "params": {"ir": big,
+                                            "backend": "pallas"}}])
+    effs = fxg.build_chain(48000, [{"name": "reverb",
+                                    "params": {"ir": big,
+                                               "backend": "auto"}}])
+    assert effs[0].engine != "pallas"

@@ -117,9 +117,14 @@ def test_iir_kernel_segmented_exact(sos, rng):
                                  segments=1)
     ref = sps.sosfilt(sos, x.astype(np.float64), axis=-1)
     assert rms_db(np.asarray(y_seg, np.float64) - ref, ref) <= -80.0
+    # kernel-vs-kernel gates are -75: the UNSEGMENTED f32 kernel's own
+    # error vs the f64 oracle is ~-80 dB at this n (one long f32
+    # recurrence; the segmented kernel measures ~-95 — shorter f32
+    # chains per segment), so a two-kernel delta inherently hovers at
+    # -80 and flaked on some shared-rng draws (-79.8 observed)
     assert rms_db(np.asarray(y_seg, np.float64)
                   - np.asarray(y_pl, np.float64),
-                  np.asarray(y_pl, np.float64)) <= -80.0
+                  np.asarray(y_pl, np.float64)) <= -75.0
     np.testing.assert_allclose(np.asarray(zf_seg), np.asarray(zf_pl),
                                atol=1e-4)
     zi = (0.1 * rng.standard_normal((5, 2, 2))).astype(np.float32)
@@ -127,8 +132,13 @@ def test_iir_kernel_segmented_exact(sos, rng):
                            interpret=True)
     yp, _ = sosfilt_pallas(sos, jnp.asarray(x), zi=jnp.asarray(zi),
                            interpret=True, segments=1)
+    ref_zi = np.stack([
+        sps.sosfilt(np.asarray(sos, np.float64), x[b].astype(np.float64),
+                    zi=np.asarray(zi, np.float64)[:, b, :])[0]
+        for b in range(x.shape[0])])
+    assert rms_db(np.asarray(ys, np.float64) - ref_zi, ref_zi) <= -80.0
     assert rms_db(np.asarray(ys, np.float64) - np.asarray(yp, np.float64),
-                  np.asarray(yp, np.float64)) <= -80.0
+                  np.asarray(yp, np.float64)) <= -75.0
 
 
 def test_envelope_kernel_segmented_exact(rng):

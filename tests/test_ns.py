@@ -185,3 +185,14 @@ def test_adaptive_stream_matches_offline_after_leadin(signals):
     m = min(a.shape[-1], b.shape[-1])
     db = rms_db(a[:, :m] - b[:, :m], b[:, :m])
     assert db <= -80.0, db
+
+
+def test_suppress_validates_mode_even_with_explicit_psd():
+    """Review find: an invalid noise_update (or adaptive + pinned
+    noise_psd) used to be silently ignored when noise_psd was given."""
+    x = jnp.zeros((2, 4800), jnp.float32)
+    p = jnp.ones((257,), jnp.float32)
+    with pytest.raises(ValueError, match="noise_update"):
+        ns.suppress(x, noise_update="adativ", noise_psd=p)
+    with pytest.raises(ValueError, match="pins the estimate"):
+        ns.suppress(x, noise_update="adaptive", noise_psd=p)

@@ -129,3 +129,27 @@ def test_pool_buffer_capacity_guard(rng):
     pool = SessionPool(_cfg(), 2, sources=srcs)
     with pytest.raises(ConfigError, match="max_seconds"):
         pool.join(1, _voices(rng, 1, seconds=3.0)[0])
+
+
+def test_pool_dispatch_snapshots_host_clocks(rng):
+    """Regression (round-3 race find): ``_dispatch`` must hand jax
+    COPIES of the host-side clock/length arrays. ``read`` mutates
+    ``_frame_idx`` in place right after dispatching, and the
+    host->device transfer can read the source buffer asynchronously —
+    without the snapshot, a group intermittently computed with the
+    post-advance clocks (slot output k frames ahead, ~25% of CPU
+    runs). Forcing the mutation to garbage between dispatch and fetch
+    makes any surviving alias fail loudly."""
+    srcs = _voices(rng, 2)
+    pool = SessionPool(_cfg(), 2, frame_ms=20.0, sources=srcs)
+    sessions = [StreamSession(_cfg(), frame_ms=20.0, sources=s)
+                for s in srcs]
+    pend = pool._dispatch(4)
+    pool._frame_idx[:] = 10**6  # stale alias would read clocks far
+    pool._n_nat[0][:] = 0       # past the clip -> silence
+    out = np.asarray(pend[2])   # fetch AFTER the mutation
+    for i, sess in enumerate(sessions):
+        ref = sess.read_many(4)
+        g = out[i].astype(np.float64) / 32768.0
+        r = np.moveaxis(ref, 0, 1).astype(np.float64) / 32768.0
+        assert rms_db(g - r, r + 1e-12) <= -80.0, i

@@ -20,7 +20,25 @@ Reference analogue of this module: the public header ``xm_audio_utils.h``
 [upstream, not in snapshot] — the single import a user needs.
 """
 
-import jax as _jax
+import os as _os
+
+from xmtpu._cachedir import host_cache_dir as _host_cache_dir
+
+# Persistent XLA compilation cache, keyed by a host fingerprint — a
+# cache written by a different host loads with only a warning and then
+# computes WRONG numerics (see _cachedir.py). setdefault: an explicit
+# JAX_COMPILATION_CACHE_DIR in the environment wins. Must run before
+# the first jax import.
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _host_cache_dir())
+
+import jax as _jax  # noqa: E402
+
+if _jax.config.jax_compilation_cache_dir is None:
+    # jax was imported before xmtpu, so the env default above was too
+    # late — apply it through the live config instead (None = the user
+    # set nothing themselves; an explicit user setting wins).
+    _jax.config.update("jax_compilation_cache_dir",
+                       _os.environ["JAX_COMPILATION_CACHE_DIR"])
 
 # IIR filter-state scans use float64 state for accuracy (SURVEY.md §7.4②:
 # f32 scan floors at -77 dB vs oracle; f64 reaches -152 dB at negligible

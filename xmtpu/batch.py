@@ -175,8 +175,7 @@ def make_flagship_step(
                 # rows (256 vs 512 at the headline shape) and drops the
                 # i16 concat pass.
                 gmix = jnp.float32(bgm_gain)
-                if (resample_backend == "mixfirst"
-                        and _resample.aligned_supported(n_in, sr_in, sr_bus)):
+                if _resample.aligned_supported(n_in, sr_in, sr_bus):
                     # frame the i16 inputs FIRST (a true bitcast), so
                     # the convert+mix fusion writes the resample
                     # matmul's (.., nc, M) operand layout directly —

@@ -130,7 +130,14 @@ class ReverbFx:
         self.block, self.gp = _reverb_block_for(len(self.ir))
         if self.engine == "pallas" and self.block > 131072:
             # very long IRs exceed the kernel's VMEM plan; the XLA
-            # overlap-save path handles them fine
+            # overlap-save path handles them fine. Only the AUTO pick
+            # downgrades silently — an explicit backend="pallas" raises
+            # instead of measuring the wrong engine (review find).
+            if p.get("backend") == "pallas":
+                raise ValueError(
+                    f"backend='pallas' unsupported for a {len(self.ir)}-tap "
+                    f"IR (needs block {self.block} > 131072 VMEM plan); "
+                    "use backend='auto' or 'xla'")
             self.engine = "scan"
 
     def init_state(self, batch_shape):

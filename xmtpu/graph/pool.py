@@ -95,24 +95,30 @@ class SessionPool:
                 "track native rates fix the pool's frame geometry")
 
         # --- shared geometry from slot 0 (validated on every join) ---
+        # resolve (decode) and build each provided source exactly ONCE:
+        # the geometry probe needs only slot 0's native RATES, and the
+        # per-slot join() below reuses the prebuilt tracks (review
+        # find: sources used to be decoded/copied twice, slot 0 four
+        # times)
         K = self.n_slots
         self._slot_tracks: list = [None] * K
         self._frame_idx = np.zeros(K, np.int64)
-        geom = self._build_tracks(sources[0])
+        resolved = {i: self._resolve(s) for i, s in enumerate(sources)
+                    if s is not None}
         base_frame = max(1, int(round(self.frame_ms * self.sr / 1000.0)))
         lcm = 1
-        for ts in geom:
-            lcm = lcm * ts.L // math.gcd(lcm, ts.L)
+        for _, sr_nat in resolved[0]:
+            L = self.sr // math.gcd(int(sr_nat), self.sr)
+            lcm = lcm * L // math.gcd(lcm, L)
         self.frame_out = -(-base_frame // lcm) * lcm
-        # rebuild with the final frame size (frame_out must be a multiple
-        # of every track's polyphase L — StreamSession geometry)
-        geom = self._build_tracks(sources[0])
+        built = {i: self._build_tracks(resolved=r)
+                 for i, r in resolved.items()}
+        geom = built[0]
         self._geom = geom
         self.nch = max((ts.nch for ts in geom), default=config.channels)
 
         # --- device-resident source buffers (one per track) ---
-        init_tracks = [self._build_tracks(s) for s in sources
-                       if s is not None]
+        init_tracks = list(built.values())
         self._need = [_track_need(ts) for ts in geom]
         self._lmax = []
         for j, gs in enumerate(geom):
@@ -151,29 +157,26 @@ class SessionPool:
 
         for i, src in enumerate(sources):
             if src is not None:
-                self.join(i, src)
+                self.join(i, src, _tracks=built[i])
 
     # -- slot lifecycle --------------------------------------------------
 
-    def _build_tracks(self, src) -> list:
+    def _resolve(self, src) -> list:
+        """Decode/fetch each track's (pcm, native_sr) once."""
         from xmtpu.graph.pipeline import resolve_source
 
-        frame_out = getattr(self, "frame_out", None)
-        tracks = []
-        for i, t in enumerate(self.config.tracks):
-            pcm, sr_nat = resolve_source(t, src, self.sr, i)
-            if frame_out is None:
-                # pre-geometry pass: any L-multiple works for probing
-                g = math.gcd(int(sr_nat), self.sr)
-                frame_probe = self.sr // g
-                tracks.append(_TrackStream(t, pcm, int(sr_nat), self.sr,
-                                           frame_probe))
-            else:
-                tracks.append(_TrackStream(t, pcm, int(sr_nat), self.sr,
-                                           frame_out))
-        return tracks
+        return [resolve_source(t, src, self.sr, i)
+                for i, t in enumerate(self.config.tracks)]
 
-    def join(self, slot: int, sources) -> None:
+    def _build_tracks(self, src=None, resolved=None) -> list:
+        if resolved is None:
+            resolved = self._resolve(src)
+        return [
+            _TrackStream(t, pcm, int(sr_nat), self.sr, self.frame_out)
+            for t, (pcm, sr_nat) in zip(self.config.tracks, resolved)
+        ]
+
+    def join(self, slot: int, sources, _tracks: list | None = None) -> None:
         """Attach a user's sources to ``slot`` (state + clock reset;
         ONE source upload per track — windows are carved on device).
 
@@ -181,7 +184,7 @@ class SessionPool:
         pool geometry, and each source must fit the pool's buffer
         capacity (``max_seconds``)."""
         self._check_slot(slot)
-        tracks = self._build_tracks(sources)
+        tracks = _tracks if _tracks is not None else self._build_tracks(sources)
         for j, (ts, gs) in enumerate(zip(tracks, self._geom)):
             if (ts.L, ts.M) != (gs.L, gs.M):
                 raise ConfigError(
@@ -239,12 +242,10 @@ class SessionPool:
             raise ConfigError(f"slot {slot} out of range [0, {self.n_slots})")
 
     def _init_state_single(self):
-        vfx = _fx.chain_init_state(self.voice_effects, self.nch)
-        mfx = _fx.chain_init_state(self.master_effects, self.nch)
-        if not self.has_duck:
-            return (vfx, mfx, ())
-        z = jnp.zeros((self.nch,), jnp.float64)
-        return (vfx, mfx, (z, z))
+        from xmtpu.graph.streaming import _session_state0
+
+        return _session_state0(self.voice_effects, self.master_effects,
+                               self.nch, self.has_duck)
 
     def _reset_state(self, slot: int) -> None:
         self.states = jax.tree.map(
@@ -332,9 +333,16 @@ class SessionPool:
             fn = self._scan_steps[k] = self._make_scan(k)
             if len(self._scan_steps) > 8:
                 self._scan_steps.pop(next(iter(self._scan_steps)))
-        fi0 = jnp.asarray(self._frame_idx)
-        n_nats = tuple(jnp.asarray(a) for a in self._n_nat)
-        n_outs = tuple(jnp.asarray(a) for a in self._n_out)
+        # np.array COPIES before handing to jax: the host->device
+        # transfer can read the source buffer asynchronously, and
+        # read()/join()/leave() mutate these numpy arrays in place
+        # right after dispatching — without the copy a group
+        # intermittently computed with the POST-advance clocks
+        # (slot output k frames ahead, measured nondeterministic
+        # ~25% of runs on the CPU backend)
+        fi0 = jnp.asarray(np.array(self._frame_idx))
+        n_nats = tuple(jnp.asarray(np.array(a)) for a in self._n_nat)
+        n_outs = tuple(jnp.asarray(np.array(a)) for a in self._n_out)
         active = jnp.asarray(
             np.array([t is not None for t in self._slot_tracks], np.float32))
         out_dev, states = fn(tuple(self._srcbuf), fi0, n_nats, n_outs,

@@ -225,12 +225,8 @@ class StreamSession:
 
     def _init_state(self):
         """Session state pytree: (voice fx, master fx, duck envelope)."""
-        vfx = _fx.chain_init_state(self.voice_effects, self.nch)
-        mfx = _fx.chain_init_state(self.master_effects, self.nch)
-        if not self.has_duck:
-            return (vfx, mfx, ())
-        z = jnp.zeros((self.nch,), jnp.float64)
-        return (vfx, mfx, (z, z))
+        return _session_state0(self.voice_effects, self.master_effects,
+                               self.nch, self.has_duck)
 
     # -- device step ---------------------------------------------------------
 
@@ -370,6 +366,19 @@ class StreamSession:
         self.fx_state = jax.tree_util.tree_unflatten(treedef, leaves)
         self.frame_idx = int(z["frame_idx"])
         self._pending = None
+
+
+def _session_state0(voice_effects, master_effects, nch: int, has_duck: bool):
+    """Session state pytree (voice fx, master fx, duck envelope) — ONE
+    definition shared by StreamSession and SessionPool so the vmapped
+    pool state can never drift from the single-session layout (review
+    find: the pool carried a verbatim copy)."""
+    vfx = _fx.chain_init_state(voice_effects, nch)
+    mfx = _fx.chain_init_state(master_effects, nch)
+    if not has_duck:
+        return (vfx, mfx, ())
+    z = jnp.zeros((nch,), jnp.float64)
+    return (vfx, mfx, (z, z))
 
 
 def _session_step_fn(tracks, voice_effects, master_effects, nch: int,

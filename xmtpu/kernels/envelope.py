@@ -55,8 +55,12 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _env_kernel(coef_ref, init_ref, d_ref, kt_ref, e_ref, o_ref, zf_ref,
-                st_ref, *, n_total, tc):
+def _env_kernel(coef_ref, init_ref, d_ref, *refs, n_total, tc,
+                has_corr=False):
+    if has_corr:
+        kt_ref, e_ref, o_ref, zf_ref, st_ref = refs
+    else:
+        o_ref, zf_ref, st_ref = refs
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -79,10 +83,12 @@ def _env_kernel(coef_ref, init_ref, d_ref, kt_ref, e_ref, o_ref, zf_ref,
 
     def body8(i, st):
         tile = d_ref[pl.ds(i * UNROLL, UNROLL), :]
-        # inline segment correction on the whole tile (2 wide ops per 8
-        # samples; E is 0 on uncorrected paths and d >= 0, so the max
-        # is then a no-op)
-        tile = jnp.maximum(tile, e_ref[:] * kt_ref[pl.ds(i * UNROLL, UNROLL), :])
+        if has_corr:
+            # inline segment correction on the whole tile (2 wide ops
+            # per 8 samples) — compiled in only on pass B of the
+            # segmented path; the plain path skips the no-op work
+            tile = jnp.maximum(tile,
+                               e_ref[:] * kt_ref[pl.ds(i * UNROLL, UNROLL), :])
         ys = []
         for j in range(UNROLL):
             y, st = update(tile[j : j + 1, :], st)
@@ -91,8 +97,9 @@ def _env_kernel(coef_ref, init_ref, d_ref, kt_ref, e_ref, o_ref, zf_ref,
         return st
 
     def body1(i, st):
-        di = jnp.maximum(d_ref[pl.ds(i, 1), :],
-                         e_ref[:] * kt_ref[pl.ds(i, 1), :])
+        di = d_ref[pl.ds(i, 1), :]
+        if has_corr:
+            di = jnp.maximum(di, e_ref[:] * kt_ref[pl.ds(i, 1), :])
         y, st = update(di, st)
         o_ref[pl.ds(i, 1), :] = y
         return st
@@ -110,7 +117,8 @@ def _env_kernel(coef_ref, init_ref, d_ref, kt_ref, e_ref, o_ref, zf_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("n", "tc", "interpret", "lanes"))
-def _envelope_2d_t(dt, coef, initp, kt, ep, *, n, tc, interpret, lanes):
+def _envelope_2d_t(dt, coef, initp, kt=None, ep=None, *, n, tc, interpret,
+                   lanes):
     """KERNEL-LAYOUT core: ``dt`` is (npad, Rp) time-major padded input
     (npad = ntc*tc, Rp a multiple of ``lanes``); returns (e2_t (npad,
     Rp), zf (2, Rp)) in the SAME layout. The segmented path runs both
@@ -119,12 +127,13 @@ def _envelope_2d_t(dt, coef, initp, kt, ep, *, n, tc, interpret, lanes):
     the detector array saved, measured the dominant cost at long n).
 
     ``kt``/``ep``: inline segment correction — the kernel processes
-    ``max(dt[t, r], ep[r] * kt[t])``; pass zeros for a no-op (the
-    detector is nonnegative).
+    ``max(dt[t, r], ep[r] * kt[t])``; None compiles the correction out
+    entirely (the plain path pays zero extra ops).
     """
     npad, Rp = dt.shape
     ntc = npad // tc
-    kern = functools.partial(_env_kernel, n_total=n, tc=tc)
+    kern = functools.partial(_env_kernel, n_total=n, tc=tc,
+                             has_corr=kt is not None)
     # x64 off during kernel trace — Mosaic rejects i64 index types
     with jax.enable_x64(False):
         return _call(kern, coef, initp, dt, kt, ep, Rp, npad, tc, ntc,
@@ -164,16 +173,17 @@ def _auto_tc(n: int, tc: int) -> int:
 @functools.partial(jax.jit,
                    static_argnames=("time_chunk", "interpret", "lanes",
                                     "n_valid"))
-def _envelope_2d(d2d, coef, init, ecorr=None, ktab=None, time_chunk=2048,
+def _envelope_2d(d2d, coef, init, time_chunk=2048,
                  interpret=False, lanes=LANES, n_valid=None):
     """d2d: (R, n) f32 detector rows. init: (2, R). -> (e2 (R, n), zf (2, R)).
 
-    Row-major convenience wrapper over :func:`_envelope_2d_t` (see
-    there for ``ecorr``/``ktab``/``lanes``). ``n_valid``: treat only
-    the first n_valid columns as signal (d2d may be the padded output
-    of an upstream kernel — the excess columns are sliced away here,
-    which fuses with the transpose instead of costing a standalone
-    trim pass upstream); outputs are (R, n_valid).
+    Row-major convenience wrapper over :func:`_envelope_2d_t` (the
+    segmented path uses the core directly for its corrected pass B).
+    ``n_valid``: treat only the first n_valid columns as signal (d2d
+    may be the padded output of an upstream kernel — the excess
+    columns are sliced away here, which fuses with the transpose
+    instead of costing a standalone trim pass upstream); outputs are
+    (R, n_valid).
     """
     R, n = d2d.shape
     if n_valid is not None:
@@ -189,20 +199,19 @@ def _envelope_2d(d2d, coef, init, ecorr=None, ktab=None, time_chunk=2048,
     dt = _pad_t(d2d, lanes, tc)
     initp = jnp.zeros((2, Rp), jnp.float32)
     initp = jax.lax.dynamic_update_slice(initp, init.astype(jnp.float32), (0, 0))
-    ep = jnp.zeros((1, Rp), jnp.float32)
-    if ecorr is not None:
-        ep = jax.lax.dynamic_update_slice(
-            ep, ecorr.reshape(1, R).astype(jnp.float32), (0, 0))
-    kt = jnp.zeros((npad, 1), jnp.float32)
-    if ktab is not None:
-        kt = jax.lax.dynamic_update_slice(
-            kt, ktab.reshape(n, 1).astype(jnp.float32), (0, 0))
-    e2, zf = _envelope_2d_t(dt, coef, initp, kt, ep, n=n, tc=tc,
+    e2, zf = _envelope_2d_t(dt, coef, initp, n=n, tc=tc,
                             interpret=interpret, lanes=lanes)
     return e2[:n, :R].T, zf[:, :R]
 
 
 def _call(kern, coef, initp, dt, kt, ep, Rp, npad, tc, ntc, interpret, lanes):
+    corr_args, corr_specs = (), []
+    if kt is not None:
+        corr_args = (kt, ep)
+        corr_specs = [
+            pl.BlockSpec((tc, 1), lambda b, t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lanes), lambda b, t: (0, b), memory_space=pltpu.VMEM),
+        ]
     return pl.pallas_call(
         kern,
         grid=(Rp // lanes, ntc),
@@ -210,9 +219,7 @@ def _call(kern, coef, initp, dt, kt, ep, Rp, npad, tc, ntc, interpret, lanes):
             pl.BlockSpec(memory_space=pltpu.SMEM),  # coef (1, 2)
             pl.BlockSpec((2, lanes), lambda b, t: (0, b), memory_space=pltpu.VMEM),
             pl.BlockSpec((tc, lanes), lambda b, t: (t, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tc, 1), lambda b, t: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lanes), lambda b, t: (0, b), memory_space=pltpu.VMEM),
-        ],
+        ] + corr_specs,
         out_specs=[
             pl.BlockSpec((tc, lanes), lambda b, t: (t, b), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, lanes), lambda b, t: (0, b), memory_space=pltpu.VMEM),
@@ -223,7 +230,7 @@ def _call(kern, coef, initp, dt, kt, ep, Rp, npad, tc, ntc, interpret, lanes):
         ],
         scratch_shapes=[pltpu.VMEM((2, lanes), jnp.float32)],
         interpret=interpret,
-    )(coef.astype(jnp.float32), initp, dt, kt, ep)
+    )(coef.astype(jnp.float32), initp, dt, *corr_args)
 
 
 def _pick_lanes(R: int) -> int:
@@ -280,12 +287,11 @@ def _envelope_seg(d2d, k_rel, c_att, init2, S_seg, tc, interpret):
     # the earlier per-pass wrappers paid two extra full transposes.
     dt = _pad_t(d2d.reshape(RS, seglen), lanes, tc)
     zerosp = jnp.zeros((2, Rp), jnp.float32)
-    kt0 = jnp.zeros((npad, 1), jnp.float32)
     ep0 = jnp.zeros((1, Rp), jnp.float32)
 
-    # pass A: decaying max only (c_att=1 -> e2 == env)
+    # pass A: decaying max only (c_att=1 -> e2 == env), no correction
     coef_a = jnp.array([[k_rel, 1.0]], jnp.float32)
-    env0_t, zf_a = _envelope_2d_t(dt, coef_a, zerosp, kt0, ep0, n=seglen,
+    env0_t, zf_a = _envelope_2d_t(dt, coef_a, zerosp, n=seglen,
                                   tc=tc, interpret=interpret, lanes=lanes)
     envf = zf_a[0, :RS].reshape(R, S_seg)
     kp = jnp.float32(float(k_rel) ** seglen)

@@ -173,6 +173,16 @@ def suppress(
     docstring item 2) — the reference's continuously-updated estimator.
     """
     in_dtype = x.dtype
+    if noise_update not in ("frozen", "adaptive"):
+        raise ValueError(
+            f"noise_update must be 'frozen' or 'adaptive', got "
+            f"{noise_update!r}")
+    if noise_psd is not None and noise_update == "adaptive":
+        # an explicit PSD pins the estimate — combining it with the
+        # adaptive tracker would silently ignore one of the two
+        # (stream_suppress raises on the same input)
+        raise ValueError("noise_psd pins the estimate; it cannot be "
+                         "combined with noise_update='adaptive'")
     X = stft(x.astype(jnp.float32), nfft)
     psd = jnp.square(jnp.abs(X))
     P = _onepole_frames(psd, jnp.float32(smooth))
