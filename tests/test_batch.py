@@ -262,8 +262,13 @@ def test_large_batch_fused_path_matches_solo(rng):
 def test_flagship_long_ir_block_scales(rng):
     """ir_seconds past the old hard-coded 32768 block must build and run
     (round-2 review find: block now scales via _reverb_block)."""
-    assert xbatch._reverb_block(4000) == 32768
-    assert xbatch._reverb_block(16800) >= 4 * 16799
+    assert xbatch._reverb_block(4000) == (32768, 16)
+    assert xbatch._reverb_block(16800)[0] >= 4 * 16799
+    # gp follows the round-3 chip sweep (16/4/1 at 32768/65536/larger);
+    # a fixed gp=16 at big blocks pressed the per-grid-step VMEM
+    # footprint (review find)
+    assert xbatch._reverb_block(10000) == (65536, 4)
+    assert xbatch._reverb_block(40000)[1] == 1
     step = jax.jit(xbatch.make_flagship_step(ir_seconds=1.05,
                                              interpret=True))
     v = (rng.standard_normal((2, 44100)) * 8000).astype(np.int16)
@@ -311,6 +316,23 @@ def test_flagship_mixfirst_backend_parity(rng):
     kw = dict(sr_in=SR_IN, sr_bus=SR_BUS, interpret=True)
     y_m = np.asarray(jax.jit(xbatch.make_flagship_step(
         resample_backend="mixfirst", **kw))(jnp.asarray(v), jnp.asarray(b)))
+    y_x = np.asarray(jax.jit(xbatch.make_flagship_step(**kw))(
+        jnp.asarray(v), jnp.asarray(b)))
+    assert y_m.shape == y_x.shape
+    assert rms_db((y_m - y_x).astype(np.float64) / 32768.0,
+                  y_x.astype(np.float64) / 32768.0) < -80
+
+
+def test_flagship_mixfirst_pad_backend_parity(rng):
+    """resample_backend='mixfirst_pad' (mixfirst + frame minor dim
+    lane-padded 441 -> 512 so the resample dot operand is natively
+    (8,128)-tileable) matches the default front to the -80 dB gate."""
+    v = (rng.standard_normal((2, 44100)) * 8000).astype(np.int16)
+    b = (rng.standard_normal((2, 44100)) * 6000).astype(np.int16)
+    kw = dict(sr_in=SR_IN, sr_bus=SR_BUS, interpret=True)
+    y_m = np.asarray(jax.jit(xbatch.make_flagship_step(
+        resample_backend="mixfirst_pad", **kw))(
+        jnp.asarray(v), jnp.asarray(b)))
     y_x = np.asarray(jax.jit(xbatch.make_flagship_step(**kw))(
         jnp.asarray(v), jnp.asarray(b)))
     assert y_m.shape == y_x.shape

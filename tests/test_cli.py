@@ -43,6 +43,28 @@ def test_cli_effects(tone, tmp_path):
     assert abs(20 * np.log10(ratio) + 6.0) < 0.1
 
 
+def test_cli_effects_wrapped_chain(tone, tmp_path):
+    """The CLI also accepts {"effects": [...]} (the mixer config's
+    voice-effects vocabulary); a dict without that key exits with a
+    named error instead of an opaque traceback (review/verify find)."""
+    import pytest
+
+    inp, sr = tone
+    cpath = tmp_path / "chain_wrapped.json"
+    cpath.write_text(json.dumps(
+        {"effects": [{"name": "volume", "params": {"gain_db": -6.0}}]}))
+    out = str(tmp_path / "fxw.wav")
+    assert main(["effects", inp, out, "--chain", str(cpath)]) == 0
+    got, _ = read_wav(out)
+    ref, _ = read_wav(inp)
+    ratio = np.max(np.abs(got)) / np.max(np.abs(ref))
+    assert abs(20 * np.log10(ratio) + 6.0) < 0.1
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"not_effects": []}))
+    with pytest.raises(SystemExit, match="effects"):
+        main(["effects", inp, out, "--chain", str(bad)])
+
+
 def test_cli_generate(tone, tmp_path):
     inp, sr = tone
     cfg = {"sampleRate": 16000,

@@ -558,11 +558,52 @@ def test_reverb_explicit_pallas_rejects_oversize_ir():
 
     big = np.zeros(150000, np.float32)
     big[0] = 1.0
-    with pytest.raises(ValueError, match="pallas"):
+    with pytest.raises(ConfigError, match="pallas"):
         fxg.build_chain(48000, [{"name": "reverb",
                                  "params": {"ir": big,
                                             "backend": "pallas"}}])
+    # the interpret spelling is an explicit pallas request too (review
+    # find x2: it used to slip past the guard and measure the scan
+    # engine), and fx config validation speaks ConfigError
+    with pytest.raises(ConfigError, match="pallas_interpret"):
+        fxg.build_chain(48000, [{"name": "reverb",
+                                 "params": {"ir": big,
+                                            "backend": "pallas_interpret"}}])
     effs = fxg.build_chain(48000, [{"name": "reverb",
                                     "params": {"ir": big,
                                                "backend": "auto"}}])
     assert effs[0].engine != "pallas"
+
+
+def test_trim_ir_tail_and_combined_ir_trim():
+    """ops.reverb.trim_ir_tail drops the numerically-dead tail, and
+    batch._combined_ir uses it (review find: the batch fold carried an
+    untrimmed len(h_eq)+len(ir)-1 IR whose dead tail could push the
+    overlap-save block past a power-of-two boundary)."""
+    from xmtpu import batch as xbatch
+
+    h = np.zeros(10000)
+    h[:100] = np.exp(-np.arange(100) / 5.0)
+    t = reverb.trim_ir_tail(h)
+    assert 50 <= len(t) <= 120  # zeros gone, live head kept
+    np.testing.assert_array_equal(t, h[: len(t)])
+    assert len(reverb.trim_ir_tail(np.zeros(64))) == 64  # all-zero: no-op
+
+    sos = biquad.eq_sos([{"freq_hz": 1000.0, "gain_db": 3.0, "q": 1.0}],
+                        16000)
+    ir = np.zeros(4000, np.float32)
+    ir[:50] = np.exp(-np.arange(50) / 10.0).astype(np.float32)
+    comb = xbatch._combined_ir(sos, ir, wet=0.25, dry=0.75)
+    h_eq = biquad.sos_impulse_np(sos)
+    assert comb is not None
+    assert len(comb) < len(h_eq) + len(ir) - 1  # dead tail trimmed
+
+
+def test_envelope_n_valid_oversize_raises(rng):
+    """n_valid > d.shape[-1] must raise, not silently zero-fill the
+    missing tail and under-attenuate it (review find)."""
+    from xmtpu.kernels.envelope import envelope_pallas
+
+    d = np.abs(rng.standard_normal((2, 256))).astype(np.float32)
+    with pytest.raises(ValueError, match="n_valid"):
+        envelope_pallas(d, 0.999, 0.5, interpret=True, n_valid=300)

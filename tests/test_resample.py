@@ -98,3 +98,35 @@ def test_dc_preservation():
     y = _run(x, 44100, 16000)
     mid = y[2000:-2000]
     np.testing.assert_allclose(mid, 0.25, atol=1e-3)
+
+
+def test_framed_lane_padding_ignored(rng):
+    """polyphase_resample_framed accepts a lane-padded (..., nc, Mp>M)
+    operand (so the dot operand is natively (8,128)-tileable on TPU)
+    and the pad lanes never reach the output: padded filter rows are
+    zero and the correction dots slice only real lanes. Garbage pad
+    values must therefore give the same answer as the unpadded frames
+    (up to dot-accumulation reordering)."""
+    sr_in, sr_out = 44100, 16000
+    M = 441
+    x = rng.standard_normal((2, 20 * M)).astype(np.float32)
+    A = x.reshape(2, 20, M)
+    Ap = np.concatenate(
+        [A, rng.standard_normal((2, 20, 512 - M)).astype(np.float32) * 1e3],
+        axis=-1)  # deliberately non-zero pad
+    f = jax.jit(lambda a: R.polyphase_resample_framed(a, sr_in, sr_out))
+    y = np.asarray(f(jnp.asarray(A))).reshape(2, -1)
+    yp = np.asarray(f(jnp.asarray(Ap))).reshape(2, -1)
+    assert yp.shape == y.shape
+    assert rms_db(yp - y, y) <= -120.0
+    with pytest.raises(ValueError):
+        R.polyphase_resample_framed(jnp.zeros((2, 20, M - 1)), sr_in, sr_out)
+
+
+def test_framed_unsupported_pair_raises():
+    """A rate pair outside the aligned banded geometry (filter width >
+    2*M) must fail with a named ValueError at the API edge, not an
+    opaque dot_general shape error deep in the correction matmuls
+    (review find)."""
+    with pytest.raises(ValueError, match="aligned banded"):
+        R.polyphase_resample_framed(jnp.zeros((2, 16, 1)), 8000, 48000)

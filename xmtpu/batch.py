@@ -49,15 +49,19 @@ LIM_RELEASE_MS = 100.0
 LIM_ATTACK_MS = 1.0
 
 
-def _reverb_block(m: int) -> int:
-    """Power-of-two overlap-save block for an m-tap IR: >= 4*(m-1)
-    keeps the hop above block/2 (kernels/fftconv.py requirement) with
-    alignment slack; floored at 32768, the measured optimum for the
-    headline 4000-tap IR."""
+def _reverb_block(m: int) -> tuple[int, int]:
+    """(block, gp) for an m-tap IR: the power-of-two overlap-save block
+    >= 4*(m-1) keeps the hop above block/2 (kernels/fftconv.py
+    requirement) with alignment slack, floored at 32768 — the measured
+    optimum for the headline 4000-tap IR. gp follows the round-3 chip
+    sweep (same table as graph.fx._reverb_block_for): 16 at 32768, 4 at
+    65536, 1 above — a fixed gp=16 at large blocks both misses the
+    sweep optimum and presses the per-grid-step VMEM footprint
+    (review find)."""
     b = 32768
     while b < 4 * max(1, m - 1):
         b *= 2
-    return b
+    return b, {32768: 16, 65536: 4}.get(b, 1)
 
 
 def _combined_ir(sos, ir, wet: float, dry: float):
@@ -77,7 +81,10 @@ def _combined_ir(sos, ir, wet: float, dry: float):
         return None
     c = wet * np.convolve(h_eq, np.asarray(ir, np.float64))
     c[: len(h_eq)] += dry * h_eq
-    return c.astype(np.float32)
+    # re-trim (shared helper, see ops.reverb.trim_ir_tail): the
+    # composition can decay sooner than len(h_eq)+len(ir)-1, and the
+    # dead tail can push _reverb_block past a power-of-two boundary
+    return _reverb.trim_ir_tail(c).astype(np.float32)
 
 
 def make_flagship_step(
@@ -165,7 +172,7 @@ def make_flagship_step(
                     voice_i16, bgm_i16, sr_in, sr_bus, bgm_gain=bgm_gain,
                     fade=fade, interpret=interpret)
                 out = out * jnp.float32(1.0 / 32768.0)
-        elif resample_backend == "mixfirst":
+        elif resample_backend in ("mixfirst", "mixfirst_pad"):
             with stage("mixfirst"):
                 # mix BEFORE the rate conversion: both tracks share the
                 # same fade window, so out = ramp (.) (v + g*b) with the
@@ -187,6 +194,16 @@ def make_flagship_step(
                     b3 = bgm_i16.reshape(B_, n_in // Mloc, Mloc)
                     m3 = (_convert.pcm16_to_f32(v3)
                           + gmix * _convert.pcm16_to_f32(b3))
+                    if resample_backend == "mixfirst_pad":
+                        # lane-pad the frame minor dim to a multiple of
+                        # 128 so the resample dot's operand is natively
+                        # (8,128)-tileable — probing whether this skips
+                        # the 1.38 ms operand-retile pass (pad fuses
+                        # into the convert+mix loop; padded filter rows
+                        # are zero so pad values are never observed)
+                        Mp = -(-Mloc // 128) * 128
+                        m3 = jnp.pad(
+                            m3, [(0, 0)] * (m3.ndim - 1) + [(0, Mp - Mloc)])
                     # HIGH (3-pass bf16): -98 dB vs the f64 oracle —
                     # well inside the chain's -80 dB gate, ~9% faster
                     # than HIGHEST (3.54 vs 3.86 ms standalone, chip)
@@ -260,10 +277,10 @@ def make_flagship_step(
                     # padded-aware consumers (envelope n_valid=, sliced
                     # elementwise epilogues) — the standalone trim copy
                     # between two opaque kernels is saved
+                    blk, gp = _reverb_block(ir_comb.shape[-1])
                     out = _reverb.reverb(
-                        out, ir_comb, wet=1.0, dry=0.0,
-                        block=_reverb_block(ir_comb.shape[-1]),
-                        gp=16, backend="pallas", interpret=interpret,
+                        out, ir_comb, wet=1.0, dry=0.0, block=blk,
+                        gp=gp, backend="pallas", interpret=interpret,
                         pre_row=scale[..., 0], pre_col=deferred_ramp,
                         trim=False)
                 with stage("limiter"):
@@ -286,9 +303,9 @@ def make_flagship_step(
                 # fftconv.py): 7.1 ms vs 16-24 ms for the XLA einsum
                 # four-step at batch 256 (HBM-bound on intermediates);
                 # the normalize gain rides the wet/dry epilogue
+                blk, gp = _reverb_block(ir.shape[-1])
                 out = _reverb.reverb(out, ir, wet=wet, dry=dry,
-                                     block=_reverb_block(ir.shape[-1]),
-                                     gp=16, backend="pallas",
+                                     block=blk, gp=gp, backend="pallas",
                                      interpret=interpret, prescale=scale)
             with stage("eq+limiter"):
                 y, e2, _, _ = eq_env_pallas(sos, out, k_rel, c_att,
@@ -302,7 +319,7 @@ def make_flagship_step(
             out = eq(out * scale)
         with stage("reverb"):
             out = _reverb.reverb(out, ir, wet=wet, dry=dry,
-                                 block=_reverb_block(ir.shape[-1]),
+                                 block=_reverb_block(ir.shape[-1])[0],
                                  backend="pallas", interpret=interpret)
         with stage("limiter"):
             out, _ = _limiter.limiter(
@@ -392,9 +409,9 @@ def make_batch_step(
                 # LTI fold — see the twin comment in make_flagship_step
                 from xmtpu.kernels.envelope import envelope_pallas
 
+                blk, gp = _reverb_block(ir_comb.shape[-1])
                 out = _reverb.reverb(out, ir_comb, wet=1.0, dry=0.0,
-                                     block=_reverb_block(ir_comb.shape[-1]),
-                                     gp=16, backend="pallas",
+                                     block=blk, gp=gp, backend="pallas",
                                      interpret=interpret, prescale=scale)
                 e2, _ = envelope_pallas(jnp.abs(out), k_rel, c_att,
                                         interpret=interpret)
@@ -405,9 +422,9 @@ def make_batch_step(
             # comment in make_flagship_step (LTI stages commute)
             from xmtpu.kernels.eq_env import eq_env_pallas
 
+            blk, gp = _reverb_block(ir.shape[-1])
             out = _reverb.reverb(out, ir, wet=wet, dry=dry,
-                                 block=_reverb_block(ir.shape[-1]),
-                                 gp=16, backend="pallas",
+                                 block=blk, gp=gp, backend="pallas",
                                  interpret=interpret, prescale=scale)
             y, e2, _, _ = eq_env_pallas(sos, out, k_rel, c_att,
                                         interpret=interpret)
@@ -416,7 +433,7 @@ def make_batch_step(
             return _convert.f32_to_pcm16(out * mask)
         out, _ = sosfilt_pallas(sos, out * scale, interpret=interpret)
         out = _reverb.reverb(out, ir, wet=wet, dry=dry,
-                             block=_reverb_block(ir.shape[-1]),
+                             block=_reverb_block(ir.shape[-1])[0],
                              backend="pallas", interpret=interpret)
         out, _ = _limiter.limiter(
             out[..., None, :], sr_bus, threshold_db=threshold_db,

@@ -55,6 +55,15 @@ def _cmd_effects(args) -> int:
     with open(args.chain) as f:
         chain = json.load(f)  # fx.build_chain accepts both the
         # {"name", "params"} and flat {"name", <param>...} dict forms
+    if isinstance(chain, dict):
+        # accept the wrapped {"effects": [...]} form too (the mixer
+        # config's voice-effects vocabulary) — iterating the bare dict
+        # used to die with an opaque "dictionary update sequence" error
+        if "effects" not in chain:
+            raise SystemExit(
+                f"{args.chain}: expected a JSON list of effects or an "
+                "object with an 'effects' key")
+        chain = chain["effects"]
     bs = args.block_size if args.block_size > 0 else None
     out = api.effects(pcm, sr, chain, block_size=bs)
     write_wav(args.output, np.asarray(out), sr)

@@ -131,11 +131,15 @@ class ReverbFx:
         if self.engine == "pallas" and self.block > 131072:
             # very long IRs exceed the kernel's VMEM plan; the XLA
             # overlap-save path handles them fine. Only the AUTO pick
-            # downgrades silently — an explicit backend="pallas" raises
-            # instead of measuring the wrong engine (review find).
-            if p.get("backend") == "pallas":
-                raise ValueError(
-                    f"backend='pallas' unsupported for a {len(self.ir)}-tap "
+            # downgrades silently — an EXPLICIT pallas request (either
+            # "pallas" or "pallas_interpret") raises instead of
+            # measuring the wrong engine (review find x2: the first
+            # guard missed the interpret spelling and raised ValueError
+            # where fx validation speaks ConfigError).
+            req = str(p.get("backend", ""))
+            if req.startswith("pallas"):
+                raise ConfigError(
+                    f"backend={req!r} unsupported for a {len(self.ir)}-tap "
                     f"IR (needs block {self.block} > 131072 VMEM plan); "
                     "use backend='auto' or 'xla'")
             self.engine = "scan"
@@ -260,10 +264,7 @@ def _fold_lti(effects):
             for _, hi in run:
                 h = np.convolve(h, hi)
             # re-trim: the composition can decay sooner than the parts
-            tail = np.cumsum(np.abs(h[::-1]))[::-1]
-            if tail[0] > 0:
-                over = np.nonzero(tail > 1e-6 * tail[0])[0]
-                h = h[: (int(over[-1]) + 1 if over.size else 1)]
+            h = _reverb.trim_ir_tail(h)
             block, _ = _reverb_block_for(len(h))
             if block <= 131072:
                 interp = any(getattr(f, "interpret", False) for f, _ in run)

@@ -361,6 +361,11 @@ def envelope_pallas(d, k_rel: float, c_att: float, init=None, time_chunk=2048,
 
     d = jnp.asarray(d)
     batch = d.shape[:-1]
+    if n_valid is not None and int(n_valid) > d.shape[-1]:
+        # an oversized n_valid would silently zero-fill the missing
+        # tail (and under-attenuate it) — fail loudly instead
+        raise ValueError(
+            f"n_valid={int(n_valid)} exceeds d.shape[-1]={d.shape[-1]}")
     n = d.shape[-1] if n_valid is None else int(n_valid)
     R = int(np.prod(batch)) if batch else 1
     d2d = d.reshape(R, d.shape[-1])

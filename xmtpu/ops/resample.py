@@ -259,10 +259,17 @@ def _apply_aligned(A: jnp.ndarray, plan: ResamplePlan, dtype,
     t = aligned_tables(plan)
     _HI = jax.lax.Precision.HIGHEST if precision is None else precision
     A = A.astype(dtype)
-    out = jnp.matmul(A, jnp.asarray(t.H1, dtype), precision=_HI)
+    Mp = A.shape[-1]  # >= plan.M: lanes beyond M are pad (any value —
+    # the padded H1 rows below are zero, and the correction dots slice
+    # only real lanes, so pad contents never reach the output)
+    H1 = t.H1
+    if Mp > plan.M:
+        H1 = np.concatenate(
+            [H1, np.zeros((Mp - plan.M, H1.shape[1]), H1.dtype)])
+    out = jnp.matmul(A, jnp.asarray(H1, dtype), precision=_HI)
     if t.lo < 0:
-        C0 = jnp.matmul(A[..., plan.M + t.lo:], jnp.asarray(t.H0, dtype),
-                        precision=_HI)
+        C0 = jnp.matmul(A[..., plan.M + t.lo: plan.M],
+                        jnp.asarray(t.H0, dtype), precision=_HI)
         out = out.at[..., 1:, : t.r0].add(C0[..., :-1, :])
     if t.hi > 0:
         C2 = jnp.matmul(A[..., : t.hi], jnp.asarray(t.H2, dtype),
@@ -290,12 +297,25 @@ def polyphase_resample_framed(
 ) -> jnp.ndarray:
     """Aligned banded resample of pre-framed input (..., nc, M) ->
     (..., nc, L) frames (see :func:`_apply_aligned`; gate applicability
-    with :func:`aligned_supported` on n = nc*M first). Jittable."""
+    with :func:`aligned_supported` on n = nc*M first). Jittable.
+
+    The last axis may exceed M (lane padding, e.g. 441 -> 512 so the
+    operand is natively (8,128)-tileable and skips XLA's retile copy);
+    lanes beyond M are ignored (zero filter rows)."""
     g = math.gcd(int(sr_in), int(sr_out))
     L, M = sr_out // g, sr_in // g
-    if A.shape[-1] != M:
-        raise ValueError(f"framed input last axis {A.shape[-1]} != M={M}")
+    if A.shape[-1] < M:
+        raise ValueError(f"framed input last axis {A.shape[-1]} < M={M}")
     plan = _make_plan(L, M, taps_per_phase, beta)
+    if plan.width > 2 * M:
+        # aligned_supported() geometry: the filter band must fit within
+        # one frame plus its neighbours, else the correction dots are
+        # shape-inconsistent and fail with an opaque dot_general error
+        # deep in _apply_aligned (review find) — name the real cause
+        raise ValueError(
+            f"rate pair {sr_in}->{sr_out} (L={L}, M={M}, filter width "
+            f"{plan.width} > 2*M) is outside the aligned banded "
+            "formulation; use polyphase_resample() instead")
     return _apply_aligned(A, plan, dtype, precision)
 
 

@@ -24,6 +24,23 @@ def _next_pow2(n: int) -> int:
     return 1 << max(0, (n - 1).bit_length())
 
 
+def trim_ir_tail(h: np.ndarray, rel: float = 1e-6) -> np.ndarray:
+    """Drop the numerically-dead tail of a host-side impulse response:
+    keep taps through the last index whose REMAINING l1 mass exceeds
+    ``rel`` x the total l1 mass (~-120 dB of residual energy at the
+    default). Composed IRs (e.g. the LTI fold's h_eq (*) ir) can decay
+    sooner than len(a)+len(b)-1, and an untrimmed tap count can push
+    the overlap-save block past a power-of-two boundary the trimmed
+    one would not cross (review find) — shared by graph.fx._fold_lti
+    and batch._combined_ir so the two fold paths cannot drift."""
+    h = np.asarray(h)
+    tail = np.cumsum(np.abs(h[::-1]))[::-1]
+    if tail.size == 0 or tail[0] <= 0:
+        return h
+    over = np.nonzero(tail > rel * tail[0])[0]
+    return h[: (int(over[-1]) + 1 if over.size else 1)]
+
+
 def fir_convolve_full(x: jnp.ndarray, ir: jnp.ndarray) -> jnp.ndarray:
     """Full linear convolution of the last axis with a 1-D IR via FFT.
 
