@@ -107,3 +107,34 @@ def test_wav_info_float32_fallback(tmp_path, rng):
         pytest.skip("no float32-WAV decode backend in this env")
     info = wav_info(str(p))
     assert info.sample_rate == 16000 and info.num_samples == 500
+
+
+def test_truncated_wav_typed_errors(tmp_path, rng):
+    """Fuzz find: truncating a WAV at arbitrary byte offsets must never
+    leak an untyped EOFError/wave.Error/np.frombuffer ValueError — every
+    failure surfaces as DecodeError (the batch runner's per-clip
+    isolation contract), and an odd-byte cut inside the data chunk
+    drops the partial frame instead of crashing."""
+    from xmtpu.utils.errors import DecodeError
+
+    full = tmp_path / "full.wav"
+    write_wav(full, (rng.standard_normal(500) * 9000).astype(np.int16),
+              16000)
+    data = full.read_bytes()
+    cut = tmp_path / "cut.wav"
+    for k in (0, 3, 7, 11, 12, 20, 36, 43, 44, 45, 101, len(data) - 1):
+        cut.write_bytes(data[:k])
+        try:
+            pcm, sr = read_wav(cut)
+        except DecodeError:
+            continue  # typed failure: fine
+        # lenient parses (FFmpeg-style truncated data chunk) must still
+        # be sane: whole int16 frames at the original rate
+        assert sr == 16000 and pcm.dtype == np.int16 and pcm.ndim == 2
+
+
+def test_open_audio_unknown_extension_is_decode_error(tmp_path):
+    from xmtpu.utils.errors import DecodeError
+
+    with pytest.raises(DecodeError, match="no decoder backend"):
+        open_audio(tmp_path / "x.xyzcodec")

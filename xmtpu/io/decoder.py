@@ -128,10 +128,12 @@ def open_audio(path, **kw) -> Decoder:
     optional ``channels=``, ``dtype=``)."""
     import os
 
+    from xmtpu.utils.errors import DecodeError
+
     ext = os.path.splitext(os.path.basename(str(path)))[1].lstrip(".").lower()
     backend = _BACKENDS.get(ext)
     if backend is None:
-        raise ValueError(
+        raise DecodeError(  # also a ValueError (utils/errors.py)
             f"no decoder backend for '.{ext}' (available: {sorted(_BACKENDS)}); "
             "WAV is always supported; register an FFmpeg shim for compressed formats"
         )

@@ -51,9 +51,11 @@ def read_wav(path) -> tuple[np.ndarray, int]:
             pass  # exotic width / malformed per native parser: stdlib decides
     try:
         return _read_wav_stdlib(path)
-    except Exception:
+    except Exception as e:
         # exotic encodings (24-bit, a-law, ...): the FFmpeg shim decodes
-        # them when present; re-raise the stdlib error otherwise
+        # them when present; surface a typed DecodeError otherwise (the
+        # batch runner's per-clip isolation contract, utils/errors.py —
+        # raw EOFError/wave.Error/frombuffer ValueErrors used to leak)
         try:
             from xmtpu.native import ffmpeg as _ff
 
@@ -61,7 +63,10 @@ def read_wav(path) -> tuple[np.ndarray, int]:
                 return _ff.decode(str(path))
         except Exception:
             pass
-        raise
+        from xmtpu.utils.errors import DecodeError
+
+        raise DecodeError(
+            f"cannot decode WAV {path}: {type(e).__name__}: {e}") from e
 
 
 def _read_wav_stdlib(path) -> tuple[np.ndarray, int]:
@@ -71,6 +76,13 @@ def _read_wav_stdlib(path) -> tuple[np.ndarray, int]:
         sr = w.getframerate()
         n = w.getnframes()
         raw = w.readframes(n)
+    frame = width * nch
+    if frame > 0 and len(raw) % frame:
+        # truncated final frame (cut-off file): drop the partial frame,
+        # matching FFmpeg's lenient handling, instead of crashing in
+        # np.frombuffer ("buffer size must be a multiple of element
+        # size" — fuzz find)
+        raw = raw[: len(raw) - (len(raw) % frame)]
     if width == 2:
         pcm = np.frombuffer(raw, dtype="<i2")
     elif width == 1:

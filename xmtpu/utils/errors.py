@@ -16,5 +16,9 @@ class ConfigError(XmtpuError):
     """Invalid or inconsistent pipeline configuration."""
 
 
-class DecodeError(XmtpuError):
-    """An input file could not be decoded."""
+class DecodeError(XmtpuError, ValueError):
+    """An input file could not be decoded.
+
+    Also a ValueError: decode failures are bad input data, and callers
+    (and pre-existing tests) that catch ValueError keep working while
+    typed callers can catch the narrower class."""
