@@ -93,3 +93,33 @@ def test_config_flat_effect_form():
     cfg = config_from_dict(
         {"effects": [{"name": "limiter", "threshold_db": -3.0}]})
     assert cfg.effects[0].params == {"threshold_db": -3.0}
+
+
+def test_malformed_configs_raise_config_error(tmp_path):
+    """Fuzz find: malformed configs leaked bare float() ValueErrors,
+    FileNotFoundError for non-object JSON strings, and accepted values
+    every downstream consumer rejects (sampleRate 0, unknown normalize
+    mode). All must surface as ConfigError at parse time."""
+    from xmtpu.config.schema import load_config
+    from xmtpu.utils.errors import ConfigError
+
+    bad = [
+        "[]", '"str"', "42", "null", "not json at all",
+        '{"tracks": "notalist"}',
+        '{"tracks": [{"url": 5}]}',
+        '{"tracks": [{"url": "a.wav", "volume": "loud"}]}',
+        '{"tracks": [{"url": "a.wav", "fadeInTimeMs": "x"}]}',
+        '{"tracks": [{"url": "a.wav", "volume": -2}]}',
+        '{"tracks": [{"url": "a.wav"}], "sampleRate": 0}',
+        '{"tracks": [{"url": "a.wav"}], "channels": 0}',
+        '{"tracks": [{"url": "a.wav"}], "normalize": "sparkle"}',
+    ]
+    for c in bad:
+        with pytest.raises(ConfigError):
+            load_config(c)
+    # unknown effect NAMES stay late-validated (custom effects register
+    # at build_chain time), and the legacy "loudness" alias still parses
+    cfg = load_config('{"tracks": [{"url": "a.wav"}], '
+                      '"normalize": "loudness", '
+                      '"effects": [{"name": "custom_fx"}]}')
+    assert cfg.normalize == "loudness"

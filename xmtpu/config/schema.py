@@ -77,35 +77,70 @@ def _effect_from_json(d) -> EffectConfig:
 
 
 def _track_from_json(d) -> TrackConfig:
-    if not isinstance(d, dict):
-        from xmtpu.utils.errors import ConfigError
+    from xmtpu.utils.errors import ConfigError
 
+    if not isinstance(d, dict):
         raise ConfigError(f"track entry must be an object: {d!r}")
-    return TrackConfig(
-        url=d.get("url"),
-        kind=d.get("kind", "voice"),
-        volume=float(d.get("volume", 1.0)),
-        start_time_ms=float(d.get("startTimeMs", 0.0)),
-        end_time_ms=(None if d.get("endTimeMs") is None else float(d["endTimeMs"])),
-        fade_in_ms=float(d.get("fadeInTimeMs", 0.0)),
-        fade_out_ms=float(d.get("fadeOutTimeMs", 0.0)),
-        loop=bool(d.get("loop", False)),
-        side_duck=bool(d.get("sideDuck", False)),
-    )
+    url = d.get("url")
+    if url is not None and not isinstance(url, str):
+        raise ConfigError(f"track url must be a string: {url!r}")
+    try:
+        return TrackConfig(
+            url=url,
+            kind=d.get("kind", "voice"),
+            volume=float(d.get("volume", 1.0)),
+            start_time_ms=float(d.get("startTimeMs", 0.0)),
+            end_time_ms=(None if d.get("endTimeMs") is None
+                         else float(d["endTimeMs"])),
+            fade_in_ms=float(d.get("fadeInTimeMs", 0.0)),
+            fade_out_ms=float(d.get("fadeOutTimeMs", 0.0)),
+            loop=bool(d.get("loop", False)),
+            side_duck=bool(d.get("sideDuck", False)),
+        )
+    except (TypeError, ValueError) as e:
+        # non-numeric volume/timing fields used to leak a bare
+        # "could not convert string to float" (fuzz find)
+        raise ConfigError(f"bad track entry {d!r}: {e}") from e
+
+
+_NORMALIZE_MODES = (None, "peak", "lufs", "rms", "loudness")
 
 
 def config_from_dict(d: dict) -> PipelineConfig:
-    return PipelineConfig(
-        tracks=tuple(_track_from_json(t) for t in d.get("tracks", [])),
-        effects=tuple(_effect_from_json(e) for e in d.get("effects", [])),
-        master_effects=tuple(_effect_from_json(e) for e in d.get("masterEffects", [])),
-        sample_rate=int(d.get("sampleRate", 16000)),
-        channels=int(d.get("channels", 1)),
-        normalize=d.get("normalize", "peak"),
-        normalize_target_db=float(d.get("normalizeTargetDb", -1.0)),
-        block_size=int(d.get("blockSize", 65536)),
-        bitrate=(None if d.get("bitrate") is None else int(d["bitrate"])),
-    )
+    from xmtpu.utils.errors import ConfigError
+
+    if not isinstance(d, dict):
+        raise ConfigError(f"pipeline config must be a JSON object: {d!r}")
+    try:
+        cfg = PipelineConfig(
+            tracks=tuple(_track_from_json(t) for t in d.get("tracks", [])),
+            effects=tuple(_effect_from_json(e) for e in d.get("effects", [])),
+            master_effects=tuple(
+                _effect_from_json(e) for e in d.get("masterEffects", [])),
+            sample_rate=int(d.get("sampleRate", 16000)),
+            channels=int(d.get("channels", 1)),
+            normalize=d.get("normalize", "peak"),
+            normalize_target_db=float(d.get("normalizeTargetDb", -1.0)),
+            block_size=int(d.get("blockSize", 65536)),
+            bitrate=(None if d.get("bitrate") is None else int(d["bitrate"])),
+        )
+    except ConfigError:
+        raise
+    except (TypeError, ValueError) as e:
+        raise ConfigError(f"bad pipeline config field: {e}") from e
+    # fail fast at parse time on values every downstream consumer would
+    # reject (or worse, divide by — sampleRate 0 passed parsing; fuzz
+    # find); effect NAMES stay late-validated in graph.fx.build_chain
+    # so registered custom effects keep working
+    if cfg.sample_rate < 1 or cfg.channels < 1 or cfg.block_size < 1:
+        raise ConfigError(
+            f"sampleRate/channels/blockSize must be positive: got "
+            f"{cfg.sample_rate}/{cfg.channels}/{cfg.block_size}")
+    if cfg.normalize not in _NORMALIZE_MODES:
+        raise ConfigError(
+            f"unknown normalize mode {cfg.normalize!r}; "
+            f"use one of {_NORMALIZE_MODES[1:]} or null")
+    return cfg
 
 
 def config_to_dict(cfg: PipelineConfig) -> dict:
@@ -137,10 +172,18 @@ def config_to_dict(cfg: PipelineConfig) -> dict:
 
 def load_config(path_or_str) -> PipelineConfig:
     """Load a PipelineConfig from a JSON file path or a JSON string."""
+    from xmtpu.utils.errors import ConfigError
+
     s = str(path_or_str)
-    if s.lstrip().startswith("{"):
+    if s.lstrip()[:1] in ("{", "["):  # JSON literal, not a path
         return config_from_dict(json.loads(s))
-    with open(s) as f:
+    try:
+        f = open(s)
+    except OSError as e:
+        raise ConfigError(
+            f"config is neither a JSON object string nor a readable "
+            f"file: {s[:80]!r} ({e})") from e
+    with f:
         return config_from_dict(json.load(f))
 
 
