@@ -257,3 +257,39 @@ def test_pipeline_config_bitrate_roundtrip(tmp_path):
     cfg_hi = config_from_dict({**d, "bitrate": 256000})
     process_file({"v": (voice, SR)}, cfg_hi, hi)
     assert os.path.getsize(hi) > 1.5 * os.path.getsize(lo)
+
+
+def test_decode_corrupt_files_fail_typed_never_crash(tmp_path):
+    """Fuzz regression: truncated/bit-flipped FLACs through both the
+    whole-file decode and the chunked StreamDecoder (open/seek/read/
+    close) must raise typed errors (ValueError/RuntimeError/OSError)
+    or decode leniently — never crash the process or leak odd
+    exception types (the shim is C++; an OOB here is a segfault)."""
+    rng = np.random.default_rng(3)
+    pcm = (rng.standard_normal(16000) * 8000).astype(np.int16)
+    src = str(tmp_path / "t.flac")
+    ff.encode(src, pcm, SR)
+    data = open(src, "rb").read()
+    bad = str(tmp_path / "bad.flac")
+    for trial in range(24):
+        b = bytearray(data)
+        if trial % 3 == 0:
+            b = b[: int(rng.integers(10, len(b)))]
+        else:
+            for _ in range(int(rng.integers(1, 8))):
+                b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+        open(bad, "wb").write(bytes(b))
+        try:
+            ff.decode(bad)
+        except (ValueError, RuntimeError, OSError):
+            pass
+        try:
+            h = ff.StreamDecoder(bad)
+            try:
+                h.read(1024)
+                h.seek(200.0)
+                h.read(4096)
+            finally:
+                h.close()
+        except (ValueError, RuntimeError, OSError):
+            pass
