@@ -607,3 +607,31 @@ def test_envelope_n_valid_oversize_raises(rng):
     d = np.abs(rng.standard_normal((2, 256))).astype(np.float32)
     with pytest.raises(ValueError, match="n_valid"):
         envelope_pallas(d, 0.999, 0.5, interpret=True, n_valid=300)
+
+
+def test_degenerate_effect_params_raise_typed(rng):
+    """Fuzz finds: empty reverb IR leaked a broadcast TypeError,
+    compressor ratio 0 a ZeroDivisionError, and NaN/inf gains poisoned
+    every output sample with no error anywhere. All must raise typed
+    errors at build/design time."""
+    import xmtpu
+    from xmtpu.utils.errors import ConfigError
+
+    x = (0.1 * rng.standard_normal(4800)).astype(np.float32)
+    with pytest.raises(ConfigError, match="non-empty"):
+        xmtpu.effects(x, SR, [{"name": "reverb",
+                               "params": {"ir": np.zeros(0)}}])
+    with pytest.raises(ConfigError, match="ir_seconds"):
+        xmtpu.effects(x, SR, [{"name": "reverb",
+                               "params": {"ir_seconds": -1.0}}])
+    with pytest.raises(ConfigError, match="finite"):
+        xmtpu.effects(x, SR, [{"name": "reverb",
+                               "params": {"wet": float("nan")}}])
+    with pytest.raises(ConfigError, match="finite"):
+        xmtpu.effects(x, SR, [{"name": "volume",
+                               "params": {"gain_db": float("inf")}}])
+    with pytest.raises(ValueError, match="ratio"):
+        xmtpu.effects(x, SR, [{"name": "compressor",
+                               "params": {"ratio": 0.0}}])
+    with pytest.raises(ValueError, match="finite"):
+        biquad.rbj_coeffs("peaking", 1000.0, SR, gain_db=float("nan"))

@@ -106,8 +106,18 @@ class ReverbFx:
         p = dict(params)
         self.wet = float(p.get("wet", 0.3))
         self.dry = float(p.get("dry", 0.7))
+        if not (np.isfinite(self.wet) and np.isfinite(self.dry)):
+            raise ConfigError(
+                f"reverb: wet/dry must be finite, got {self.wet}/{self.dry}")
+        if "ir_seconds" in p and not (float(p["ir_seconds"]) > 0):
+            raise ConfigError(
+                f"reverb: ir_seconds must be > 0, got {p['ir_seconds']}")
         if "ir" in p:
             ir = np.asarray(p["ir"], np.float64)
+            if ir.size == 0:
+                # an empty IR used to surface as an opaque broadcast
+                # TypeError deep in the convolution (fuzz find)
+                raise ConfigError("reverb: ir must be non-empty")
         elif "ir_wav" in p:
             from xmtpu.io.wav import read_wav
             from xmtpu.ops import convert as _c
@@ -396,6 +406,10 @@ class VolumeFx:
             self.gain = float(p["gain"])
         else:
             self.gain = float(10.0 ** (float(p.get("gain_db", 0.0)) / 20.0))
+        if not np.isfinite(self.gain):
+            raise ConfigError(
+                f"volume: gain must be finite, got {self.gain} "
+                f"(params {params!r})")
 
     def init_state(self, batch_shape):
         return ()

@@ -62,6 +62,10 @@ def rbj_coeffs(
         # q <= 0 flips alpha's sign and pushes poles outside the unit
         # circle: a silently diverging filter (round-2 review find)
         raise ValueError(f"q must be > 0, got {q}")
+    if not math.isfinite(gain_db):
+        # a NaN/inf gain poisons every output sample downstream with no
+        # error anywhere (fuzz find) — reject at design time
+        raise ValueError(f"gain_db must be finite, got {gain_db}")
     A = 10.0 ** (gain_db / 40.0)
     w0 = 2.0 * math.pi * freq_hz / sr
     cw, sw = math.cos(w0), math.sin(w0)

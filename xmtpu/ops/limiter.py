@@ -98,6 +98,15 @@ def onepole_scan(u, c: float, init):
     return e, e[..., -1]
 
 
+def _knee_slope(ratio) -> float:
+    """Reduction slope from a compression ratio; shared by the jax and
+    numpy-oracle curves. ratio < 1 is expansion and ratio == 0 divided
+    by zero (fuzz find: a compressor config leaked ZeroDivisionError)."""
+    if not float(ratio) >= 1.0:  # also rejects NaN
+        raise ValueError(f"ratio must be >= 1 (inf = limiter), got {ratio}")
+    return 1.0 if ratio == float("inf") else 1.0 - 1.0 / float(ratio)
+
+
 def soft_knee_gain_db(level_db, threshold_db: float, knee_db: float,
                       ratio: float = float("inf")):
     """Gain (<= 0 dB) from the soft-knee static curve. Elementwise.
@@ -107,7 +116,7 @@ def soft_knee_gain_db(level_db, threshold_db: float, knee_db: float,
     SoX-compand-style downward compressor (SURVEY.md §2.1 "Limiter /
     compressor" row). The knee blends quadratically in both cases.
     """
-    slope = 1.0 if ratio == float("inf") else 1.0 - 1.0 / float(ratio)
+    slope = _knee_slope(ratio)
     over = level_db - threshold_db
     w = max(float(knee_db), 1e-6)
     in_knee = slope * (over + 0.5 * w) ** 2 / (2.0 * w)
@@ -221,7 +230,7 @@ def limiter_np(
         sm_prev = (1.0 - c_att) * sm_prev + c_att * env_prev if c_att < 1.0 else env_prev
         e2[..., i] = sm_prev
     level_db = 20.0 * np.log10(np.maximum(e2, _EPS))
-    slope = 1.0 if ratio == float("inf") else 1.0 - 1.0 / float(ratio)
+    slope = _knee_slope(ratio)
     over = level_db - threshold_db
     w = max(float(knee_db), 1e-6)
     red = np.where(
