@@ -89,4 +89,21 @@ if __name__ == "__main__":
             kw[k] = float(v)
         elif k in ("iir_backend", "resample_backend"):
             kw[k] = v
-    print(json.dumps(main(**kw)))
+    try:
+        print(json.dumps(main(**kw)))
+    except RuntimeError as e:
+        # transient axon-tunnel init failures ("Unable to initialize
+        # backend ... UNAVAILABLE") happen (observed 2026-08-18, hours-
+        # long outage with brief recoveries); one re-exec'd retry —
+        # fresh process, jax caches backend failure per-process —
+        # rescues the round's number from a blip without masking a
+        # real failure
+        msg = str(e)
+        retriable = "UNAVAILABLE" in msg or "initialize backend" in msg
+        if not retriable or os.environ.get("XMTPU_BENCH_RETRY") == "1":
+            raise
+        print(f"bench: backend init failed ({msg[:120]}); retrying in 90 s",
+              file=sys.stderr)
+        time.sleep(90)
+        env = dict(os.environ, XMTPU_BENCH_RETRY="1")
+        os.execve(sys.executable, [sys.executable] + sys.argv, env)
