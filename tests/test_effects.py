@@ -635,3 +635,36 @@ def test_degenerate_effect_params_raise_typed(rng):
                                "params": {"ratio": 0.0}}])
     with pytest.raises(ValueError, match="finite"):
         biquad.rbj_coeffs("peaking", 1000.0, SR, gain_db=float("nan"))
+
+
+def test_unknown_effect_params_rejected():
+    """A typo'd parameter used to be silently ignored — the effect ran
+    with its default and nothing ever said so. build_chain now names
+    the unknown key and the accepted set."""
+    from xmtpu.utils.errors import ConfigError
+
+    with pytest.raises(ConfigError, match="strength"):
+        fxg.build_chain(SR, [{"name": "noise_suppression",
+                              "params": {"strength": 0.5}}])
+    with pytest.raises(ConfigError, match="thresold_db"):
+        fxg.build_chain(SR, [{"name": "limiter",
+                              "params": {"thresold_db": -6.0}}])
+    # every documented param of every effect still passes the gate
+    fxg.build_chain(SR, [
+        {"name": "equalizer", "params": {
+            "bands": [{"freq_hz": 1000.0, "gain_db": 3.0, "q": 1.0}],
+            "backend": "scan"}},
+        {"name": "reverb", "params": {"ir_seconds": 0.1, "rt60": 0.08,
+                                      "seed": 3, "wet": 0.2, "dry": 0.8}},
+        {"name": "limiter", "params": {"threshold_db": -3.0, "knee_db": 6.0,
+                                       "attack_ms": 1.0, "release_ms": 80.0,
+                                       "ceiling_db": -0.5}},
+        {"name": "compressor", "params": {"ratio": 4.0, "makeup_db": 1.0}},
+        {"name": "volume", "params": {"gain_db": -2.0}},
+        {"name": "ns", "params": {"nfft": 256, "noise_frames": 4,
+                                  "smooth": 0.6, "floor": 0.1,
+                                  "noise_update": "adaptive",
+                                  "noise_smooth": 0.9,
+                                  "presence_thresh": 4.0,
+                                  "up_leak": 1.02}},
+    ])

@@ -62,6 +62,8 @@ class EqualizerFx:
     """Cascaded RBJ biquad EQ. params: bands=[{freq_hz, gain_db, q,
     kind}], backend (auto|scan|pallas — see :func:`_resolve_backend`)."""
 
+    PARAMS = frozenset({"bands", "backend"})
+
     def __init__(self, sample_rate: int, params):
         p = dict(params)
         bands = p.get("bands")
@@ -101,6 +103,9 @@ def _reverb_block_for(m: int) -> tuple[int, int]:
 class ReverbFx:
     """FIR reverb. params: ir (array) | ir_wav (path) | ir_seconds, wet,
     dry, backend (auto|xla|pallas)."""
+
+    PARAMS = frozenset({"ir", "ir_wav", "ir_seconds", "rt60", "seed",
+                        "wet", "dry", "backend"})
 
     def __init__(self, sample_rate: int, params):
         p = dict(params)
@@ -299,6 +304,9 @@ class LimiterFx:
     """Soft-knee limiter. params: threshold_db, knee_db, attack_ms,
     release_ms, ceiling_db, backend (auto|scan|pallas)."""
 
+    PARAMS = frozenset({"threshold_db", "knee_db", "attack_ms",
+                        "release_ms", "ceiling_db", "backend"})
+
     def __init__(self, sample_rate: int, params):
         p = dict(params)
         self.sr = sample_rate
@@ -334,6 +342,8 @@ class CompressorFx(LimiterFx):
     (reference: the compand-style limiter/compressor, SURVEY.md §2.1).
     """
 
+    PARAMS = LimiterFx.PARAMS | {"ratio", "makeup_db"}
+
     def __init__(self, sample_rate: int, params):
         p = dict(params)
         super().__init__(sample_rate, p)
@@ -352,6 +362,10 @@ class NoiseSuppressFx:
     lead-in frames pass at unity while the noise estimate builds —
     matches the offline gains exactly after the lead-in, tested).
     """
+
+    PARAMS = frozenset({"nfft", "noise_frames", "smooth", "floor",
+                        "noise_update", "noise_smooth",
+                        "presence_thresh", "up_leak", "backend"})
 
     def __init__(self, sample_rate: int, params):
         p = dict(params)
@@ -399,6 +413,8 @@ class NoiseSuppressFx:
 
 class VolumeFx:
     """Static gain. params: gain_db | gain (linear)."""
+
+    PARAMS = frozenset({"gain", "gain_db"})
 
     def __init__(self, sample_rate: int, params):
         p = dict(params)
@@ -459,9 +475,19 @@ def build_chain(sample_rate: int, chain, default_backend: str | None = None,
             raise ConfigError(
                 f"unknown effect {name!r}; known: {sorted(_EFFECTS)}"
             )
-        if default_backend is not None and "backend" not in params:
+        cls = _EFFECTS[name]
+        if (default_backend is not None and "backend" not in params
+                and "backend" in cls.PARAMS):
             params["backend"] = default_backend
-        out.append(_EFFECTS[name](sample_rate, params))
+        unknown = set(params) - cls.PARAMS
+        if unknown:
+            # a typo'd parameter used to be silently ignored — the
+            # effect ran with its default and nothing ever said so
+            # (fuzz find: {"strength": -3} on noise_suppression)
+            raise ConfigError(
+                f"{name}: unknown parameter(s) {sorted(unknown)}; "
+                f"accepted: {sorted(cls.PARAMS)}")
+        out.append(cls(sample_rate, params))
     return _fold_lti(out) if fold else out
 
 
