@@ -388,3 +388,20 @@ def test_load_mono_i16_downmix_consistent(rng):
     a, _ = _load_mono_i16((st, SR_IN), SR_IN)
     b, _ = _load_mono_i16((st.astype(np.float32) / 32768.0, SR_IN), SR_IN)
     assert np.abs(a.astype(np.int32) - b.astype(np.int32)).max() <= 1
+
+
+def test_run_batch_malformed_manifest_raises_config_error():
+    """Fuzz find: a malformed manifest entry died with a bare TypeError
+    from the ClipJob dataclass call. A bad MANIFEST (vs a bad clip)
+    fails the whole run with a typed ConfigError naming the entry."""
+    from xmtpu.runner import run_batch
+    from xmtpu.utils.errors import ConfigError
+
+    with pytest.raises(ConfigError, match="list"):
+        run_batch("not a list")
+    with pytest.raises(ConfigError, match="voice"):
+        run_batch([{"out": "/tmp/x.wav"}])
+    with pytest.raises(ConfigError, match="voice"):
+        run_batch(["a string"])
+    with pytest.raises(ConfigError, match="unknown key"):
+        run_batch([{"voice": "v.wav", "out": "o.wav", "vioce": "typo"}])

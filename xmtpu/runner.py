@@ -168,9 +168,31 @@ def run_batch(
     report = BatchReport(total=len(jobs))
     t_start = time.perf_counter()
 
+    if not isinstance(jobs, (list, tuple)):
+        from xmtpu.utils.errors import ConfigError
+
+        raise ConfigError(
+            f"jobs must be a list of {{voice, bgm?, out}} entries, got "
+            f"{type(jobs).__name__}")
     todo = []
     for job in jobs:
         if not isinstance(job, ClipJob):
+            if not isinstance(job, dict) or not {"voice", "out"} <= set(job):
+                # a malformed manifest entry used to die with a bare
+                # TypeError from the dataclass call (fuzz find); a bad
+                # MANIFEST (vs a bad clip) fails the whole run, typed
+                from xmtpu.utils.errors import ConfigError
+
+                raise ConfigError(
+                    f"manifest entry needs 'voice' and 'out' (and "
+                    f"optional 'bgm'): {job!r}")
+            unknown = set(job) - {"voice", "bgm", "out"}
+            if unknown:
+                from xmtpu.utils.errors import ConfigError
+
+                raise ConfigError(
+                    f"manifest entry has unknown key(s) {sorted(unknown)}: "
+                    f"{job!r}")
             job = ClipJob(**job)
         if resume and os.path.exists(job.out + ".done"):
             report.skipped_resume += 1
