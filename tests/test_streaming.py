@@ -323,3 +323,28 @@ def test_loop_with_end_trim_matches_offline():
         np.float64)[: len(offline)] / 32768.0
     err = rms_db(stream - offline[: len(stream)], offline[: len(stream)])
     assert err < -80, err
+
+
+def test_prefetch_depth_matches_depth1(rng):
+    """Depth-k dispatch-ahead (frames computed + host-copied ahead of
+    the read cadence) must be byte-identical to the depth-1 default,
+    including across a mid-stream seek that discards the speculative
+    frames."""
+    cfg = PipelineConfig(
+        tracks=(TrackConfig(url="v", fade_in_ms=40.0),),
+        effects=(EffectConfig("limiter", {}),),
+        sample_rate=SR, normalize=None)
+    src = {"v": ((0.3 * rng.standard_normal(SR)).astype(np.float32), SR)}
+    s1 = StreamSession(cfg, frame_ms=20.0, sources=src)
+    s4 = StreamSession(cfg, frame_ms=20.0, sources=src, prefetch_depth=4)
+    for _ in range(7):
+        np.testing.assert_array_equal(s4.read(), s1.read())
+    s1.seek(310.0)
+    s4.seek(310.0)
+    for _ in range(3):
+        np.testing.assert_array_equal(s4.read(), s1.read())
+    # read() -> read_many -> read() transitions stay aligned
+    np.testing.assert_array_equal(s4.read_many(3), s1.read_many(3))
+    np.testing.assert_array_equal(s4.read(), s1.read())
+    with pytest.raises(Exception):
+        StreamSession(cfg, frame_ms=20.0, sources=src, prefetch_depth=0)

@@ -369,5 +369,12 @@ class SessionPool:
             if self._slot_tracks[i] is not None:
                 self._frame_idx[i] += k
         self._pending = self._dispatch(k)  # overlap: next group computes
+        try:
+            # start the speculative group's device->host copy now, so
+            # the NEXT read's fetch finds its bytes already in flight
+            # (same eager-copy trick as StreamSession._start_host_copy)
+            self._pending[2].copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            pass
         out = np.moveaxis(np.asarray(out_dev), 1, 2)  # fetch blocks here
         return out

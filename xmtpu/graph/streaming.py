@@ -23,6 +23,7 @@ L-blocks from block clock ``c0 = (t0 - r0) / L`` and a static slice
 from __future__ import annotations
 
 import math
+from collections import deque
 
 import jax
 import jax.numpy as jnp
@@ -149,20 +150,25 @@ class StreamSession:
     """Streaming mixer+effects session (reference handle-API parity).
 
     Latency budget (honest numbers, measured round 1-2): each
-    :meth:`read` call costs one device->host fetch, so per-frame
+    :meth:`read` call costs one device->host fetch, so FIRST-frame
     latency has a hard floor of ONE host<->device round trip on top of
     the ~0.5 ms frame compute. On a directly attached host that is
     sub-millisecond (0.7 ms/frame measured on CPU); through a remote
-    tunnel (e.g. the axon dev link, ~33 ms RTT) a 20 ms frame CANNOT
-    be served in real time frame-by-frame — the depth-1 dispatch-ahead
-    below overlaps compute with the fetch but can never hide a full
-    RTT. For throughput (or any RTT > frame_ms link), use
-    :meth:`read_many`, which amortizes one round trip over k frames
-    (9.3x real time at k=64 through the same tunnel).
+    tunnel (e.g. the axon dev link, ~33 ms RTT) the depth-1 default
+    overlaps compute with the fetch but cannot hide a full RTT inside
+    a 20 ms frame period. ``prefetch_depth=d`` dispatches d frames
+    ahead and starts each one's device->host copy eagerly
+    (``copy_to_host_async``), giving every copy ~d frame-periods of
+    lead — at d*frame_ms > RTT the sustained read cadence is no longer
+    RTT-bound (at the cost of d frames of speculative work discarded
+    on seek). For pure throughput use :meth:`read_many`, which
+    amortizes one round trip over k frames (9.3x real time at k=64
+    through the same tunnel).
     """
 
     def __init__(self, config, frame_ms: float = 20.0, sources=None,
-                 output_dtype=np.int16, duck_params: dict | None = None):
+                 output_dtype=np.int16, duck_params: dict | None = None,
+                 prefetch_depth: int = 1):
         if isinstance(config, dict):
             config = config_from_dict(config)
         if not isinstance(config, PipelineConfig):
@@ -216,11 +222,24 @@ class StreamSession:
         self.fx_state = self._init_state()
         self.frame_idx = 0
         self._step = jax.jit(self._make_step())
-        # double-buffered prefetch (BASELINE.json:11): the NEXT frame's
-        # step is dispatched before the current frame's host fetch, so
-        # device compute overlaps the device->host transfer. JAX's async
-        # dispatch chains on device values without host sync.
-        self._pending = None  # (frame_idx, out_device, state_after)
+        # dispatch-ahead prefetch (BASELINE.json:11): the next
+        # ``prefetch_depth`` frames' steps are dispatched before the
+        # current frame's host fetch, AND each one's device->host copy
+        # is started eagerly (``copy_to_host_async``), so by the time
+        # read() asks for a frame its bytes are already in flight.
+        # depth 1 = the classic double buffer (compute overlaps fetch;
+        # an RTT > frame_ms link still can't serve real time); depth d
+        # gives each frame's host copy ~d frame-periods of lead time —
+        # on a ~33 ms-RTT tunnel serving 20 ms frames, depth 2 is
+        # enough lead to hide the full RTT behind the read cadence.
+        # JAX's async dispatch chains on device values without host
+        # sync, so deeper dispatch costs no blocking; a seek simply
+        # discards the speculative frames.
+        if int(prefetch_depth) < 1:
+            raise ConfigError(
+                f"prefetch_depth must be >= 1, got {prefetch_depth}")
+        self.prefetch_depth = int(prefetch_depth)
+        self._queue = deque()  # dispatched-ahead (frame_idx, out, state)
         self._scan_step = None  # lazy jitted k-frame scan (read_many)
 
     def _init_state(self):
@@ -244,7 +263,7 @@ class StreamSession:
         sample = int(round(ms * self.sr / 1000.0))
         self.frame_idx = sample // self.frame_out
         self.fx_state = self._init_state()
-        self._pending = None  # drop any prefetched frame (stale DSP state)
+        self._queue.clear()  # drop prefetched frames (stale DSP state)
 
     def _dispatch(self, frame_idx: int, fx_state):
         """Enqueue one frame's device step (non-blocking).
@@ -266,15 +285,40 @@ class StreamSession:
         out, state = self._step(tuple(windows), tuple(offsets), fx_state)
         return (frame_idx, out, state)
 
+    @staticmethod
+    def _start_host_copy(item) -> None:
+        """Begin the device->host transfer of a dispatched frame's
+        output without blocking (jax.Array.copy_to_host_async); by
+        fetch time the bytes are already moving/landed."""
+        try:
+            item[1].copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            pass  # tracers / backends without async copy: fetch blocks
+
+    def _fill_queue(self) -> None:
+        """Top the dispatch-ahead queue up to ``prefetch_depth``
+        frames past the last queued (or consumed) frame, chaining
+        states through device values (no host sync)."""
+        while len(self._queue) < self.prefetch_depth:
+            if self._queue:
+                tail_idx, _, tail_state = self._queue[-1]
+            else:
+                tail_idx, tail_state = self.frame_idx - 1, self.fx_state
+            item = self._dispatch(tail_idx + 1, tail_state)
+            self._start_host_copy(item)
+            self._queue.append(item)
+
     def read(self) -> np.ndarray:
-        """Next (frame_out, ch) PCM frame (prefetches the one after)."""
-        if self._pending is None or self._pending[0] != self.frame_idx:
-            self._pending = self._dispatch(self.frame_idx, self.fx_state)
-        idx, out_dev, state = self._pending
+        """Next (frame_out, ch) PCM frame (dispatch-ahead, see
+        ``prefetch_depth``)."""
+        if not self._queue or self._queue[0][0] != self.frame_idx:
+            self._queue.clear()
+        self._fill_queue()
+        idx, out_dev, state = self._queue.popleft()
         self.fx_state = state
         self.frame_idx = idx + 1
-        self._pending = self._dispatch(self.frame_idx, state)  # overlap
-        out = np.asarray(out_dev).T  # (frame, ch) — blocks; next computes
+        self._fill_queue()  # overlap: next frames compute + copy out
+        out = np.asarray(out_dev).T  # (frame, ch) — lands the copy
         if self.output_dtype == np.int16:
             out = _convert.f32_to_pcm16_np(out)
         return out
@@ -301,7 +345,7 @@ class StreamSession:
                                          self.fx_state)
         self.fx_state = state
         self.frame_idx += k
-        self._pending = None
+        self._queue.clear()
         out = np.asarray(out_dev).T  # (k*frame, ch)
         if self.output_dtype == np.int16:
             out = _convert.f32_to_pcm16_np(out)
@@ -339,7 +383,7 @@ class StreamSession:
             raise ConfigError("state frame size mismatch")
         self.frame_idx = int(st["frame_idx"])
         self.fx_state = st["fx_state"]
-        self._pending = None
+        self._queue.clear()
 
     def save_state(self, path) -> None:
         """Persist the session state to disk (npz of pytree leaves; the
@@ -365,7 +409,7 @@ class StreamSession:
         ]
         self.fx_state = jax.tree_util.tree_unflatten(treedef, leaves)
         self.frame_idx = int(z["frame_idx"])
-        self._pending = None
+        self._queue.clear()
 
 
 def _session_state0(voice_effects, master_effects, nch: int, has_duck: bool):
