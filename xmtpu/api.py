@@ -117,9 +117,13 @@ class Session:
     fuses k frames into one device dispatch for throughput; state is a
     serializable pytree (``save_state``/``load_state_file``).
 
-    Latency: ``read()`` pays one host<->device round trip per frame —
-    real-time frame-by-frame streaming needs RTT < frame_ms (true on
-    attached hosts, NOT through a high-RTT tunnel); ``read_many``
+    Latency: at the default ``prefetch_depth=1``, ``read()`` pays one
+    host<->device round trip per frame — real-time frame-by-frame
+    streaming needs RTT < frame_ms (true on attached hosts, NOT
+    through a high-RTT tunnel). ``prefetch_depth=d`` dispatches d
+    frames ahead with eager device->host copies, removing the RTT
+    bound from the sustained cadence once d*frame_ms > RTT (d frames
+    of speculative work are discarded on seek); ``read_many``
     amortizes the round trip over k frames. See
     :class:`xmtpu.graph.streaming.StreamSession` for measured numbers.
     """
