@@ -405,3 +405,22 @@ def test_run_batch_malformed_manifest_raises_config_error():
         run_batch(["a string"])
     with pytest.raises(ConfigError, match="unknown key"):
         run_batch([{"voice": "v.wav", "out": "o.wav", "vioce": "typo"}])
+
+
+def test_run_batch_accepts_generators_and_deques(tmp_path, rng):
+    """Second review pass: the manifest type guard must not reject
+    previously-working sized/unsized iterables (generator, deque)."""
+    import collections
+
+    c = _clips(rng, [16000])[0]
+    p = tmp_path / "v.wav"
+    write_wav(str(p), c, SR_IN)
+    rep = run_batch(
+        (j for j in [ClipJob(voice=str(p), out=str(tmp_path / "g.wav"))]),
+        sr_in=SR_IN, sr_bus=SR_BUS, step_kw={"interpret": True})
+    assert rep.done == 1
+    rep2 = run_batch(
+        collections.deque([ClipJob(voice=str(p),
+                                   out=str(tmp_path / "d.wav"))]),
+        sr_in=SR_IN, sr_bus=SR_BUS, step_kw={"interpret": True})
+    assert rep2.done == 1

@@ -123,3 +123,28 @@ def test_malformed_configs_raise_config_error(tmp_path):
                       '"normalize": "loudness", '
                       '"effects": [{"name": "custom_fx"}]}')
     assert cfg.normalize == "loudness"
+
+
+def test_validation_review_gaps():
+    """Second review pass over the validation sweep: truncated JSON
+    literals and files raise ConfigError (not JSONDecodeError); typo'd
+    or mis-cased track keys/kinds are rejected (a 'Voice' kind used to
+    silently route the track to the BGM bus)."""
+    from xmtpu.config.schema import load_config
+    from xmtpu.utils.errors import ConfigError
+
+    with pytest.raises(ConfigError, match="JSON"):
+        load_config('{"tracks": ')
+    import tempfile, os
+    fd, p = tempfile.mkstemp(suffix=".json")
+    os.write(fd, b"{ definitely not json")
+    os.close(fd)
+    try:
+        with pytest.raises(ConfigError, match="JSON"):
+            load_config(p)
+    finally:
+        os.unlink(p)
+    with pytest.raises(ConfigError, match="unknown key"):
+        load_config('{"tracks": [{"url": "a.wav", "volumee": 0.5}]}')
+    with pytest.raises(ConfigError, match="kind"):
+        load_config('{"tracks": [{"url": "a.wav", "kind": "Voice"}]}')

@@ -630,7 +630,9 @@ def test_degenerate_effect_params_raise_typed(rng):
     with pytest.raises(ConfigError, match="finite"):
         xmtpu.effects(x, SR, [{"name": "volume",
                                "params": {"gain_db": float("inf")}}])
-    with pytest.raises(ValueError, match="ratio"):
+    with pytest.raises(ConfigError, match="ratio"):
+        # build-time now (second review pass moved the _knee_slope
+        # check from first-apply to CompressorFx construction)
         xmtpu.effects(x, SR, [{"name": "compressor",
                                "params": {"ratio": 0.0}}])
     with pytest.raises(ValueError, match="finite"):
@@ -668,3 +670,47 @@ def test_unknown_effect_params_rejected():
                                   "presence_thresh": 4.0,
                                   "up_leak": 1.02}},
     ])
+
+
+def test_validation_review_gaps_effects():
+    """Second review pass: compressor ratio validated at BUILD time
+    (a serving process must reject a bad config before the first
+    read); non-numeric reverb params raise ConfigError not bare
+    ValueError; ns rejects an (ignored) backend key; custom effect
+    classes without a PARAMS declaration still register and build;
+    typo'd EQ band keys are named."""
+    from xmtpu.utils.errors import ConfigError
+
+    with pytest.raises(ConfigError, match="ratio"):
+        fxg.build_chain(SR, [{"name": "compressor",
+                              "params": {"ratio": 0.5}}])
+    with pytest.raises(ConfigError, match="non-numeric"):
+        fxg.build_chain(SR, [{"name": "reverb",
+                              "params": {"ir_seconds": "0.5s"}}])
+    with pytest.raises(ConfigError, match="backend"):
+        fxg.build_chain(SR, [{"name": "ns", "params": {"backend": "x"}}])
+    with pytest.raises(ValueError, match="freq_hz"):
+        fxg.build_chain(SR, [{"name": "equalizer",
+                              "params": {"bands": [{"freq": 1000}]}}])
+    with pytest.raises(ValueError, match="gainDb"):
+        fxg.build_chain(SR, [{"name": "equalizer", "params": {
+            "bands": [{"freq_hz": 1000.0, "gainDb": 3.0}]}}])
+
+    class _CustomFx:  # no PARAMS declaration
+        def __init__(self, sr, params):
+            self.got = dict(params)
+
+        def init_state(self, batch_shape):
+            return ()
+
+        def apply(self, x, state):
+            return x, state
+
+    fxg._EFFECTS["_custom_test_fx"] = _CustomFx
+    try:
+        effs = fxg.build_chain(
+            SR, [{"name": "_custom_test_fx", "params": {"anything": 1}}],
+            default_backend="scan")
+        assert effs[0].got["anything"] == 1
+    finally:
+        del fxg._EFFECTS["_custom_test_fx"]

@@ -81,6 +81,20 @@ def _track_from_json(d) -> TrackConfig:
 
     if not isinstance(d, dict):
         raise ConfigError(f"track entry must be an object: {d!r}")
+    _KEYS = {"url", "kind", "volume", "startTimeMs", "endTimeMs",
+             "fadeInTimeMs", "fadeOutTimeMs", "loop", "sideDuck"}
+    unknown = set(d) - _KEYS
+    if unknown:
+        # a typo'd track key ('volumee', 'fadeInMs') silently ran the
+        # track with defaults — same failure mode the effect-param gate
+        # closes (review find)
+        raise ConfigError(
+            f"track entry has unknown key(s) {sorted(unknown)}; "
+            f"accepted: {sorted(_KEYS)}")
+    if d.get("kind", "voice") not in ("voice", "bgm", "music"):
+        # 'Voice' != 'voice' silently routed the track to the BGM bus
+        raise ConfigError(
+            f"track kind must be voice|bgm|music, got {d['kind']!r}")
     url = d.get("url")
     if url is not None and not isinstance(url, str):
         raise ConfigError(f"track url must be a string: {url!r}")
@@ -176,7 +190,11 @@ def load_config(path_or_str) -> PipelineConfig:
 
     s = str(path_or_str)
     if s.lstrip()[:1] in ("{", "["):  # JSON literal, not a path
-        return config_from_dict(json.loads(s))
+        try:
+            d = json.loads(s)
+        except json.JSONDecodeError as e:
+            raise ConfigError(f"invalid config JSON: {e}") from e
+        return config_from_dict(d)
     try:
         f = open(s)
     except OSError as e:
@@ -184,7 +202,11 @@ def load_config(path_or_str) -> PipelineConfig:
             f"config is neither a JSON object string nor a readable "
             f"file: {s[:80]!r} ({e})") from e
     with f:
-        return config_from_dict(json.load(f))
+        try:
+            d = json.load(f)
+        except json.JSONDecodeError as e:
+            raise ConfigError(f"{s}: invalid config JSON: {e}") from e
+    return config_from_dict(d)
 
 
 def dump_config(cfg: PipelineConfig, path=None) -> str:

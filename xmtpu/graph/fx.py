@@ -109,12 +109,18 @@ class ReverbFx:
 
     def __init__(self, sample_rate: int, params):
         p = dict(params)
-        self.wet = float(p.get("wet", 0.3))
-        self.dry = float(p.get("dry", 0.7))
+        try:
+            self.wet = float(p.get("wet", 0.3))
+            self.dry = float(p.get("dry", 0.7))
+            ir_seconds = float(p.get("ir_seconds", 0.5))
+        except (TypeError, ValueError) as e:
+            # float('0.5s') used to leak its bare ValueError from the
+            # validation line itself (review find)
+            raise ConfigError(f"reverb: non-numeric parameter: {e}") from e
         if not (np.isfinite(self.wet) and np.isfinite(self.dry)):
             raise ConfigError(
                 f"reverb: wet/dry must be finite, got {self.wet}/{self.dry}")
-        if "ir_seconds" in p and not (float(p["ir_seconds"]) > 0):
+        if "ir_seconds" in p and not ir_seconds > 0:
             raise ConfigError(
                 f"reverb: ir_seconds must be > 0, got {p['ir_seconds']}")
         if "ir" in p:
@@ -349,6 +355,13 @@ class CompressorFx(LimiterFx):
         super().__init__(sample_rate, p)
         self.kw["ratio"] = float(p.get("ratio", 4.0))
         self.kw["makeup_db"] = float(p.get("makeup_db", 0.0))
+        try:
+            # validate NOW (a serving process should reject a bad
+            # config at session build, not at the first client read —
+            # review find); _knee_slope re-raises the same check later
+            _limiter._knee_slope(self.kw["ratio"])
+        except ValueError as e:
+            raise ConfigError(f"compressor: {e}") from e
 
 
 class NoiseSuppressFx:
@@ -363,9 +376,14 @@ class NoiseSuppressFx:
     matches the offline gains exactly after the lead-in, tested).
     """
 
+    # NO "backend": this effect has exactly one (XLA STFT) engine — an
+    # advertised-but-ignored backend key would be the silently-ignored-
+    # parameter failure mode the PARAMS gate exists to kill (review
+    # find). build_chain's default_backend injection checks membership,
+    # so chain-wide defaults skip this effect cleanly.
     PARAMS = frozenset({"nfft", "noise_frames", "smooth", "floor",
                         "noise_update", "noise_smooth",
-                        "presence_thresh", "up_leak", "backend"})
+                        "presence_thresh", "up_leak"})
 
     def __init__(self, sample_rate: int, params):
         p = dict(params)
@@ -476,17 +494,21 @@ def build_chain(sample_rate: int, chain, default_backend: str | None = None,
                 f"unknown effect {name!r}; known: {sorted(_EFFECTS)}"
             )
         cls = _EFFECTS[name]
+        allowed = getattr(cls, "PARAMS", None)  # user-registered custom
+        # effect classes without a PARAMS declaration skip the gate
+        # (review find: a hard attribute access broke them)
         if (default_backend is not None and "backend" not in params
-                and "backend" in cls.PARAMS):
+                and (allowed is None or "backend" in allowed)):
             params["backend"] = default_backend
-        unknown = set(params) - cls.PARAMS
-        if unknown:
-            # a typo'd parameter used to be silently ignored — the
-            # effect ran with its default and nothing ever said so
-            # (fuzz find: {"strength": -3} on noise_suppression)
-            raise ConfigError(
-                f"{name}: unknown parameter(s) {sorted(unknown)}; "
-                f"accepted: {sorted(cls.PARAMS)}")
+        if allowed is not None:
+            unknown = set(params) - allowed
+            if unknown:
+                # a typo'd parameter used to be silently ignored — the
+                # effect ran with its default and nothing ever said so
+                # (fuzz find: {"strength": -3} on noise_suppression)
+                raise ConfigError(
+                    f"{name}: unknown parameter(s) {sorted(unknown)}; "
+                    f"accepted: {sorted(allowed)}")
         out.append(cls(sample_rate, params))
     return _fold_lti(out) if fold else out
 

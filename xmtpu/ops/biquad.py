@@ -123,16 +123,26 @@ def eq_sos(bands, sr: int) -> np.ndarray:
     Each band: {"freq_hz": f, "gain_db": g, "q": q, "kind": "peaking"}
     (kind optional; the reference's 5-band EQ is all-peaking).
     """
-    rows = [
-        rbj_coeffs(
+    _KEYS = {"freq_hz", "gain_db", "q", "kind"}
+    rows = []
+    for b in bands:
+        if not isinstance(b, dict) or "freq_hz" not in b:
+            # a typo'd freq key leaked a bare KeyError; a typo'd gain
+            # key silently built a 0 dB (no-op) band (review find)
+            raise ValueError(
+                f"EQ band needs 'freq_hz' (and optional gain_db/q/kind),"
+                f" got {b!r}")
+        unknown = set(b) - _KEYS
+        if unknown:
+            raise ValueError(
+                f"EQ band has unknown key(s) {sorted(unknown)}: {b!r}")
+        rows.append(rbj_coeffs(
             b.get("kind", "peaking"),
             float(b["freq_hz"]),
             sr,
             q=float(b.get("q", 0.7071)),
             gain_db=float(b.get("gain_db", 0.0)),
-        )
-        for b in bands
-    ]
+        ))
     return np.stack(rows) if rows else np.zeros((0, 6), np.float64)
 
 

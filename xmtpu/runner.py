@@ -165,15 +165,16 @@ def run_batch(
     it. ``pipeline=False`` keeps the serial decode-all -> step -> write
     order (same outputs; the timing baseline).
     """
-    report = BatchReport(total=len(jobs))
-    t_start = time.perf_counter()
-
-    if not isinstance(jobs, (list, tuple)):
+    if isinstance(jobs, (str, bytes, dict)):
         from xmtpu.utils.errors import ConfigError
 
         raise ConfigError(
             f"jobs must be a list of {{voice, bgm?, out}} entries, got "
             f"{type(jobs).__name__}")
+    jobs = list(jobs)  # accept any iterable (generator, deque, ...)
+    report = BatchReport(total=len(jobs))
+    t_start = time.perf_counter()
+
     todo = []
     for job in jobs:
         if not isinstance(job, ClipJob):
