@@ -29,7 +29,10 @@ def main() -> None:
         ],
     }
     s = Session(config, frame_ms=20,
-                sources={"voice": (voice, sr), "bgm": (bgm, sr)})
+                sources={"voice": (voice, sr), "bgm": (bgm, sr)},
+                prefetch_depth=2)        # frames dispatched + host-copied
+    # ahead of the read cadence: with depth*frame_ms above the link RTT,
+    # sequential read() calls stop being round-trip-bound
     s.seek(1500.0)                       # sample-accurate, state re-primed
     frame = s.read()                     # one 20 ms int16 frame
     group = s.read_many(25)              # 500 ms in ONE device dispatch
