@@ -168,6 +168,17 @@ def config5_streaming(seconds=4.0):
     for _ in range(n_frames // 2):
         sess.read()
     dt = (time.perf_counter() - t0) / (n_frames // 2)
+    # depth-3 dispatch-ahead: three frames in flight with eager
+    # device->host copies — the sustained read() cadence should track
+    # device time, not the link RTT, once 3*frame_ms > RTT
+    sess_d = StreamSession(cfg, frame_ms=20.0, prefetch_depth=3,
+                           sources={"v": (voice, 44100)})
+    for _ in range(4):
+        sess_d.read()  # compile + fill the 3-deep pipeline
+    t0 = time.perf_counter()
+    for _ in range(n_frames // 2):
+        sess_d.read()
+    dt_depth = (time.perf_counter() - t0) / (n_frames // 2)
     # grouped mode: identical 20 ms frame math, ONE lax.scan dispatch and
     # ONE transfer per 25-frame group — decouples throughput from the
     # host link RTT (warm up with the SAME k: each k compiles once)
@@ -207,6 +218,7 @@ def config5_streaming(seconds=4.0):
             "audio_sec_per_sec": round(audio / dt_many, 1),
             "pool32_audio_sec_per_sec": round(audio_pool / dt_pool, 1),
             "ms_per_frame_sequential": round(dt * 1e3, 2),
+            "ms_per_frame_depth3": round(dt_depth * 1e3, 2),
             "note": "sequential reads pay one host-link RTT per frame; "
                     "pool32 = SessionPool serving mode, 32 sessions "
                     "per dispatch"}
