@@ -148,3 +148,47 @@ def test_validation_review_gaps():
         load_config('{"tracks": [{"url": "a.wav", "volumee": 0.5}]}')
     with pytest.raises(ConfigError, match="kind"):
         load_config('{"tracks": [{"url": "a.wav", "kind": "Voice"}]}')
+
+
+def test_top_level_keys_alongside_params_rejected():
+    """A key sitting NEXT to an explicit 'params' dict (e.g. a
+    top-level 'backend', or a typo) used to be silently dropped,
+    bypassing the unknown-parameter gate — and an invalid entry must
+    not alias a previously-cached valid chain (review find)."""
+    import numpy as np
+
+    from xmtpu.graph import fx
+    from xmtpu.utils.errors import ConfigError
+
+    good = [{"name": "volume", "params": {"gain_db": -3.0}}]
+    bad = [{"name": "volume", "params": {"gain_db": -3.0},
+            "backend": "scan"}]
+    with pytest.raises(ConfigError, match="alongside 'params'"):
+        fx.build_chain(16000, bad)
+    # prime the compiled-chain cache with the valid twin, then make
+    # sure the invalid entry still raises instead of hitting the cache
+    x = np.zeros(1600, np.float32)
+    import xmtpu
+
+    xmtpu.effects(x, 16000, good)
+    with pytest.raises(ConfigError, match="alongside 'params'"):
+        xmtpu.effects(x, 16000, bad)
+
+
+def test_reverb_ir_array_validated_at_build():
+    """A 2-D or NaN-poisoned explicit IR must be rejected at session
+    build, not crash (or silently NaN the output) at the first
+    apply() (review find)."""
+    import numpy as np
+
+    from xmtpu.graph import fx
+    from xmtpu.utils.errors import ConfigError
+
+    with pytest.raises(ConfigError, match="1-D"):
+        fx.build_chain(16000, [{"name": "reverb",
+                                "ir": np.ones((8, 2), np.float32)}])
+    with pytest.raises(ConfigError, match="NaN"):
+        fx.build_chain(16000, [{"name": "reverb",
+                                "ir": [0.5, float("nan")]}])
+    with pytest.raises(ConfigError, match="non-numeric"):
+        fx.build_chain(16000, [{"name": "reverb", "ir": ["a", "b"]}])

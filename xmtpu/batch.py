@@ -61,7 +61,7 @@ def _reverb_block(m: int) -> tuple[int, int]:
     b = 32768
     while b < 4 * max(1, m - 1):
         b *= 2
-    return b, {32768: 16, 65536: 4}.get(b, 1)
+    return b, _reverb.fftconv_gp(b)
 
 
 def _combined_ir(sos, ir, wet: float, dry: float):
@@ -153,13 +153,15 @@ def make_flagship_step(
         from xmtpu.utils.profiling import stage
 
         fade = int(round(fade_ms * sr_bus / 1000.0))
-        from xmtpu.kernels.rsmix import (resample_mix_pallas,
-                                         resample_mix_supported)
-
         B_, n_in = voice_i16.shape
         deferred_ramp = None  # set by mixfirst; applied in-kernel or below
-        if (resample_backend == "rsmix"
-                and resample_mix_supported(n_in, B_, sr_in, sr_bus)):
+        use_rsmix = False
+        if resample_backend == "rsmix":  # opt-in only: import lazily
+            from xmtpu.kernels.rsmix import (resample_mix_pallas,
+                                             resample_mix_supported)
+
+            use_rsmix = resample_mix_supported(n_in, B_, sr_in, sr_bus)
+        if use_rsmix:
             with stage("rsmix"):
                 # fused i16 resample+gain/fade+mix kernel (kernels/
                 # rsmix.py). STANDALONE it beats the XLA front
@@ -359,8 +361,6 @@ def make_batch_step(
     if interpret is None:
         interpret = _interpret_auto()
     ir_comb = _combined_ir(sos, ir, wet, dry) if lti_fold else None
-    import math as _math
-
     g = _math.gcd(sr_in, sr_bus)
     L, M = sr_bus // g, sr_in // g
 

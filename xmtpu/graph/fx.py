@@ -97,7 +97,7 @@ def _reverb_block_for(m: int) -> tuple[int, int]:
     b = 32768
     while b < 2 * max(1, m - 1):
         b *= 2
-    return b, {32768: 16, 65536: 4}.get(b, 1)
+    return b, _reverb.fftconv_gp(b)
 
 
 class ReverbFx:
@@ -124,11 +124,23 @@ class ReverbFx:
             raise ConfigError(
                 f"reverb: ir_seconds must be > 0, got {p['ir_seconds']}")
         if "ir" in p:
-            ir = np.asarray(p["ir"], np.float64)
+            try:
+                ir = np.asarray(p["ir"], np.float64)
+            except (TypeError, ValueError) as e:
+                raise ConfigError(f"reverb: non-numeric ir: {e}") from e
             if ir.size == 0:
                 # an empty IR used to surface as an opaque broadcast
                 # TypeError deep in the convolution (fuzz find)
                 raise ConfigError("reverb: ir must be non-empty")
+            if ir.ndim != 1:
+                # a (n, 2) stereo IR used to crash with an opaque
+                # shape error at the first apply() (review find: a
+                # serving process should reject a bad config at
+                # session build, not at the first client read)
+                raise ConfigError(
+                    f"reverb: ir must be 1-D mono, got shape {ir.shape}")
+            if not np.all(np.isfinite(ir)):
+                raise ConfigError("reverb: ir contains NaN/inf")
         elif "ir_wav" in p:
             from xmtpu.io.wav import read_wav
             from xmtpu.ops import convert as _c
@@ -488,7 +500,19 @@ def build_chain(sample_rate: int, chain, default_backend: str | None = None,
             if "name" not in d:
                 raise ConfigError(f"effect entry missing 'name': {e!r}")
             name = d.pop("name")
-            params = dict(d.pop("params", d))
+            if "params" in d:
+                params = dict(d.pop("params"))
+                if d:
+                    # a key sitting NEXT to an explicit 'params' dict
+                    # (e.g. a top-level 'backend') used to be silently
+                    # dropped, bypassing the unknown-parameter gate
+                    # below (review find)
+                    raise ConfigError(
+                        f"{name}: unexpected top-level key(s) "
+                        f"{sorted(d)} alongside 'params' — put effect "
+                        f"parameters inside 'params'")
+            else:
+                params = d
         if name not in _EFFECTS:
             raise ConfigError(
                 f"unknown effect {name!r}; known: {sorted(_EFFECTS)}"
@@ -545,7 +569,18 @@ def _chain_key(sample_rate: int, chain) -> str:
             if "name" not in d:
                 raise ConfigError(f"effect entry missing 'name': {e!r}")
             name = d.pop("name")
-            params = d.pop("params", d)
+            if "params" in d:
+                params = d.pop("params")
+                if d:
+                    # keep the cache key in lockstep with build_chain's
+                    # rejection: an invalid entry must never alias a
+                    # previously-cached valid chain
+                    raise ConfigError(
+                        f"{name}: unexpected top-level key(s) "
+                        f"{sorted(d)} alongside 'params' — put effect "
+                        f"parameters inside 'params'")
+            else:
+                params = d
         params = dict(params)
         if "ir_wav" in params:
             # key IR files by CONTENT signature, not path: a rewritten

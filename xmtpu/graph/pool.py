@@ -61,10 +61,13 @@ class SessionPool:
     ``config``: the shared pipeline config (dict or PipelineConfig).
     ``n_slots``: pool capacity K. ``sources``: optional list of per-slot
     source dicts (name -> pcm | (pcm, sr), as :class:`StreamSession`);
-    missing/None entries start empty. ``max_seconds``: capacity of the
-    device-resident per-slot source buffers (None = the longest source
-    provided at construction; a later ``join`` with a longer clip
-    raises). Attach a user with :meth:`join`, detach with
+    missing/None entries start empty. ``max_seconds``: GUARANTEED
+    capacity of the device-resident per-slot source buffers — the
+    buffers are sized to the LONGER of this and the longest source
+    provided at construction (it is a floor for later ``join``\\s, not
+    a cap on the initial sources; a later ``join`` longer than the
+    resulting capacity raises). Attach a user with :meth:`join`,
+    detach with
     :meth:`leave`, reposition with :meth:`seek`; :meth:`read` advances
     every active slot.
     """
@@ -182,7 +185,8 @@ class SessionPool:
 
         The slot's track native rates and channel counts must match the
         pool geometry, and each source must fit the pool's buffer
-        capacity (``max_seconds``)."""
+        capacity (the longer of ``max_seconds`` and the longest
+        construction-time source)."""
         self._check_slot(slot)
         tracks = _tracks if _tracks is not None else self._build_tracks(sources)
         for j, (ts, gs) in enumerate(zip(tracks, self._geom)):
@@ -328,11 +332,16 @@ class SessionPool:
         """Enqueue one K x k group for the current clocks (non-blocking:
         JAX async dispatch; per-group upload = the (K,) clocks and
         per-slot lengths — the sources already live in HBM)."""
-        fn = self._scan_steps.get(k)
+        fn = self._scan_steps.pop(k, None)
         if fn is None:
-            fn = self._scan_steps[k] = self._make_scan(k)
-            if len(self._scan_steps) > 8:
+            fn = self._make_scan(k)
+            if len(self._scan_steps) >= 8:
+                # evict least-RECENTLY-used (re-insertion below is the
+                # recency bump): FIFO eviction used to drop the hottest
+                # k once 9 distinct group sizes rotated, recompiling a
+                # 30-500 s remote executable on every read (review find)
                 self._scan_steps.pop(next(iter(self._scan_steps)))
+        self._scan_steps[k] = fn
         # np.array COPIES before handing to jax: the host->device
         # transfer can read the source buffer asynchronously, and
         # read()/join()/leave() mutate these numpy arrays in place

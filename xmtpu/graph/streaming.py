@@ -84,20 +84,15 @@ class _TrackStream:
         self.r0 = (-self.start_bus) % self.L
         self.nj = frame_out // self.L + (1 if self.r0 else 0)
 
-    def window(self, frame_idx: int):
-        """(host window array, track-local offset t0) for this frame, or
-        None when the track is silent for the whole frame."""
-        t0 = frame_idx * self.frame_out - self.start_bus
-        if t0 + self.frame_out <= 0:
-            return None  # before track start
-        if not self.cfg.loop and t0 >= self.n_out:
-            return None  # past track end
-        return self.window_always(frame_idx)
-
     def window_always(self, frame_idx: int):
-        """Like :meth:`window` but never None: out-of-range regions come
-        back as zero windows (exact silence — `_gather` zero-fills), so a
-        fixed-shape window exists for every frame (the scan path)."""
+        """(host window array, track-local offset t0) for this frame.
+        Never None: out-of-range regions come back as zero windows
+        (exact silence — `_gather` zero-fills), so a fixed-shape window
+        exists for every frame. Load-bearing invariant: a None-for-
+        silent shortcut would change the step's argument pytree
+        whenever a track starts or ends mid-stream, retracing the
+        jitted step (a 30-500 s remote compile stall; round-2 review
+        find) — do not reintroduce one."""
         t0 = frame_idx * self.frame_out - self.start_bus
         if self.plan is None:
             idx = np.arange(t0, t0 + self.frame_out)
@@ -250,10 +245,24 @@ class StreamSession:
     # -- device step ---------------------------------------------------------
 
     def _make_step(self):
-        return _session_step_fn(
+        step = _session_step_fn(
             self.tracks, self.voice_effects, self.master_effects, self.nch,
             self.frame_out, self.has_duck, self.duck_params, self.sr,
         )
+        if self.output_dtype != np.int16:
+            return step
+
+        def step_i16(windows, offsets, state):
+            # convert on DEVICE (pinned round-half-away twin, bit-exact
+            # vs the numpy path): halves every fetch's bytes — and the
+            # prefetch_depth eager copies' — exactly as the pool does
+            # (review find: the session fetched f32 and converted on
+            # host, doubling per-frame traffic on the links the depth
+            # feature targets)
+            out, st = step(windows, offsets, state)
+            return _convert.f32_to_pcm16(out), st
+
+        return step_i16
 
     # -- public API ------------------------------------------------------------
 
@@ -318,10 +327,9 @@ class StreamSession:
         self.fx_state = state
         self.frame_idx = idx + 1
         self._fill_queue()  # overlap: next frames compute + copy out
-        out = np.asarray(out_dev).T  # (frame, ch) — lands the copy
-        if self.output_dtype == np.int16:
-            out = _convert.f32_to_pcm16_np(out)
-        return out
+        # (frame, ch) — lands the copy; already output_dtype (int16
+        # conversion runs on device, see _make_step)
+        return np.asarray(out_dev).T
 
     def read_many(self, k: int) -> np.ndarray:
         """Read k frames with ONE device dispatch and ONE host fetch ->
@@ -346,10 +354,8 @@ class StreamSession:
         self.fx_state = state
         self.frame_idx += k
         self._queue.clear()
-        out = np.asarray(out_dev).T  # (k*frame, ch)
-        if self.output_dtype == np.int16:
-            out = _convert.f32_to_pcm16_np(out)
-        return out
+        # (k*frame, ch) — already output_dtype (device-side conversion)
+        return np.asarray(out_dev).T
 
     def _make_scan(self):
         step = self._make_step()
@@ -445,8 +451,7 @@ def _session_step_fn(tracks, voice_effects, master_effects, nch: int,
         ducked = jnp.zeros((nch, frame_out), jnp.float32)
         other = jnp.zeros((nch, frame_out), jnp.float32)
         for k, (ts, w, off) in enumerate(zip(tracks, windows, offsets)):
-            if w is None:
-                continue
+            # w is never None (window_always invariant: fixed pytree)
             if ts.plan is None:
                 y = w
             else:

@@ -170,7 +170,8 @@ def plan_rows(plan: ResamplePlan, nj: int) -> int:
     return nj + nslab
 
 
-def resample_window(xs: jnp.ndarray, plan: ResamplePlan, nj: int, dtype=jnp.float32):
+def resample_window(xs: jnp.ndarray, plan: ResamplePlan, nj: int, dtype=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST):
     """Core MXU compute: contiguous input window -> nj*L output samples.
 
     ``xs``: (..., plan_rows(plan, nj) * M) where ``xs[k]`` is input sample
@@ -191,7 +192,7 @@ def resample_window(xs: jnp.ndarray, plan: ResamplePlan, nj: int, dtype=jnp.floa
     F = F[..., : plan.width]
     # one MXU matmul: [..., nj, width] @ [width, L] -> [..., nj, L]
     hbank = jnp.asarray(plan.hbank, dtype=dtype)
-    out2d = jnp.matmul(F, hbank, precision=jax.lax.Precision.HIGHEST)
+    out2d = jnp.matmul(F, hbank, precision=precision)
     return out2d.reshape(*batch, nj * L)
 
 
@@ -389,11 +390,12 @@ def _apply_plan(x: jnp.ndarray, plan: ResamplePlan, dtype,
         out = jax.lax.conv_general_dilated(
             lhs, rhs, window_strides=(M,), padding="VALID",
             dimension_numbers=("NWC", "WIO", "NWC"),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=precision,
         )  # (R, nj', L) with nj' >= nj
         out = out[:, :nj, :].reshape(*batch, nj * L)
         return out[..., :out_len]
-    return resample_window(xs, plan, nj, dtype)[..., :out_len]
+    return resample_window(xs, plan, nj, dtype,
+                           precision=precision)[..., :out_len]
 
 
 # ---------------------------------------------------------------------------

@@ -24,6 +24,17 @@ def _next_pow2(n: int) -> int:
     return 1 << max(0, (n - 1).bit_length())
 
 
+def fftconv_gp(block: int) -> int:
+    """Measured-optimal pair-group count for ``kernels/fftconv`` at
+    this overlap-save block size (round-3 chip sweep, BASELINE.md):
+    16 at 32768, 4 at 65536 (4.54 vs 4.90 ms at the config-3 shape),
+    1 above. Single source of truth for the block->gp table — shared
+    by ``batch._reverb_block`` and ``graph.fx._reverb_block_for`` so a
+    future sweep cannot update one chain and leave the other stale
+    (review find)."""
+    return {32768: 16, 65536: 4}.get(block, 1)
+
+
 def trim_ir_tail(h: np.ndarray, rel: float = 1e-6) -> np.ndarray:
     """Drop the numerically-dead tail of a host-side impulse response:
     keep taps through the last index whose REMAINING l1 mass exceeds
