@@ -89,6 +89,12 @@ if __name__ == "__main__":
             kw[k] = float(v)
         elif k in ("iir_backend", "resample_backend"):
             kw[k] = v
+        else:
+            # a typo'd key used to fall through silently and measure
+            # the DEFAULT config while reporting success — a backend
+            # probe decision could be made on the wrong number
+            sys.exit(f"bench.py: unknown argument {a!r} (known: batch, "
+                     "iters, clip_seconds, iir_backend, resample_backend)")
     try:
         print(json.dumps(main(**kw)))
     except RuntimeError as e:

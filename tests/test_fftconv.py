@@ -116,3 +116,18 @@ def test_reverb_trim_requires_pure_conv():
         _rv.reverb(jnp.zeros((2, 4800)), jnp.ones(100), wet=0.3, dry=0.7,
                    backend="pallas", block=16384, interpret=True,
                    trim=False)
+
+
+def test_non_power_of_two_block_raises():
+    """The block requirement used to be enforced only by a bare assert
+    in ops.fftmm._split_factors — opaque to the caller and stripped
+    under python -O (review find)."""
+    import numpy as np
+    import pytest
+
+    from xmtpu.kernels.fftconv import fir_convolve_os_pallas
+
+    x = np.zeros((2, 4096), np.float32)
+    ir = np.zeros(64, np.float32)
+    with pytest.raises(ValueError, match="power of two"):
+        fir_convolve_os_pallas(x, ir, block=48000, interpret=True)

@@ -196,3 +196,18 @@ def test_suppress_validates_mode_even_with_explicit_psd():
         ns.suppress(x, noise_update="adativ", noise_psd=p)
     with pytest.raises(ValueError, match="pins the estimate"):
         ns.suppress(x, noise_update="adaptive", noise_psd=p)
+
+
+def test_stream_noise_frames_mismatch_raises():
+    """A noise_frames value that disagrees with the state's lead buffer
+    used to be silently absorbed by JAX index clamping, computing the
+    lead median over the wrong window (review find)."""
+    import numpy as np
+    import pytest
+
+    from xmtpu.ops import ns
+
+    st = ns.stream_init(1, noise_frames=8)
+    x = np.zeros((1, 512), np.float32)
+    with pytest.raises(ValueError, match="lead buffer"):
+        ns.stream_suppress(x, st, noise_frames=16)

@@ -243,3 +243,29 @@ def test_sp_effects_chain_megasample_shards(rng):
     db = rms_db(got - ref, ref)
     assert db <= -80.0, db
     assert wall < 600.0, f"compile+run took {wall:.0f}s"
+
+
+def test_sp_jit_cache_reuses_and_keys_on_content(mesh, rng):
+    """Repeat calls must reuse the cached SPMD program (the entry
+    points used to jit a fresh closure per call — a 30-500 s remote
+    recompile per clip), while changed closed-over arrays (taps) must
+    MISS the cache instead of reusing a stale baked constant."""
+    from xmtpu.parallel import sp as _sp
+
+    x = rng.standard_normal((2, 8 * 512)).astype(np.float32)
+    taps_a = np.zeros(9, np.float32); taps_a[0] = 1.0
+    taps_b = np.zeros(9, np.float32); taps_b[4] = 1.0  # 4-sample delay
+    _sp._JIT_CACHE.clear()
+    ya1 = np.asarray(sp_fir(jnp.asarray(x), taps_a, mesh))
+    assert len(_sp._JIT_CACHE) == 1
+    fn_first = next(iter(_sp._JIT_CACHE.values()))
+    ya2 = np.asarray(sp_fir(jnp.asarray(x), taps_a, mesh))
+    assert len(_sp._JIT_CACHE) == 1
+    assert next(iter(_sp._JIT_CACHE.values())) is fn_first
+    np.testing.assert_array_equal(ya1, ya2)
+    yb = np.asarray(sp_fir(jnp.asarray(x), taps_b, mesh))
+    assert len(_sp._JIT_CACHE) == 2  # content-keyed: new taps, new entry
+    # identity taps pass through; delay taps shift — a stale cache hit
+    # would have made these equal
+    np.testing.assert_allclose(ya1, x, atol=1e-6)
+    np.testing.assert_allclose(yb[:, 4:], x[:, :-4], atol=1e-6)

@@ -31,9 +31,11 @@ def _timeit(fn, fetch, warmup=1, iters=40):
     of full outputs is NOT included in any throughput number; config 5
     (streaming) measures it separately.
     """
+    out = None
     for _ in range(warmup):
         out = fn()
-    fetch(out)
+    if out is not None:
+        fetch(out)  # land the warmup before opening the timed region
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn()
@@ -57,8 +59,7 @@ def config1_resample(batch=32, seconds=10.0):
     def run(v):
         return resample.polyphase_resample(convert.pcm16_to_f32(v), 44100, 16000)
 
-    dt = _timeit(lambda: run(xd), lambda o: np.asarray(o[0, :4]),
-                 iters=20)
+    dt = _timeit(lambda: run(xd), lambda o: np.asarray(o[0, :4]))
     return {"config": 1, "desc": "44.1k->16k polyphase + i16->f32",
             "audio_sec_per_sec": batch * seconds / dt}
 

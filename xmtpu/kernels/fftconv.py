@@ -393,6 +393,13 @@ def fir_convolve_os_pallas(x: jnp.ndarray, ir, block: int = 65536,
     limiter envelope's ``n_valid``) skip it and fuse the final slice
     into their own elementwise epilogue.
     """
+    if block < 2 or block & (block - 1):
+        # enforced here at the public boundary: the only other guard
+        # was a bare assert in ops.fftmm._split_factors — opaque to
+        # the caller and stripped under python -O, after which a
+        # non-power-of-two block died much later in hop geometry with
+        # a confusing shape error (review find)
+        raise ValueError(f"block must be a power of two, got {block}")
     ir_np = np.ascontiguousarray(np.asarray(ir, np.float64))
     m = ir_np.shape[-1]
     n1, n2 = _split_factors(block)

@@ -193,12 +193,8 @@ def suppress(
                                       float(noise_smooth),
                                       float(presence_thresh),
                                       float(up_leak))
-    elif noise_update == "frozen":
+    else:  # "frozen" (the only value left after the check above)
         noise = jnp.median(psd[..., :noise_frames, :], axis=-2, keepdims=True)
-    else:
-        raise ValueError(
-            f"noise_update must be 'frozen' or 'adaptive', got "
-            f"{noise_update!r}")
     snr = jnp.maximum(P / jnp.maximum(noise, 1e-20) - 1.0, 0.0)
     G = jnp.maximum(snr / (1.0 + snr), jnp.float32(floor))
     y = istft(X * G, x.shape[-1], nfft)
@@ -251,6 +247,15 @@ def stream_suppress(x, state, nfft: int = _DEF_NFFT, noise_frames: int = 8,
         raise ValueError(
             f"noise_update must be 'frozen' or 'adaptive', got "
             f"{noise_update!r}")
+    if state["lead"].shape[0] != noise_frames:
+        # a mismatched noise_frames used to be silently absorbed by
+        # JAX index clamping — frames past the smaller lead buffer
+        # overwrote its last row and the "median of noise_frames"
+        # was computed over the wrong window (review find)
+        raise ValueError(
+            f"noise_frames={noise_frames} does not match the state's "
+            f"lead buffer ({state['lead'].shape[0]} frames from "
+            "stream_init); pass the same value to both")
     hop = nfft // 2
     n = x.shape[-1]
     if n % hop:

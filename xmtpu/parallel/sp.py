@@ -35,6 +35,34 @@ from xmtpu.ops import biquad as _biquad
 
 P = jax.sharding.PartitionSpec
 
+_JIT_CACHE: dict = {}
+
+
+def _array_sig(a) -> tuple:
+    """Content signature for a host array baked into a shard_map body."""
+    import hashlib
+
+    a = np.ascontiguousarray(np.asarray(a))
+    return (a.shape, str(a.dtype), hashlib.sha1(a.tobytes()).hexdigest())
+
+
+def _cached_jit(key, build):
+    """Module-level LRU of jitted SPMD programs. The entry points used
+    to call ``jax.jit(fn)`` on a FRESH shard_map closure every
+    invocation, so jax's own cache (keyed on function identity) never
+    hit and every call re-traced and re-compiled — 30-500 s per remote
+    compile at the shard lengths SP exists for (review find).
+    Closed-over host arrays enter ``key`` by content hash (via
+    :func:`_array_sig`), so a changed sos/ir/taps cannot reuse a stale
+    baked constant."""
+    fn = _JIT_CACHE.pop(key, None)
+    if fn is None:
+        fn = jax.jit(build())
+        if len(_JIT_CACHE) >= 16:
+            _JIT_CACHE.pop(next(iter(_JIT_CACHE)))
+    _JIT_CACHE[key] = fn  # (re)insert last = most recently used
+    return fn
+
 
 def _sp_perm(n: int):
     """left -> right neighbor permutation (device i sends to i+1)."""
@@ -119,14 +147,19 @@ def sp_fir(x, taps, mesh, wet: float = 1.0, dry: float = 0.0,
         block = _fir_block_auto(x.shape[-1] // mesh.shape["sp"],
                                 taps.shape[-1])
 
-    def body(xl):
-        w = _local_fir(xl, taps, "sp", block=block)
-        return jnp.asarray(dry, xl.dtype) * xl + jnp.asarray(wet, xl.dtype) * w
+    def build():
+        def body(xl):
+            w = _local_fir(xl, taps, "sp", block=block)
+            return (jnp.asarray(dry, xl.dtype) * xl
+                    + jnp.asarray(wet, xl.dtype) * w)
 
-    fn = jax.shard_map(body, mesh=mesh, in_specs=P(*(None,) * (x.ndim - 1), "sp"),
-                       out_specs=P(*(None,) * (x.ndim - 1), "sp"),
-                       check_vma=False)
-    return jax.jit(fn)(x)
+        return jax.shard_map(
+            body, mesh=mesh, in_specs=P(*(None,) * (x.ndim - 1), "sp"),
+            out_specs=P(*(None,) * (x.ndim - 1), "sp"), check_vma=False)
+
+    key = ("fir", mesh, x.ndim, block, float(wet), float(dry),
+           _array_sig(taps))
+    return _cached_jit(key, build)(x)
 
 
 # ---------------------------------------------------------------------------
@@ -233,16 +266,20 @@ def sp_biquad(sos, x, mesh, state_dtype=jnp.float64, engine: str = "auto",
         engine = "kernel" if n_shard >= 32768 else "scan"
     if interpret is None:
         interpret = _interpret_auto()
-    if engine == "kernel":
-        body = partial(_local_biquad_kernel, sos_np=np.asarray(sos),
-                       axis="sp", interpret=interpret)
-    else:
-        body = partial(_local_biquad, sos=np.asarray(sos), axis="sp",
-                       state_dtype=state_dtype)
-    fn = jax.shard_map(body, mesh=mesh, in_specs=P(*(None,) * (x.ndim - 1), "sp"),
-                       out_specs=P(*(None,) * (x.ndim - 1), "sp"),
-                       check_vma=False)
-    return jax.jit(fn)(x)
+    def build():
+        if engine == "kernel":
+            body = partial(_local_biquad_kernel, sos_np=np.asarray(sos),
+                           axis="sp", interpret=interpret)
+        else:
+            body = partial(_local_biquad, sos=np.asarray(sos), axis="sp",
+                           state_dtype=state_dtype)
+        return jax.shard_map(
+            body, mesh=mesh, in_specs=P(*(None,) * (x.ndim - 1), "sp"),
+            out_specs=P(*(None,) * (x.ndim - 1), "sp"), check_vma=False)
+
+    key = ("biquad", mesh, x.ndim, engine, bool(interpret),
+           str(state_dtype), _array_sig(sos))
+    return _cached_jit(key, build)(x)
 
 
 # ---------------------------------------------------------------------------
@@ -346,15 +383,20 @@ def sp_envelope(d, sr: int, mesh, attack_ms=1.0, release_ms=100.0,
         engine = "kernel" if n_shard >= 32768 else "scan"
     if interpret is None:
         interpret = _interpret_auto()
-    if engine == "kernel":
-        body = partial(_local_envelope_kernel, k_rel=k_rel, c_att=c_att,
-                       axis="sp", interpret=interpret)
-    else:
-        body = partial(_local_envelope, k_rel=k_rel, c_att=c_att, axis="sp")
-    fn = jax.shard_map(body, mesh=mesh, in_specs=P(*(None,) * (d.ndim - 1), "sp"),
-                       out_specs=P(*(None,) * (d.ndim - 1), "sp"),
-                       check_vma=False)
-    return jax.jit(fn)(d)
+    def build():
+        if engine == "kernel":
+            body = partial(_local_envelope_kernel, k_rel=k_rel,
+                           c_att=c_att, axis="sp", interpret=interpret)
+        else:
+            body = partial(_local_envelope, k_rel=k_rel, c_att=c_att,
+                           axis="sp")
+        return jax.shard_map(
+            body, mesh=mesh, in_specs=P(*(None,) * (d.ndim - 1), "sp"),
+            out_specs=P(*(None,) * (d.ndim - 1), "sp"), check_vma=False)
+
+    key = ("env", mesh, d.ndim, engine, bool(interpret),
+           float(k_rel), float(c_att))
+    return _cached_jit(key, build)(d)
 
 
 # ---------------------------------------------------------------------------
@@ -436,6 +478,13 @@ def sp_effects_chain(x, sr: int, mesh, bands, ir, wet=0.3, dry=0.7,
     spec = [None] * (x.ndim - 1) + ["sp"]
     if dp_axis is not None:
         spec[0] = dp_axis
-    fn = jax.shard_map(body, mesh=mesh, in_specs=P(*spec),
-                       out_specs=P(*spec), check_vma=False)
-    return jax.jit(fn)(x)
+
+    def build():
+        return jax.shard_map(body, mesh=mesh, in_specs=P(*spec),
+                             out_specs=P(*spec), check_vma=False)
+
+    key = ("chain", mesh, x.ndim, engine, bool(interpret), fir_block,
+           float(wet), float(dry), float(threshold_db), float(knee_db),
+           float(k_rel), float(c_att), float(ceil_amp), dp_axis,
+           _array_sig(sos), _array_sig(ir))
+    return _cached_jit(key, build)(x)
