@@ -424,3 +424,26 @@ def test_run_batch_accepts_generators_and_deques(tmp_path, rng):
                                    out=str(tmp_path / "d.wav"))]),
         sr_in=SR_IN, sr_bus=SR_BUS, step_kw={"interpret": True})
     assert rep2.done == 1
+
+
+def test_pipelined_writer_stage_crash_does_not_hang(tmp_path, rng, monkeypatch):
+    """An unexpected exception OUTSIDE _write_chunk's per-job isolation
+    must not kill the writer thread and deadlock the bounded queue —
+    the run must finish with every job in report.failed (review find)."""
+    from xmtpu import runner as _runner
+
+    clips = _clips(rng, [22050, 30000, 15000])
+    jobs = []
+    for i, c in enumerate(clips):
+        p = tmp_path / f"in_{i}.wav"
+        write_wav(str(p), c, SR_IN)
+        jobs.append(ClipJob(voice=str(p), out=str(tmp_path / f"o_{i}.wav")))
+
+    def boom(*a, **kw):
+        raise RuntimeError("synthetic write-stage failure")
+
+    monkeypatch.setattr(_runner, "_write_chunk", boom)
+    rep = run_batch(jobs, sr_in=SR_IN, sr_bus=SR_BUS, batch_size=2,
+                    step_kw={"interpret": True}, pipeline=True)
+    assert rep.done == 0 and len(rep.failed) == 3
+    assert all("write stage failed" in msg for _, msg in rep.failed)

@@ -81,3 +81,27 @@ def test_raw_pcm_decoder(tmp_path, rng):
     np.testing.assert_array_equal(got[:, 0], pcm)
     with pytest.raises(ValueError):
         open_audio(str(p))  # missing sample_rate
+
+
+def test_decoder_recreate_closes_previous(tmp_path, rng):
+    """decoder_create on an already-open handle must close it first
+    (the old handle used to leak a native decoder / file descriptor
+    per file in a directory-scan loop — review find)."""
+    import numpy as np
+
+    from xmtpu.compat import XmAudioUtils
+    from xmtpu.io.wav import write_wav
+
+    p = str(tmp_path / "a.wav")
+    write_wav(p, (rng.standard_normal(4000) * 9000).astype(np.int16),
+              16000)
+    u = XmAudioUtils()
+    u.decoder_create(p)
+    first = u._decoder
+    closed = []
+    orig = first.close
+    first.close = lambda: (closed.append(1), orig())
+    u.decoder_create(p)
+    assert closed, "previous decoder was not closed on re-create"
+    assert u.decoder_get_pcm(1000) is not None
+    u.decoder_freep()

@@ -222,3 +222,19 @@ def test_fade_ramp_exact_past_2_24(rng):
     ref = np.clip((length - i) / fade, 0.0, 1.0)
     np.testing.assert_allclose(g, ref.astype(np.float32), rtol=0, atol=1e-7)
     assert len(np.unique(g)) == n  # strictly decreasing, no plateaus
+
+
+def test_partial_channel_mismatch_rejected(rng):
+    """1 < ch < nch has no defined upmix; it used to die in jnp.stack
+    deep inside the jit trace with an opaque shape error (review
+    find)."""
+    import pytest
+
+    from xmtpu.graph.mixer import mix
+    from xmtpu.utils.errors import ConfigError
+
+    stereo = (rng.standard_normal((1000, 2)) * 0.1).astype(np.float32)
+    quad = (rng.standard_normal((1000, 4)) * 0.1).astype(np.float32)
+    with pytest.raises(ConfigError, match="only mono tracks upmix"):
+        mix([{"pcm": stereo, "sr": 16000}, {"pcm": quad, "sr": 16000}],
+            16000)

@@ -20,12 +20,29 @@ import sys
 import time
 
 
+def _check_rate(rate: int, sr: int) -> None:
+    """Reject rates the polyphase path cannot sensibly serve — the same
+    sanity rule as runner._decode_job (review find: --rate 0 used to
+    die with a low-level ZeroDivisionError; --rate 44101 designed a
+    ~44101-phase filter bank and hung in a massive compile)."""
+    import math
+
+    if not (4000 <= rate <= 192000):
+        raise SystemExit(f"--rate must be in [4000, 192000], got {rate}")
+    g = math.gcd(sr, rate)
+    if sr // g > 2048 or rate // g > 2048:
+        raise SystemExit(
+            f"unreasonable polyphase ratio {rate // g}/{sr // g} for "
+            f"{sr} -> {rate} Hz")
+
+
 def _cmd_resample(args) -> int:
     import numpy as np
     from xmtpu import api
     from xmtpu.io import read_wav, write_wav
 
     pcm, sr = read_wav(args.input)
+    _check_rate(args.rate, sr)
     t0 = time.perf_counter()
     out = api.resample(pcm, sr, args.rate)
     dt = time.perf_counter() - t0
@@ -64,6 +81,13 @@ def _cmd_effects(args) -> int:
                 f"{args.chain}: expected a JSON list of effects or an "
                 "object with an 'effects' key")
         chain = chain["effects"]
+    if args.block_size < 0:
+        # a sign typo used to silently disable the block scheduler —
+        # the most expensive possible behavior (whole-clip remote
+        # compile per distinct length) with no signal (review find)
+        raise SystemExit(
+            f"--block-size must be > 0 (or 0 for whole-clip), got "
+            f"{args.block_size}")
     bs = args.block_size if args.block_size > 0 else None
     out = api.effects(pcm, sr, chain, block_size=bs)
     write_wav(args.output, np.asarray(out), sr)

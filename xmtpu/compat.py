@@ -87,6 +87,9 @@ class XmAudioUtils:
         handle (xm_ff_open); WAV/PCM use the in-memory backend."""
         from xmtpu.io import open_audio
 
+        self.decoder_freep()  # close any previous handle — re-create
+        # used to leak the native FFmpeg decoder / file descriptor
+        # (review find: a directory scan hit EMFILE after ~1024 files)
         self._decoder = open_audio(str(path))
         return 0
 

@@ -98,6 +98,21 @@ def mix(tracks, sample_rate: int, normalize: str | None = "peak",
         sr = t.sr or sample_rate
         n_bus = _resample.resample_output_len(pcm.shape[0], *_ratio(sr, sample_rate))
         prepared.append((pcm, sr, n_bus, t))
+    for (pcm, _, _, _) in prepared:
+        if pcm.shape[1] not in (1, nch):
+            # only mono-to-nch upmix is defined; a 2-ch track next to a
+            # 4-ch one used to die in jnp.stack deep inside the jit
+            # trace with an opaque shape error (review find)
+            from xmtpu.utils.errors import ConfigError
+
+            raise ConfigError(
+                f"cannot mix a {pcm.shape[1]}-channel track with "
+                f"{nch}-channel material: only mono tracks upmix")
+    # static per-track params WITHOUT the host PCM: `build` is cached
+    # below and must not pin every clip's full PCM in its closure for
+    # the cache's lifetime (review find — 64 cached plans x full-clip
+    # PCM grew unbounded in a long-running service)
+    meta = [(sr, n_bus, t) for (_, sr, n_bus, t) in prepared]
 
     if duration_ms is not None:
         total = _ms_to_samples(duration_ms, sample_rate)
@@ -110,19 +125,19 @@ def mix(tracks, sample_rate: int, normalize: str | None = "peak",
         # round-2 review find.)
         finite = [
             _ms_to_samples(t.start_ms, sample_rate) + n_bus
-            for (_, _, n_bus, t) in prepared if not t.loop
+            for (_, n_bus, t) in meta if not t.loop
         ]
         if finite:
             total = max(finite)
         else:
             total = max(
                 _ms_to_samples(t.start_ms, sample_rate) + n_bus
-                for (_, _, n_bus, t) in prepared
+                for (_, n_bus, t) in meta
             )
 
     def build(device_tracks):
         placed = []
-        for x, (pcm, sr, n_bus, t) in zip(device_tracks, prepared):
+        for x, (sr, n_bus, t) in zip(device_tracks, meta):
             y = x  # (ch, n) f32 at native rate
             if sr != sample_rate:
                 y = _resample.polyphase_resample(y, sr, sample_rate)
@@ -151,11 +166,11 @@ def mix(tracks, sample_rate: int, normalize: str | None = "peak",
         # three buses, mirroring the streaming session's step: voice
         # (gets voice_effects, drives the duck envelope), side-ducked,
         # everything else
-        voice = [p for p, (_, _, _, t) in zip(placed, prepared)
+        voice = [p for p, (_, _, t) in zip(placed, meta)
                  if t.kind == "voice" and not t.side_duck]
-        ducked = [p for p, (_, _, _, t) in zip(placed, prepared)
+        ducked = [p for p, (_, _, t) in zip(placed, meta)
                   if t.side_duck]
-        other = [p for p, (_, _, _, t) in zip(placed, prepared)
+        other = [p for p, (_, _, t) in zip(placed, meta)
                  if t.kind != "voice" and not t.side_duck]
         zeros = jnp.zeros((nch, total), jnp.float32)
         voice_bus = _mix.mix_sum(jnp.stack(voice)) if voice else zeros

@@ -43,7 +43,13 @@ _PRECISION = _HI  # module default; fir_convolve_os_mxu can override
 
 def _split_factors(block: int) -> tuple[int, int]:
     """Balanced power-of-two factorization N1*N2 = block (N1 <= N2)."""
-    assert block & (block - 1) == 0 and block >= 4, block
+    if block < 4 or block & (block - 1):
+        # a typed error at the shared helper (every DFT-as-matmul
+        # entry funnels through here): the bare assert was opaque to
+        # callers and stripped under python -O, after which a bad
+        # block surfaced as an unrelated reshape error (review find)
+        raise ValueError(
+            f"block must be a power of two >= 4, got {block}")
     p = block.bit_length() - 1
     return 1 << (p // 2), 1 << (p - p // 2)
 

@@ -380,11 +380,28 @@ def _run_batch_pipelined(todo, report, sr_in, sr_bus, batch_size, step_kw,
                     report.failed.append(
                         (job.out, f"device step failed: {e}"))
                 continue
-            _write_chunk(report, chunk, lengths, out, rate, sr_bus,
-                         write_done_markers)
+            try:
+                _write_chunk(report, chunk, lengths, out, rate, sr_bus,
+                             write_done_markers)
+            except Exception as e:
+                # _write_chunk isolates per-job write failures itself;
+                # this catches anything unexpected OUTSIDE that
+                # isolation so the writer thread cannot die and leave
+                # the main thread blocked on the bounded queue
+                # (review find)
+                log.warning("bucket (%s Hz, %s) write stage failed: %s",
+                            rate, edge, e)
+                for (job, _, _) in chunk:
+                    report.failed.append(
+                        (job.out, f"write stage failed: {e}"))
 
-    t_prod = threading.Thread(target=producer, name="xmtpu-decode")
-    t_write = threading.Thread(target=writer, name="xmtpu-write")
+    # daemon: an exception that escapes the orchestration below (e.g.
+    # KeyboardInterrupt mid-batch) must never leave a blocked helper
+    # thread holding the interpreter open (review find)
+    t_prod = threading.Thread(target=producer, name="xmtpu-decode",
+                              daemon=True)
+    t_write = threading.Thread(target=writer, name="xmtpu-write",
+                               daemon=True)
     t_prod.start()
     t_write.start()
 
@@ -402,19 +419,45 @@ def _run_batch_pipelined(todo, report, sr_in, sr_bus, batch_size, step_kw,
             for (job, _, _) in items:
                 report.failed.append((job.out, f"device step failed: {e}"))
             return
-        write_q.put((items, lengths, out_dev, rate, edge))
+        payload = (items, lengths, out_dev, rate, edge)
+        while True:  # never block forever on a dead writer (review find)
+            try:
+                write_q.put(payload, timeout=1.0)
+                return
+            except _queue.Full:
+                if not t_write.is_alive():
+                    for (job, _, _) in items:
+                        report.failed.append(
+                            (job.out, "writer thread died"))
+                    return
 
-    while (item := chan.get()) is not None:
-        (v, b), (job, rate) = item
-        key = (rate, _bucket_edge(len(v)))
-        seen_buckets.add(key)
-        buckets.setdefault(key, []).append((job, v, b))
-        if len(buckets[key]) >= batch_size:
-            flush(key, buckets.pop(key))
-    for key in sorted(buckets):  # end-of-stream stragglers
-        flush(key, buckets[key])
-    report.buckets = len(seen_buckets)
-
-    t_prod.join()
-    write_q.put(None)
-    t_write.join()
+    ok = False
+    try:
+        while (item := chan.get()) is not None:
+            (v, b), (job, rate) = item
+            key = (rate, _bucket_edge(len(v)))
+            seen_buckets.add(key)
+            buckets.setdefault(key, []).append((job, v, b))
+            if len(buckets[key]) >= batch_size:
+                flush(key, buckets.pop(key))
+        for key in sorted(buckets):  # end-of-stream stragglers
+            flush(key, buckets[key])
+        report.buckets = len(seen_buckets)
+        t_prod.join()
+        ok = True
+    finally:
+        # ALWAYS unblock the writer — the sentinel used to be sent only
+        # on the happy path, so an exception here left the (formerly
+        # non-daemon) writer blocked on get() forever. The put itself
+        # must not block forever either: if the writer died with the
+        # queue full, retry with a timeout while checking liveness.
+        while True:
+            try:
+                write_q.put(None, timeout=1.0)
+                break
+            except _queue.Full:
+                if not t_write.is_alive():
+                    break
+        # happy path: wait for every queued chunk to land on disk;
+        # exception path: bounded wait, the daemon flag guarantees exit
+        t_write.join(None if ok else 10.0)
