@@ -293,3 +293,22 @@ def test_decode_corrupt_files_fail_typed_never_crash(tmp_path):
                 h.close()
         except (ValueError, RuntimeError, OSError):
             pass
+
+
+def test_encode_without_shim_raises_not_riff(tmp_path, monkeypatch):
+    """With the shim unavailable, encoding a compressed extension must
+    raise a typed error — the old silent WAV fallback wrote RIFF bytes
+    into a .m4a that this library's own decoder then refused to read
+    back (review find)."""
+    import pytest
+
+    from xmtpu.native import ffmpeg as _ff
+    from xmtpu.io import encode_audio
+    from xmtpu.utils.errors import XmtpuError
+
+    monkeypatch.setattr(_ff, "available", lambda: False)
+    p = str(tmp_path / "x.m4a")
+    with pytest.raises(XmtpuError, match="shim unavailable"):
+        encode_audio(p, _tone(0.3), SR)
+    import os
+    assert not os.path.exists(p)

@@ -89,3 +89,23 @@ def test_mixer_normalize_lufs(rng):
     )
     got = measure_lufs_np(np.asarray(out, np.float64), SR)
     assert abs(got - (-20.0)) < 0.05, got
+
+
+def test_int16_pcm_handled_like_float(rng):
+    """int16 input used to be cast raw to f32 (reading ~90.3 dB too
+    loud) and lufs_normalize's gain was truncated to int16 (returning
+    all-zero 'normalized' audio) — review find."""
+    from xmtpu.ops.loudness import lufs_normalize, measure_lufs
+
+    sr = 48000
+    t = np.arange(sr * 2) / sr
+    f32 = (0.25 * np.sin(2 * np.pi * 997.0 * t)).astype(np.float32)
+    i16 = (f32 * 32768.0).clip(-32768, 32767).astype(np.int16)
+    l_f = float(measure_lufs(f32, sr))
+    l_i = float(measure_lufs(i16, sr))
+    assert abs(l_f - l_i) < 0.01, (l_f, l_i)
+    y, gain = lufs_normalize(i16, sr, target_lufs=-23.0)
+    assert np.asarray(y).dtype == np.int16
+    assert np.abs(np.asarray(y)).max() > 0  # was all-zero silence
+    l_y = float(measure_lufs(np.asarray(y), sr))
+    assert abs(l_y - (-23.0)) < 0.1, l_y

@@ -16,7 +16,6 @@ import numpy as np
 from xmtpu.config.schema import PipelineConfig
 from xmtpu.graph import mixer as _mixer
 from xmtpu.io import open_audio
-from xmtpu.io.wav import write_wav
 from xmtpu.ops import convert as _convert
 from xmtpu.utils.errors import ConfigError
 
@@ -102,7 +101,13 @@ def process(inputs, config: PipelineConfig, progress=None) -> np.ndarray:
             mixed = _fx.apply_chain(mixed, config.sample_rate,
                                     list(config.master_effects),
                                     block_size=config.block_size)
-        except ConfigError:  # offline-only effect (NS): whole-clip fallback
+        except ConfigError as e:
+            # whole-clip fallback ONLY for the blocked scheduler's
+            # offline-only-NS rejection — a genuinely invalid chain
+            # used to be rebuilt unblocked just to raise the same
+            # error again (review find)
+            if "offline-only" not in str(e):
+                raise
             mixed = _fx.apply_chain(mixed, config.sample_rate,
                                     list(config.master_effects))
     if mixed.dtype != np.int16:

@@ -219,7 +219,7 @@ class StreamDecoder:
             if not len(c):
                 break
             chunks.append(c)
-        self.seek(pos * 1000.0 / self.sample_rate)
+        self.seek_sample(pos)  # exact, no ms round-trip
         return np.concatenate(chunks) if chunks else \
             np.empty((0, self.num_channels), np.int16)
 
@@ -252,8 +252,12 @@ def register() -> bool:
     open/encode, not at `import xmtpu` (round-2 review find: the eager
     available() probe compiled the shim at import time even for
     WAV-only workloads, and re-ran a failing build in every process on
-    toolchain-broken machines). Returns True — the registration itself
-    always succeeds; availability is checked on use.
+    toolchain-broken machines). Returns a CHEAP availability estimate
+    (prebuilt shim .so present, or libav libraries findable — no
+    build): an unconditional True made io.HAVE_FFMPEG useless as a
+    gate, so libav-less machines took the compressed path and failed
+    instead of skipping (review find). A True can still turn out
+    unusable if the shim build itself fails; use raises then.
     """
     from xmtpu.io.decoder import register_backend
     from xmtpu.io.encoder import register_encoder
@@ -266,18 +270,26 @@ def register() -> bool:
 
     def _enc(path: str, pcm, sample_rate: int, **kw) -> None:
         if not available():
-            # preserve the registry's libav-absent behavior: WAV bytes
-            # rather than a hard failure (documented WAV fallback)
-            from xmtpu.io.wav import write_wav
+            # no silent WAV fallback: writing RIFF bytes under a
+            # compressed extension produced a file this library's own
+            # decoder then REFUSED to read back, and downstream AAC/MP3
+            # consumers reject (review find — the same asymmetry the
+            # round-2 process_file RIFF fix targeted; decode raises,
+            # encode must too). Users who want WAV can name the file
+            # .wav and hit the WAV encoder directly.
+            from xmtpu.utils.errors import XmtpuError
 
-            log.info("ffmpeg shim unavailable; writing WAV bytes to %s",
-                     path)
-            write_wav(path, pcm, sample_rate)
-            return
+            raise XmtpuError(
+                f"ffmpeg shim unavailable: cannot encode {path!r}; "
+                "use a .wav output path on this machine")
         encode(path, pcm, sample_rate, bitrate=kw.get("bitrate"))
 
     for ext in DECODE_EXTS:
         register_backend(ext, _dec)
     for ext in ENCODE_EXTS:
         register_encoder(ext, _enc)
-    return True
+    if os.path.exists(_SO):
+        return True
+    import ctypes.util
+
+    return ctypes.util.find_library("avcodec") is not None

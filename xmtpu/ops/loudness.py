@@ -87,7 +87,14 @@ def measure_lufs(x: jnp.ndarray, sr: int) -> jnp.ndarray:
     """
     from xmtpu.kernels.iir import sosfilt_pallas
 
+    from xmtpu.ops import convert as _convert
+
     x = jnp.asarray(x)
+    if x.dtype == jnp.int16:
+        # int16 straight through astype(f32) read ~90.3 dB too loud
+        # (review find); use the pinned PCM scaling like every other
+        # public op
+        x = _convert.pcm16_to_f32(x)
     if x.ndim == 1:
         x = x[None]
     n = x.shape[-1]
@@ -120,13 +127,24 @@ def measure_lufs(x: jnp.ndarray, sr: int) -> jnp.ndarray:
 def lufs_normalize(x: jnp.ndarray, sr: int, target_lufs: float = -23.0):
     """Scale ``x`` so its integrated loudness hits ``target_lufs``.
     Returns (scaled, linear_gain). Silence passes through (gain 1)."""
-    lufs = measure_lufs(x, sr)
+    from xmtpu.ops import convert as _convert
+
+    x = jnp.asarray(x)
+    was_i16 = x.dtype == jnp.int16
+    xf = _convert.pcm16_to_f32(x) if was_i16 else x
+    lufs = measure_lufs(xf, sr)
     gain = jnp.where(
         jnp.isfinite(lufs),
         jnp.power(10.0, (target_lufs - lufs) / 20.0),
         1.0,
-    ).astype(x.dtype)
-    return x * gain, gain
+    ).astype(jnp.float32)
+    # gain stays f32: casting it to the INPUT dtype truncated e.g.
+    # 0.03 to int16 zero and returned all-silence (review find);
+    # int16 callers get pinned-converted int16 back instead
+    y = xf * gain
+    if was_i16:
+        y = _convert.f32_to_pcm16(y)
+    return y, gain
 
 
 # ---------------------------------------------------------------------------
