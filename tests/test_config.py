@@ -192,3 +192,26 @@ def test_reverb_ir_array_validated_at_build():
                                 "ir": [0.5, float("nan")]}])
     with pytest.raises(ConfigError, match="non-numeric"):
         fx.build_chain(16000, [{"name": "reverb", "ir": ["a", "b"]}])
+
+
+def test_schema_review_gaps_round3():
+    """NaN volume, stringified booleans, unknown top-level keys and
+    keys alongside 'params' are rejected at parse time (review
+    finds)."""
+    from xmtpu.utils.errors import ConfigError
+
+    with pytest.raises(ConfigError, match="finite"):
+        config_from_dict(
+            {"tracks": [{"url": "a.wav", "volume": float("nan")}]})
+    with pytest.raises(ConfigError, match="boolean"):
+        config_from_dict(
+            {"tracks": [{"url": "a.wav", "loop": "false"}]})
+    with pytest.raises(ConfigError, match="unknown key"):
+        config_from_dict({"masterEffect": []})
+    with pytest.raises(ConfigError, match="alongside 'params'"):
+        config_from_dict({"effects": [
+            {"name": "volume", "params": {"gain_db": -3.0},
+             "backend": "scan"}]})
+    # 0/1 stay accepted as booleans (lenient numeric form)
+    cfg = config_from_dict({"tracks": [{"url": "a.wav", "loop": 1}]})
+    assert cfg.tracks[0].loop is True

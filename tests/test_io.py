@@ -138,3 +138,18 @@ def test_open_audio_unknown_extension_is_decode_error(tmp_path):
 
     with pytest.raises(DecodeError, match="no decoder backend"):
         open_audio(tmp_path / "x.xyzcodec")
+
+
+def test_wav_info_empty_file_raises_typed(tmp_path):
+    """wave.open raises EOFError (not wave.Error) on an empty file —
+    it used to bypass wav_info's decode fallback and leak the raw
+    EOFError past the DecodeError contract (review find)."""
+    import pytest
+
+    from xmtpu.io.wav import wav_info
+    from xmtpu.utils.errors import DecodeError
+
+    p = tmp_path / "empty.wav"
+    p.write_bytes(b"")
+    with pytest.raises(DecodeError):
+        wav_info(str(p))

@@ -218,3 +218,44 @@ def test_24bit_wav_native_and_stdlib_bit_exact(tmp_path, rng):
     if native.available():
         pcm_nat, sr_nat = native.read_wav_native(str(p))
         np.testing.assert_array_equal(pcm_nat, pcm_std)
+
+
+def test_fifo_zero_capacity_raises():
+    """xm_fifo_create returns nullptr for capacity < 1; the wrapper
+    must raise instead of letting the first write segfault (review
+    find — the check xm_native.cpp's comment promises)."""
+    from xmtpu import native
+
+    if native.load() is None:
+        pytest.skip("native library unavailable")
+    with pytest.raises(ValueError, match="xm_fifo_create"):
+        native.Fifo(0)
+
+
+def test_pcm_channel_closed_mid_frame_raises_not_hangs():
+    """A producer that dies between publishing a frame's meta and its
+    payload (then close()) must surface a RuntimeError at get(), not
+    hang the consumer forever (review find)."""
+    from xmtpu.native import PcmChannel
+
+    ch = PcmChannel(capacity=1 << 10)
+    # publish meta for a frame whose payload never arrives
+    ch._meta.put(([("<i2", (4,))], "meta"))
+    ch.close()
+    with pytest.raises(RuntimeError, match="mid-frame"):
+        ch.get()
+
+
+def test_pcm_channel_put_after_close_raises_when_full():
+    """put() on a full ring used to spin forever even after close()
+    (review find)."""
+    from xmtpu import native
+    from xmtpu.native import PcmChannel
+
+    if native.load() is None:
+        pytest.skip("native library unavailable")
+    ch = PcmChannel(capacity=1 << 10)  # 1 KiB ring, no consumer
+    big = np.zeros(4096, np.int16)  # 8 KiB frame: exceeds the ring
+    ch.close()
+    with pytest.raises(RuntimeError, match="closed while writing"):
+        ch.put([big], "m")

@@ -44,8 +44,22 @@ class TrackConfig:
     side_duck: bool = False  # duck this track under voice (reference bgm)
 
     def __post_init__(self):
-        if self.volume < 0:
-            raise ValueError(f"track volume must be >= 0, got {self.volume}")
+        import math
+
+        if not (self.volume >= 0) or math.isinf(self.volume):
+            # NaN fails `>= 0` too; a NaN/inf volume passed the old
+            # `< 0` check and silently NaN-poisoned the whole mix
+            # (review find — effect gains are isfinite-gated, track
+            # volume was not)
+            raise ValueError(
+                f"track volume must be finite and >= 0, got {self.volume}")
+        for name in ("start_time_ms", "fade_in_ms", "fade_out_ms"):
+            v = getattr(self, name)
+            if not math.isfinite(v):
+                raise ValueError(f"track {name} must be finite, got {v}")
+        if self.end_time_ms is not None and not math.isfinite(self.end_time_ms):
+            raise ValueError(
+                f"track end_time_ms must be finite, got {self.end_time_ms}")
 
 
 @dataclass(frozen=True)
@@ -73,7 +87,32 @@ def _effect_from_json(d) -> EffectConfig:
     params = d.get("params")
     if params is None:  # flat form: every non-name key is a param
         params = {k: v for k, v in d.items() if k != "name"}
+    else:
+        extra = set(d) - {"name", "params"}
+        if extra:
+            from xmtpu.utils.errors import ConfigError
+
+            # same rule as graph.fx.build_chain: a key NEXT to an
+            # explicit 'params' dict was silently dropped (review find)
+            raise ConfigError(
+                f"effect {d['name']!r}: unexpected key(s) "
+                f"{sorted(extra)} alongside 'params' — put effect "
+                f"parameters inside 'params'")
     return EffectConfig(name=d["name"], params=dict(params))
+
+
+def _bool_field(d, key) -> bool:
+    """Strict JSON boolean (0/1 tolerated): bool('false') was True, so
+    stringified-boolean exports silently LOOPED the track (review
+    find)."""
+    v = d.get(key, False)
+    if isinstance(v, bool):
+        return v
+    if v in (0, 1):
+        return bool(v)
+    from xmtpu.utils.errors import ConfigError
+
+    raise ConfigError(f"track {key} must be a JSON boolean, got {v!r}")
 
 
 def _track_from_json(d) -> TrackConfig:
@@ -108,8 +147,8 @@ def _track_from_json(d) -> TrackConfig:
                          else float(d["endTimeMs"])),
             fade_in_ms=float(d.get("fadeInTimeMs", 0.0)),
             fade_out_ms=float(d.get("fadeOutTimeMs", 0.0)),
-            loop=bool(d.get("loop", False)),
-            side_duck=bool(d.get("sideDuck", False)),
+            loop=_bool_field(d, "loop"),
+            side_duck=_bool_field(d, "sideDuck"),
         )
     except (TypeError, ValueError) as e:
         # non-numeric volume/timing fields used to leak a bare
@@ -125,6 +164,17 @@ def config_from_dict(d: dict) -> PipelineConfig:
 
     if not isinstance(d, dict):
         raise ConfigError(f"pipeline config must be a JSON object: {d!r}")
+    _TOP = {"tracks", "effects", "masterEffects", "sampleRate",
+            "channels", "normalize", "normalizeTargetDb", "blockSize",
+            "bitrate"}
+    unknown = set(d) - _TOP
+    if unknown:
+        # {'masterEffect': [...]} parsed fine and silently ran with NO
+        # effects — the exact typo failure mode the track-level gate
+        # closes (review find)
+        raise ConfigError(
+            f"pipeline config has unknown key(s) {sorted(unknown)}; "
+            f"accepted: {sorted(_TOP)}")
     try:
         cfg = PipelineConfig(
             tracks=tuple(_track_from_json(t) for t in d.get("tracks", [])),

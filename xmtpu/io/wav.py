@@ -130,11 +130,14 @@ def wav_info(path) -> WavInfo:
                 num_samples=w.getnframes(),
                 sample_width=w.getsampwidth(),
             )
-    except wave.Error:
+    except (wave.Error, EOFError):
         # formats the stdlib parser rejects but read_wav decodes
         # (float32 format-tag 3, a-law, ... via the native/FFmpeg
         # fallbacks) — probe by decoding (round-2 review find: callers
-        # probing with wav_info wrongly concluded the file unreadable)
+        # probing with wav_info wrongly concluded the file unreadable).
+        # EOFError: wave.open raises it (not wave.Error) on empty/
+        # truncated headers — it bypassed this fallback, leaking an
+        # untyped error past the DecodeError contract (review find)
         pcm, sr = read_wav(path)
         pcm = np.asarray(pcm)
         ch = 1 if pcm.ndim == 1 else pcm.shape[1]

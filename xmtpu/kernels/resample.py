@@ -135,7 +135,11 @@ def resample_pallas(x, sr_in: int, sr_out: int, taps_per_phase: int = 24,
     L, M = sr_out // g, sr_in // g
     x = jnp.asarray(x)
     if L == M:
-        return x  # keep dtype, matching the compute path's astype(x.dtype)
+        # ops-twin convention: ALWAYS f32 out. The three paths used to
+        # disagree (kernel cast back to x.dtype, fallback returned
+        # ops' f32, L==M passed through), so the result dtype depended
+        # on the rate pair (review find)
+        return x.astype(jnp.float32)
     plan = _ops.make_plan(L, M, taps_per_phase, beta)
     if M < 64 or plan.width > 2 * M:
         # small M: lane padding M->128 dominates; wide band (large
@@ -148,4 +152,4 @@ def resample_pallas(x, sr_in: int, sr_out: int, taps_per_phase: int = 24,
     R = int(np.prod(batch)) if batch else 1
     y = _resample_pallas_2d(x.reshape(R, n), L, M, taps_per_phase, beta,
                             tj=tj, interpret=interpret, precision=precision)
-    return y.reshape(*batch, y.shape[-1]).astype(x.dtype)
+    return y.reshape(*batch, y.shape[-1]).astype(jnp.float32)

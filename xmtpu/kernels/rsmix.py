@@ -212,8 +212,10 @@ def resample_mix_supported(n: int, B: int, sr_in: int, sr_out: int,
         # kernel must match sample-for-sample (round-2 advisor find)
         return False
     plan = _rs.make_plan(L, M, taps_per_phase, 9.0)
-    return (plan.width <= 2 * M and _pick_F(n // M) > 0
-            and any(B % g_ == 0 for g_ in (8, 4, 2, 1)))
+    # no batch-divisor condition: resample_mix_pallas's group pick
+    # falls back to G=1 for any B (a `B % g == 0 for g in (...,1)`
+    # check here was a tautology — review find)
+    return plan.width <= 2 * M and _pick_F(n // M) > 0
 
 
 def resample_mix_pallas(voice_i16, bgm_i16, sr_in: int, sr_out: int,

@@ -45,7 +45,10 @@ def load():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        # a prebuilt .so with no source alongside (trimmed deploy) must
+        # not crash the availability probe (review find)
+        src_m = os.path.getmtime(_SRC) if os.path.exists(_SRC) else 0.0
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < src_m:
             if not _build():
                 return None
         try:
@@ -167,6 +170,13 @@ class Fifo:
         if self._lib is None:
             raise RuntimeError("native library unavailable")
         self._h = self._lib.xm_fifo_create(int(capacity))
+        if not self._h:
+            # the C side returns nullptr for capacity < 1 or OOM; the
+            # first write/read would dereference it and segfault the
+            # process (review find — the check xm_native.cpp's comment
+            # promises lives here)
+            raise ValueError(
+                f"xm_fifo_create failed (capacity {capacity})")
         self.capacity = int(capacity)
 
     def write(self, data: bytes | np.ndarray) -> int:
@@ -227,24 +237,28 @@ class PcmChannel:
 
     def put(self, arrays, meta) -> None:
         """Producer side: enqueue a frame (list of ndarrays / None)."""
-        descs = []
+        descs, conts = [], []
         for a in arrays:
             if a is None:
                 descs.append(None)
+                conts.append(None)
             else:
-                a = np.ascontiguousarray(a)
+                a = np.ascontiguousarray(a)  # once; reused by the
+                # write pass below (a second pass used to re-copy
+                # every non-contiguous frame — review find)
                 descs.append((a.dtype.str, a.shape))
+                conts.append(a)
         self._meta.put((descs, meta))
         if self._fifo is None:
             with self._cv:
                 self._deque.append([None if a is None else a.copy()
-                                    for a in arrays])
+                                    for a in conts])
                 self._cv.notify_all()
             return
-        for a in arrays:
+        for a in conts:
             if a is None:
                 continue
-            buf = np.ascontiguousarray(a).view(np.uint8).reshape(-1)
+            buf = a.view(np.uint8).reshape(-1)
             off = 0
             while off < buf.size:
                 wrote = int(self._fifo._lib.xm_fifo_write(
@@ -256,6 +270,12 @@ class PcmChannel:
                         self._cv.notify_all()
                 else:  # ring full: wait for the consumer to drain
                     with self._cv:
+                        if self._closed:
+                            # a closed channel's consumer will never
+                            # drain — spinning here hung the producer
+                            # forever (review find)
+                            raise RuntimeError(
+                                "PcmChannel closed while writing")
                         self._cv.wait(timeout=0.1)
 
     def get(self):
@@ -273,6 +293,10 @@ class PcmChannel:
         if self._fifo is None:
             with self._cv:
                 while not self._deque:
+                    if self._closed:
+                        raise RuntimeError(
+                            "PcmChannel closed mid-frame (producer "
+                            "died between meta and payload)")
                     self._cv.wait(timeout=0.1)
                 return self._deque.pop(0), meta
         arrays = []
@@ -294,6 +318,13 @@ class PcmChannel:
                         self._cv.notify_all()
                 else:  # ring empty: wait for the producer
                     with self._cv:
+                        if self._closed:
+                            # closed = no more writes can ever arrive;
+                            # an incomplete frame must surface, not
+                            # hang the consumer (review find)
+                            raise RuntimeError(
+                                "PcmChannel closed mid-frame "
+                                f"({off}/{out.size} bytes)")
                         self._cv.wait(timeout=0.1)
             arrays.append(out.view(dtype).reshape(shape))
         return arrays, meta
