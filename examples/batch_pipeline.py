@@ -14,7 +14,7 @@ import sys
 import numpy as np
 
 from xmtpu.io import write_wav
-from xmtpu.runner import ClipJob, run_batch
+from xmtpu.runner import run_batch
 
 
 def main(outdir: str = "/tmp/xmtpu_demo") -> None:
@@ -29,9 +29,16 @@ def main(outdir: str = "/tmp/xmtpu_demo") -> None:
             np.int16)
         src = os.path.join(outdir, f"voice_{i}.wav")
         write_wav(src, voice, 44100)
-        jobs.append(ClipJob(voice=src,
-                            out=os.path.join(outdir, f"out_{i}.wav")))
-    rep = run_batch(jobs, sr_in=44100, sr_bus=16000, batch_size=4,
+        jobs.append({"voice": src,
+                     "out": os.path.join(outdir, f"out_{i}.wav")})
+    # write + reload a manifest file — the exact flow of
+    # `python -m xmtpu.cli batch manifest.json`
+    mpath = os.path.join(outdir, "manifest.json")
+    with open(mpath, "w") as f:
+        json.dump(jobs, f, indent=1)
+    with open(mpath) as f:
+        manifest = json.load(f)
+    rep = run_batch(manifest, sr_in=44100, sr_bus=16000, batch_size=4,
                     pipeline=True)
     print(rep.to_json())
 

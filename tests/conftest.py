@@ -52,8 +52,15 @@ def signals(rng):
         return {
             "noise": (0.3 * rng.standard_normal(n)).astype(np.float32),
             "sine": (0.3 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32),
+            # linear chirp 50 Hz -> min(5 kHz, 0.4*Nyquist): real
+            # broadband coverage. The old formula's instantaneous
+            # frequency peaked at 20*n/sr Hz (subsonic for every shape
+            # used), so 'sweep' tests exercised near-DC bins only
+            # (review find)
             "sweep": (
-                0.3 * np.sin(2 * np.pi * (20.0 * n / sr) * t**2 / (2 * t[-1] + 1e-9))
+                0.3 * np.sin(2 * np.pi * (
+                    50.0 * t + (min(5000.0, 0.2 * sr) - 50.0)
+                    * t**2 / (2 * t[-1] + 1e-9)))
             ).astype(np.float32),
         }
 

@@ -59,7 +59,7 @@ def test_fftconv_3d_batch(rng):
 
 
 def test_fftconv_block_too_small():
-    with pytest.raises(ValueError):
+    with pytest.raises(ValueError, match="too small"):
         fir_convolve_os_pallas(jnp.zeros((2, 1000)), np.ones(24000),
                                block=32768, interpret=True)
 
@@ -112,7 +112,7 @@ def test_fftconv_pre_gains_and_trim(rng):
 
 
 def test_reverb_trim_requires_pure_conv():
-    with pytest.raises(ValueError):
+    with pytest.raises(ValueError, match="trim"):
         _rv.reverb(jnp.zeros((2, 4800)), jnp.ones(100), wet=0.3, dry=0.7,
                    backend="pallas", block=16384, interpret=True,
                    trim=False)

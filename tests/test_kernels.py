@@ -230,8 +230,16 @@ def test_eq_env_fused_matches_kernel_composition(sos, rng):
     # and against the f64 oracles (sequential-f32 floor ~-86 dB)
     ref_y = sps.sosfilt(sos, x.astype(np.float64), axis=-1)
     assert rms_db(np.asarray(y, np.float64) - ref_y, ref_y) <= -80.0
-    _, (env64, _sm) = lim.limiter_np(ref_y[:, None, :], SR)
-    ref_lim, _ = lim.limiter_np(ref_y[:, None, :], SR)
+    ref_lim, (env64, sm64) = lim.limiter_np(ref_y[:, None, :], SR)
+    # gate the fused envelope's FINAL STATE directly against the f64
+    # oracle (limiter_np returns final states, not trajectories; sm is
+    # the attack-SMOOTHED envelope the fused kernel's e2 computes —
+    # env is the raw decaying max, ~1%/-40 dB away), not just through
+    # apply_gain_curve's clamp region (review find: the oracle state
+    # was computed and never used; a regression cancelling inside the
+    # gain clamp was invisible)
+    e2_last = np.asarray(e2)[:, -1].astype(np.float64)
+    assert rms_db(e2_last - sm64, sm64 + 1e-12) <= -80.0
     got = np.asarray(lim.apply_gain_curve(
         jnp.asarray(y)[:, None, :], jnp.asarray(e2), -3.0))
     assert rms_db(got.astype(np.float64) - ref_lim, ref_lim) <= -80.0

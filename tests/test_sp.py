@@ -161,7 +161,7 @@ def test_sp_fir_halo_exceeds_shard_raises():
     x = jnp.zeros((1, 256))
     taps = jnp.ones(200)  # halo 199 > shard length 128
     import pytest
-    with pytest.raises(ValueError):
+    with pytest.raises(ValueError, match="halo"):
         _sp.sp_fir(x, taps, mesh)
 
 

@@ -178,10 +178,12 @@ def test_read_many_equals_sequential_reads(two_tracks):
     seq = np.concatenate([s1.read() for _ in range(12)], axis=0)
     s2 = StreamSession(cfg, frame_ms=20.0, sources=src,
                        output_dtype=np.float32)
-    s2.read()  # engage the prefetch path
+    f0 = s2.read()  # engage the prefetch path — and CHECK its output
+    # (the old splice compared seq[:320] against itself, so a bug
+    # confined to the first returned frame was invisible — review find)
     first = s2.read_many(5)
     rest = s2.read_many(6)
-    got = np.concatenate([seq[:320], first, rest], axis=0)  # frame 0 + 11
+    got = np.concatenate([f0, first, rest], axis=0)  # frame 0 + 11
     np.testing.assert_allclose(got, seq, atol=1e-7)
     assert s2.frame_idx == 12
 
@@ -346,5 +348,7 @@ def test_prefetch_depth_matches_depth1(rng):
     # read() -> read_many -> read() transitions stay aligned
     np.testing.assert_array_equal(s4.read_many(3), s1.read_many(3))
     np.testing.assert_array_equal(s4.read(), s1.read())
-    with pytest.raises(Exception):
+    from xmtpu.utils.errors import ConfigError
+
+    with pytest.raises(ConfigError, match="prefetch_depth"):
         StreamSession(cfg, frame_ms=20.0, sources=src, prefetch_depth=0)

@@ -24,7 +24,17 @@ a mismatched (warning-only) AOT load through the flags-keyed cache
 from __future__ import annotations
 
 import hashlib
+import os
 import platform
+
+# identity lines: x86 (flags/model name/...) AND aarch64 (Features/CPU
+# implementer/part/variant/architecture) — with x86-only prefixes every
+# ARM host fingerprinted identically and the cross-host poisoning this
+# module exists to prevent returned (review find). Volatile lines
+# ("cpu MHz", "bogomips") stay excluded: they change across boots.
+_ID_PREFIXES = ("flags", "model name", "vendor_id", "cpu family",
+                "model\t", "stepping", "Features", "CPU implementer",
+                "CPU part", "CPU variant", "CPU architecture")
 
 
 def host_cache_dir(prefix: str = "/tmp/xmtpu_jax_cache") -> str:
@@ -32,12 +42,14 @@ def host_cache_dir(prefix: str = "/tmp/xmtpu_jax_cache") -> str:
     try:
         with open("/proc/cpuinfo") as f:
             for ln in f:
-                if ln.startswith(("flags", "model name", "vendor_id",
-                                  "cpu family", "model\t", "stepping")):
+                if ln.startswith(_ID_PREFIXES):
                     ident.append(ln.strip())
-                if ln.startswith("power management"):
+                if ln.strip() == "":
                     break  # one processor block is enough
     except OSError:
         ident.append(platform.processor())
     fp = hashlib.sha1("\n".join(sorted(set(ident))).encode()).hexdigest()[:12]
-    return f"{prefix}_{fp}"
+    # per-uid: a predictable world-shared /tmp path could be
+    # pre-created (and its AOT entries planted) by another local user —
+    # cache entries are executable machine code (review find)
+    return f"{prefix}_u{os.getuid()}_{fp}"

@@ -8,8 +8,8 @@ rate/channel count, with seek.
 
 Here the handle is a small Python class over pluggable backends:
 
-* :class:`WavDecoder` — always available (stdlib), the default test
-  surface (this environment ships no ffmpeg binary).
+* :class:`Decoder` over the WAV backend — always available (stdlib),
+  the default test surface (this environment ships no ffmpeg binary).
 * an optional FFmpeg-backed decoder can be registered via
   :func:`register_backend` when a native shim is present (built by
   ``xmtpu/native``); mp3/aac decode parity is untestable in this
@@ -38,6 +38,13 @@ class Decoder:
     def __init__(self, pcm: np.ndarray, sample_rate: int):
         if pcm.ndim == 1:
             pcm = pcm[:, None]
+        # read-only at the handle level (not per-backend): read()
+        # returns VIEWS into this buffer, and a caller scratch-mutating
+        # one silently corrupted all later reads when the native WAV
+        # parser supplied a writable array (review find, verified
+        # live) — and a mutated buffer already handed to a jax
+        # dispatch hits the async host->device transfer race
+        pcm.setflags(write=False)
         self._pcm = pcm
         self.sample_rate = int(sample_rate)
         self.num_channels = pcm.shape[1]
@@ -82,6 +89,12 @@ def _raw_pcm_backend(path: str, sample_rate: int | None = None,
     [upstream, SURVEY.md §2.1]); the caller supplies the format."""
     if sample_rate is None:
         raise ValueError("raw PCM needs sample_rate= (headerless format)")
+    if int(sample_rate) < 1 or int(channels) < 1:
+        # used to surface later as a bare ZeroDivisionError (review
+        # find — elsewhere these inputs get parse-time typed errors)
+        raise ValueError(
+            f"raw PCM needs sample_rate >= 1 and channels >= 1, got "
+            f"{sample_rate}/{channels}")
     data = np.fromfile(path, dtype=np.dtype(dtype))
     n = data.size // channels
     pcm = data[: n * channels].reshape(n, channels)
@@ -103,10 +116,7 @@ def _raw_pcm_backend(path: str, sample_rate: int | None = None,
         else:
             raise ValueError(f"unsupported raw PCM dtype: {dtype}")
         pcm = f32_to_pcm16_np(f)
-    pcm.setflags(write=False)  # match the stdlib-WAV backend's
-    # read-only views (callers mutating a read() view would otherwise
-    # silently corrupt the decoder's buffer for raw files only)
-    return Decoder(pcm, int(sample_rate))
+    return Decoder(pcm, int(sample_rate))  # Decoder marks it read-only
 
 
 _BACKENDS: dict[str, Callable[..., Decoder]] = {

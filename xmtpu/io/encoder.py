@@ -36,7 +36,13 @@ def encode_audio(path, pcm: np.ndarray, sample_rate: int, **kw) -> str:
     ext = os.path.splitext(os.path.basename(str(path)))[1].lstrip(".").lower()
     backend = _BACKENDS.get(ext)
     if backend is None:
-        raise ValueError(
+        from xmtpu.utils.errors import ConfigError
+
+        # typed like the decode-side mirror failure (DecodeError):
+        # services catching XmtpuError used to miss this one (review
+        # find). ConfigError is also a plain Exception subclass via
+        # XmtpuError, so broad callers keep working.
+        raise ConfigError(
             f"no encoder backend for '.{ext}' (available: {sorted(_BACKENDS)}); "
             "WAV is always supported; register an FFmpeg shim for AAC/M4A"
         )

@@ -4,7 +4,7 @@ Reference analogue: ``src/tools/`` (log.c, util.c) [upstream,
 SURVEY.md §2.1].
 """
 
-from xmtpu.utils.logging import get_logger, RunMetrics
+from xmtpu.utils.logging import get_logger
 from xmtpu.utils.errors import XmtpuError, ConfigError, DecodeError
 
-__all__ = ["get_logger", "RunMetrics", "XmtpuError", "ConfigError", "DecodeError"]
+__all__ = ["get_logger", "XmtpuError", "ConfigError", "DecodeError"]

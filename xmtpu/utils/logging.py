@@ -1,46 +1,28 @@
-"""Logging + run metrics.
+"""Logging.
 
 Reference analogue: ``src/tools/log.c`` (leveled logger -> logcat/stderr)
 [upstream, SURVEY.md §2.1/§5]. Here: stdlib logging under the
-``xmtpu.*`` namespace plus a JSON-dumpable per-run metrics struct.
+``xmtpu.*`` namespace. Per-run metrics live on the batch runner's
+``BatchReport`` (the one metrics struct — a parallel ``RunMetrics``
+here was dead code duplicating it; review find).
 """
 
 from __future__ import annotations
 
-import json
 import logging
-from dataclasses import dataclass, asdict, field
 
 
 def get_logger(name: str = "xmtpu") -> logging.Logger:
-    logger = logging.getLogger(name)
-    # hasHandlers() walks the ancestor chain: a handler on 'xmtpu'
-    # must stop 'xmtpu.io' from attaching its own (double emission
-    # via propagation — round-2 review find)
-    if not logger.hasHandlers():
+    # always configure the package ROOT logger, never the child: a
+    # child-first call used to attach a handler to the child, and a
+    # later parent configuration then double-emitted every child
+    # record via propagation (review find, verified live — the old
+    # hasHandlers() check only worked in parent-first order)
+    root = logging.getLogger("xmtpu")
+    if not root.handlers:
         h = logging.StreamHandler()
         h.setFormatter(logging.Formatter(
             "%(asctime)s %(name)s %(levelname)s %(message)s"))
-        logger.addHandler(h)
-        logger.setLevel(logging.INFO)
-    return logger
-
-
-@dataclass
-class RunMetrics:
-    """Per-run throughput/accounting record (SURVEY.md §5 metrics)."""
-
-    clips: int = 0
-    audio_seconds: float = 0.0
-    wall_seconds: float = 0.0
-    failed_clips: int = 0
-    notes: dict = field(default_factory=dict)
-
-    @property
-    def realtime_factor(self) -> float:
-        return self.audio_seconds / self.wall_seconds if self.wall_seconds else 0.0
-
-    def to_json(self) -> str:
-        d = asdict(self)
-        d["realtime_factor"] = self.realtime_factor
-        return json.dumps(d)
+        root.addHandler(h)
+        root.setLevel(logging.INFO)
+    return logging.getLogger(name)

@@ -9,10 +9,15 @@ CLI flag writing a trace directory.
 from __future__ import annotations
 
 import contextlib
-import logging
 import time
 
-log = logging.getLogger("xmtpu.profile")
+from xmtpu.utils.logging import get_logger
+
+# get_logger attaches the package handler — a bare getLogger left the
+# "trace written to ..." confirmation on a handlerless INFO logger that
+# the root lastResort (WARNING) dropped, so `--profile DIR` printed
+# nothing (review find, verified live)
+log = get_logger("xmtpu.profile")
 
 
 @contextlib.contextmanager
