@@ -106,10 +106,14 @@ if __name__ == "__main__":
         # real failure
         msg = str(e)
         retriable = "UNAVAILABLE" in msg or "initialize backend" in msg
-        if not retriable or os.environ.get("XMTPU_BENCH_RETRY") == "1":
+        # up to 5 re-exec'd retries over ~10 min (the 2026-08-18 outage
+        # flapped; a single retry missed brief recoveries and cost the
+        # round its number)
+        attempt = int(os.environ.get("XMTPU_BENCH_RETRY", "0"))
+        if not retriable or attempt >= 5:
             raise
-        print(f"bench: backend init failed ({msg[:120]}); retrying in 90 s",
-              file=sys.stderr)
-        time.sleep(90)
-        env = dict(os.environ, XMTPU_BENCH_RETRY="1")
+        print(f"bench: backend init failed ({msg[:120]}); retry "
+              f"{attempt + 1}/5 in 120 s", file=sys.stderr)
+        time.sleep(120)
+        env = dict(os.environ, XMTPU_BENCH_RETRY=str(attempt + 1))
         os.execve(sys.executable, [sys.executable] + sys.argv, env)
