@@ -215,3 +215,63 @@ def test_schema_review_gaps_round3():
     # 0/1 stay accepted as booleans (lenient numeric form)
     cfg = config_from_dict({"tracks": [{"url": "a.wav", "loop": 1}]})
     assert cfg.tracks[0].loop is True
+
+
+def test_config_fuzz_only_typed_errors():
+    """Property: config_from_dict on randomly mutated configs either
+    succeeds or raises ConfigError — never TypeError/KeyError/
+    ZeroDivisionError/AttributeError (the round-3 strictness sweep
+    should have closed every untyped escape)."""
+    import numpy as np
+
+    from xmtpu.utils.errors import ConfigError
+
+    base = {
+        "tracks": [{"url": "v.wav", "kind": "voice", "volume": 0.9,
+                    "startTimeMs": 100.0, "loop": False}],
+        "effects": [{"name": "equalizer", "params": {"bands": [
+            {"freq_hz": 1000.0, "gain_db": 3.0, "q": 1.0}]}}],
+        "sampleRate": 16000, "normalize": "peak",
+        "normalizeTargetDb": -1.0,
+    }
+    junk = [None, "x", -1, 0, 3.5, float("nan"), float("inf"), [], {},
+            "false", True, [1, 2], {"a": 1}, "NaN", -1e300, 2**63]
+    rng = np.random.default_rng(20260818)
+    ok = bad = 0
+    for _ in range(400):
+        import copy as _copy
+        import json as _json
+
+        d = _copy.deepcopy(base)
+        # mutate 1-3 random spots: replace a value, add a key, or
+        # corrupt a nested entry
+        for _ in range(int(rng.integers(1, 4))):
+            roll = rng.integers(0, 6)
+            j = junk[int(rng.integers(0, len(junk)))]
+            if roll == 0:
+                k = list(d)[int(rng.integers(0, len(d)))]
+                d[k] = j
+            elif roll == 1:
+                d[f"key{int(rng.integers(0, 5))}"] = j
+            elif roll == 2 and isinstance(d.get("tracks"), list) and d["tracks"]:
+                t = d["tracks"][0]
+                if isinstance(t, dict) and t:
+                    k = list(t)[int(rng.integers(0, len(t)))]
+                    t[k] = j
+            elif roll == 3 and isinstance(d.get("effects"), list) and d["effects"]:
+                e = d["effects"][0]
+                if isinstance(e, dict) and e:
+                    k = list(e)[int(rng.integers(0, len(e)))]
+                    e[k] = j
+            elif roll == 4:
+                d["tracks"] = j
+            else:
+                d["effects"] = j
+        try:
+            cfg = config_from_dict(d)
+            _json.dumps(config_to_dict(cfg))  # round-trippable when accepted
+            ok += 1
+        except ConfigError:
+            bad += 1
+        # anything else (TypeError, KeyError, ...) fails the test
+    assert ok + bad == 400 and bad > 100, (ok, bad)

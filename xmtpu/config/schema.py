@@ -190,12 +190,20 @@ def config_from_dict(d: dict) -> PipelineConfig:
         )
     except ConfigError:
         raise
-    except (TypeError, ValueError) as e:
+    except (TypeError, ValueError, OverflowError) as e:
+        # OverflowError: int(float('inf')) — found by the config fuzzer
         raise ConfigError(f"bad pipeline config field: {e}") from e
     # fail fast at parse time on values every downstream consumer would
     # reject (or worse, divide by — sampleRate 0 passed parsing; fuzz
     # find); effect NAMES stay late-validated in graph.fx.build_chain
     # so registered custom effects keep working
+    import math as _math
+
+    if not _math.isfinite(cfg.normalize_target_db):
+        # a NaN/inf target passed parsing and silently NaN-poisoned
+        # the normalized output (found extending the config fuzzer)
+        raise ConfigError(
+            f"normalizeTargetDb must be finite, got {cfg.normalize_target_db}")
     if cfg.sample_rate < 1 or cfg.channels < 1 or cfg.block_size < 1:
         raise ConfigError(
             f"sampleRate/channels/blockSize must be positive: got "
