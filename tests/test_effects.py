@@ -714,3 +714,54 @@ def test_validation_review_gaps_effects():
         assert effs[0].got["anything"] == 1
     finally:
         del fxg._EFFECTS["_custom_test_fx"]
+
+
+def test_chain_fuzz_only_typed_errors():
+    """Property: build_chain on randomly mutated chains either builds
+    or raises ConfigError — never an internal TypeError/KeyError/
+    OverflowError (companion to the config fuzzer)."""
+    import copy
+
+    from xmtpu.graph import fx
+    from xmtpu.utils.errors import ConfigError
+
+    base = [
+        {"name": "equalizer", "bands": [
+            {"freq_hz": 1000.0, "gain_db": 3.0, "q": 1.0}]},
+        {"name": "reverb", "params": {"ir_seconds": 0.3, "wet": 0.3,
+                                      "dry": 0.7}},
+        {"name": "limiter", "threshold_db": -3.0},
+        {"name": "volume", "gain_db": -2.0},
+    ]
+    junk = [None, "x", -1, 0, 3.5, float("nan"), float("inf"), [], {},
+            True, [1, 2], {"a": 1}, "1e999", -1e300, 2**63, b"bytes"]
+    rng = np.random.default_rng(20260818)
+    ok = bad = 0
+    for _ in range(400):
+        chain = copy.deepcopy(base)
+        for _ in range(int(rng.integers(1, 4))):
+            roll = int(rng.integers(0, 5))
+            j = junk[int(rng.integers(0, len(junk)))]
+            e = chain[int(rng.integers(0, len(chain)))]
+            if not isinstance(e, dict) or not e:
+                roll = 3  # entry already replaced/emptied: re-replace
+            if roll == 0:
+                k = list(e)[int(rng.integers(0, len(e)))]
+                e[k] = j
+            elif roll == 1:
+                e[f"zz{int(rng.integers(0, 3))}"] = j
+            elif roll == 2 and "params" in e and isinstance(e["params"], dict):
+                p = e["params"]
+                if p:
+                    k = list(p)[int(rng.integers(0, len(p)))]
+                    p[k] = j
+            elif roll == 3:
+                chain[int(rng.integers(0, len(chain)))] = j
+            else:
+                e.pop("name", None)
+        try:
+            fx.build_chain(16000, chain)
+            ok += 1
+        except ConfigError:
+            bad += 1
+    assert ok + bad == 400 and bad > 150, (ok, bad)

@@ -69,7 +69,19 @@ class EqualizerFx:
         bands = p.get("bands")
         if not bands:
             raise ConfigError("equalizer: 'bands' is required and non-empty")
-        self.sos = _biquad.eq_sos(list(bands), sample_rate)
+        if not isinstance(bands, (list, tuple)) or not all(
+                isinstance(b, dict) for b in bands):
+            # bands=True / bands=3.5 crashed at list(bands) with a bare
+            # TypeError (chain fuzzer find)
+            raise ConfigError(
+                f"equalizer: 'bands' must be a list of objects, got "
+                f"{bands!r}")
+        try:
+            self.sos = _biquad.eq_sos(list(bands), sample_rate)
+        except (TypeError, ValueError, KeyError) as e:
+            if isinstance(e, ConfigError):
+                raise
+            raise ConfigError(f"equalizer: bad band: {e}") from e
         self.engine, self.interpret = _resolve_backend(p.get("backend"))
 
     def init_state(self, batch_shape):
@@ -496,12 +508,23 @@ def build_chain(sample_rate: int, chain, default_backend: str | None = None,
         if hasattr(e, "name"):
             name, params = e.name, dict(e.params)
         else:
+            if not isinstance(e, dict):
+                # a non-dict entry (float, None, string) crashed at
+                # dict(e) with a bare TypeError (chain fuzzer find)
+                raise ConfigError(
+                    f"effect entry must be an object with a 'name': {e!r}")
             d = dict(e)
             if "name" not in d:
                 raise ConfigError(f"effect entry missing 'name': {e!r}")
             name = d.pop("name")
             if "params" in d:
-                params = dict(d.pop("params"))
+                pv = d.pop("params")
+                if not isinstance(pv, dict):
+                    # params=3.5 crashed at dict() with a bare
+                    # TypeError (chain fuzzer find)
+                    raise ConfigError(
+                        f"{name}: 'params' must be an object, got {pv!r}")
+                params = dict(pv)
                 if d:
                     # a key sitting NEXT to an explicit 'params' dict
                     # (e.g. a top-level 'backend') used to be silently
@@ -513,6 +536,10 @@ def build_chain(sample_rate: int, chain, default_backend: str | None = None,
                         f"parameters inside 'params'")
             else:
                 params = d
+        if not isinstance(name, str):
+            # an unhashable 'name' (dict/list) crashed the registry
+            # lookup with a bare TypeError (chain fuzzer find)
+            raise ConfigError(f"effect name must be a string: {name!r}")
         if name not in _EFFECTS:
             raise ConfigError(
                 f"unknown effect {name!r}; known: {sorted(_EFFECTS)}"
@@ -533,7 +560,16 @@ def build_chain(sample_rate: int, chain, default_backend: str | None = None,
                 raise ConfigError(
                     f"{name}: unknown parameter(s) {sorted(unknown)}; "
                     f"accepted: {sorted(allowed)}")
-        out.append(cls(sample_rate, params))
+        try:
+            out.append(cls(sample_rate, params))
+        except ConfigError:
+            raise
+        except (TypeError, ValueError, KeyError, OverflowError) as e:
+            # typed boundary for EVERY effect constructor (incl.
+            # user-registered customs): float(b'..'), int(None), a
+            # missing band key, int(1e999) all used to leak bare
+            # internals (chain fuzzer find)
+            raise ConfigError(f"{name}: bad parameters: {e}") from e
     return _fold_lti(out) if fold else out
 
 
@@ -565,12 +601,18 @@ def _chain_key(sample_rate: int, chain) -> str:
         if hasattr(e, "name"):
             name, params = e.name, e.params
         else:
+            if not isinstance(e, dict):
+                raise ConfigError(
+                    f"effect entry must be an object with a 'name': {e!r}")
             d = dict(e)
             if "name" not in d:
                 raise ConfigError(f"effect entry missing 'name': {e!r}")
             name = d.pop("name")
             if "params" in d:
                 params = d.pop("params")
+                if not isinstance(params, dict):
+                    raise ConfigError(
+                        f"{name}: 'params' must be an object, got {params!r}")
                 if d:
                     # keep the cache key in lockstep with build_chain's
                     # rejection: an invalid entry must never alias a

@@ -12,8 +12,15 @@ class XmtpuError(Exception):
     """Base class for all xmtpu errors."""
 
 
-class ConfigError(XmtpuError):
-    """Invalid or inconsistent pipeline configuration."""
+class ConfigError(XmtpuError, ValueError):
+    """Invalid or inconsistent pipeline configuration.
+
+    Also a ValueError, for the same reason :class:`DecodeError` is: a
+    bad config is bad input data, and the round-3 chain-fuzz sweep
+    widened build_chain's typed boundary to wrap what used to escape
+    as bare ValueErrors — callers (and pre-existing tests) that catch
+    ValueError keep working while typed callers catch the narrower
+    class."""
 
 
 class DecodeError(XmtpuError, ValueError):
