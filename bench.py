@@ -32,6 +32,9 @@ import numpy as np  # noqa: E402
 
 TARGET_RT = 500.0  # x realtime per chip (BASELINE.json:5)
 
+# one chip, one measuring process at a time (see benchmarks.py)
+from xmtpu.benchmarks import _acquire_chip_lock  # noqa: E402
+
 
 def main(batch: int = 256, clip_seconds: float = 10.0, iters: int = 40,
          iir_backend: str = "pallas",
@@ -95,6 +98,8 @@ if __name__ == "__main__":
             # probe decision could be made on the wrong number
             sys.exit(f"bench.py: unknown argument {a!r} (known: batch, "
                      "iters, clip_seconds, iir_backend, resample_backend)")
+    _lock = _acquire_chip_lock()  # held until exit (exec releases it,
+    # so the retry re-exec re-contends fairly)
     try:
         print(json.dumps(main(**kw)))
     except RuntimeError as e:

@@ -26,6 +26,62 @@ import numpy as np
 import pytest
 
 
+def _cpu_fallback_env(n_devices: int = 8) -> dict:
+    """Environment for a CPU-backend pytest child (tunnel-outage
+    fallback). Mirrors __graft_entry__.dryrun_multichip's provisioning:
+    PYTHONPATH is reset to the repo root so the axon sitecustomize does
+    not load (with it loaded, JAX_PLATFORMS=cpu HANGS), and the virtual
+    device count is forced so mesh tests (test_sp.py) still run."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={n_devices}"
+    )
+    env["XMTPU_PYTEST_CPU_CHILD"] = "1"
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # no axon plugin in the child
+    return env
+
+
+def pytest_configure(config):
+    """If the default JAX backend is an unreachable remote (the axon
+    TPU tunnel goes down for hours at a time — observed 2026-08-18),
+    re-exec the whole pytest run on the CPU backend instead of letting
+    every test error out after a ~4 min backend-init hang. The suite is
+    TPU-optional by design (module docstring); a dead tunnel must not
+    read as a red suite."""
+    if (os.environ.get("JAX_PLATFORMS", "").startswith("cpu")
+            or os.environ.get("XMTPU_PYTEST_CPU_CHILD")):
+        return  # already on CPU, or we ARE the fallback child
+    # NOTE: the driver env PINS JAX_PLATFORMS=axon — a pinned remote
+    # platform is exactly the case that needs the probe, so only a
+    # cpu pin skips it.
+    import subprocess
+
+    # Probe in a SUBPROCESS: backend-init failure is cached per process,
+    # and a hung in-process init (~4 min, then UNAVAILABLE) would pin
+    # this very interpreter. Tunnel up => ~2-5 s. 290 s covers the
+    # observed hang-then-fail window; treat timeout as down.
+    try:
+        ok = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, timeout=290,
+        ).returncode == 0
+    except subprocess.TimeoutExpired:
+        ok = False
+    if ok:
+        return
+    sys.stderr.write(
+        "\nxmtpu conftest: default JAX backend unavailable (tunnel "
+        "down?) — re-exec'ing the suite on the CPU backend with 8 "
+        "virtual devices\n")
+    sys.stderr.flush()
+    argv = ([sys.executable, "-m", "pytest"]
+            + list(config.invocation_params.args))
+    os.execve(sys.executable, argv, _cpu_fallback_env())
+
+
 def rms_db(err: np.ndarray, ref: np.ndarray) -> float:
     """RMS error in dB relative to the reference signal power
     (the BASELINE.json:2 accuracy metric)."""

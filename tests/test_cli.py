@@ -152,3 +152,86 @@ def test_effects_missing_name_raises_config_error():
 
     with pytest.raises(ConfigError):
         _fx.build_chain(16000, [{"params": {"gain_db": -6.0}}])
+
+
+def test_conftest_cpu_fallback_decision(monkeypatch):
+    """Tunnel-outage fallback (conftest.pytest_configure): when the
+    default-backend probe fails, the suite re-execs itself on the CPU
+    backend with the sitecustomize-free env; when a backend is pinned
+    or we already are the fallback child, it must return WITHOUT
+    probing (else our own CPU runs would recurse)."""
+    import subprocess
+    import types
+
+    from tests import conftest as ct
+
+    calls = {"probe": 0, "exec": None}
+
+    def fake_run(argv, **kw):
+        calls["probe"] += 1
+        return types.SimpleNamespace(returncode=1)
+
+    def fake_execve(exe, argv, env):
+        calls["exec"] = (argv, env)
+        raise SystemExit(0)  # execve never returns; emulate
+
+    cfg = types.SimpleNamespace(
+        invocation_params=types.SimpleNamespace(args=("tests/", "-q")))
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    monkeypatch.setattr(ct.os, "execve", fake_execve)
+
+    # cpu pin: no probe, no exec
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    ct.pytest_configure(cfg)
+    assert calls == {"probe": 0, "exec": None}
+
+    # fallback child marker: same
+    monkeypatch.delenv("JAX_PLATFORMS")
+    monkeypatch.setenv("XMTPU_PYTEST_CPU_CHILD", "1")
+    ct.pytest_configure(cfg)
+    assert calls == {"probe": 0, "exec": None}
+
+    # axon pin (the DRIVER env pins JAX_PLATFORMS=axon) + dead
+    # backend: probe once, re-exec with the scrubbed CPU env
+    monkeypatch.delenv("XMTPU_PYTEST_CPU_CHILD")
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "127.0.0.1")
+    with pytest.raises(SystemExit):
+        ct.pytest_configure(cfg)
+    assert calls["probe"] == 1
+    argv, env = calls["exec"]
+    assert argv[-2:] == ["tests/", "-q"] and "-m" in argv
+    repo = ct.os.path.dirname(
+        ct.os.path.dirname(ct.os.path.abspath(ct.__file__)))
+    assert env["PYTHONPATH"] == repo
+    assert env["JAX_PLATFORMS"] == "cpu"
+    assert env["XMTPU_PYTEST_CPU_CHILD"] == "1"
+    assert "PALLAS_AXON_POOL_IPS" not in env
+    assert "host_platform_device_count=8" in env["XLA_FLAGS"]
+
+
+def test_chip_lock_mutual_exclusion(tmp_path, monkeypatch):
+    """One measuring process at a time (BASELINE.md convention): while
+    _acquire_chip_lock holds the flock, a second process cannot take
+    it; release frees it."""
+    import subprocess
+    import sys
+
+    from xmtpu import benchmarks as B
+
+    lock_path = str(tmp_path / "chip.lock")
+    monkeypatch.setattr(B, "CHIP_LOCK", lock_path)
+    held = B._acquire_chip_lock()
+    assert held is not None
+    probe = (
+        "import fcntl, sys\n"
+        f"f = open({lock_path!r}, 'w')\n"
+        "try:\n"
+        "    fcntl.flock(f, fcntl.LOCK_EX | fcntl.LOCK_NB)\n"
+        "    sys.exit(0)\n"
+        "except OSError:\n"
+        "    sys.exit(3)\n"
+    )
+    assert subprocess.run([sys.executable, "-c", probe]).returncode == 3
+    held.close()
+    assert subprocess.run([sys.executable, "-c", probe]).returncode == 0

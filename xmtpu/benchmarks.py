@@ -11,9 +11,35 @@ number as the headline metric.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
+
+CHIP_LOCK = "/tmp/xmtpu_chip.lock"
+
+
+def _acquire_chip_lock():
+    """Exclusive same-host lock around a timed region: TWO processes on
+    the one chip skew timings ~100x SILENTLY (BASELINE.md timing
+    convention). Every measurement entry point — repo-root ``bench.py``,
+    :func:`run`, and any background probe runner (wrap shell probes in
+    ``flock /tmp/xmtpu_chip.lock``) — takes this lock, so a
+    driver-invoked bench blocks until an in-flight probe finishes
+    instead of measuring through it. Returns the held file object (keep
+    it alive for the whole process); None if fcntl is unavailable."""
+    try:
+        import fcntl
+    except ImportError:  # non-POSIX: nothing to coordinate with
+        return None
+    f = open(CHIP_LOCK, "w")
+    try:
+        fcntl.flock(f, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except OSError:
+        print("benchmarks: chip lock held by another measurement "
+              "process; waiting", file=sys.stderr)
+        fcntl.flock(f, fcntl.LOCK_EX)  # block until the holder exits
+    return f
 
 
 def _timeit(fn, fetch, warmup=1, iters=40):
@@ -235,6 +261,7 @@ def run(config: int | None = None):
     For publishable numbers run each config in its OWN process: an
     all-in-one sweep measured config 3 at less than half its standalone
     throughput (device-state interference between configs)."""
+    _lock = _acquire_chip_lock()  # noqa: F841 — held until process exit
     results = []
     for k in sorted(_CONFIGS) if config is None else [config]:
         r = _CONFIGS[k]()
