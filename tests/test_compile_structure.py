@@ -1,0 +1,130 @@
+"""Compile-structure regression tests: pin the TRACED program shape of
+the production chain so perf-critical regressions are catchable on CPU,
+without the chip.
+
+Parity tests prove the math; nothing before this file proved the
+*engine selection*. A regression that silently flips the headline chain
+off its Pallas kernels (e.g. a backend-policy change, a dtype promotion
+that re-routes an op, a lost ``precision=HIGH``) passes every -80 dB
+gate and only shows up as a silent multi-x slowdown in the next chip
+bench. These tests trace ``batch.make_flagship_step`` with
+``jax.make_jaxpr`` (no compile, backend-agnostic) and assert the
+structural facts the round-3 XProf profile established:
+
+- the LTI-fold headline path runs EXACTLY two opaque Pallas stages
+  (kernels/fftconv.py reverb+EQ and kernels/envelope.py limiter);
+- float64 appears ONLY in the (n,)-sized fade-ramp index math
+  (ops/mix.py — f64 indices keep >2^24-sample ramps exact); any
+  batch-shaped f64 intermediate is a promotion bug (2x HBM traffic);
+- every top-level f32 matmul carries precision HIGH or HIGHEST (the
+  default bf16 MXU pass costs ~90 dB — CLAUDE.md, BASELINE.md);
+- no unexpected scatter growth (scatters bypass the MXU and cost
+  gather-grade HBM traffic).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from xmtpu import batch as xbatch
+
+B_HEAD, N_IN, SR_IN, SR_BUS = 256, 44100, 44100, 16000
+
+
+def _walk(jaxpr, in_pallas=False, out=None):
+    """Flatten eqns of ``jaxpr`` and every sub-jaxpr (jit/cond/while/
+    pallas bodies), tagging each with whether it sits inside a
+    pallas_call (in-kernel dots are bf16-split by design and must not
+    be held to the top-level precision rule)."""
+    if out is None:
+        out = []
+    for e in jaxpr.eqns:
+        out.append((e, in_pallas))
+        child = in_pallas or e.primitive.name == "pallas_call"
+        for v in e.params.values():
+            for x in (v if isinstance(v, (tuple, list)) else [v]):
+                if hasattr(x, "jaxpr"):
+                    _walk(x.jaxpr, child, out)
+                elif hasattr(x, "eqns"):
+                    _walk(x, child, out)
+    return out
+
+
+def _trace(batch, **kw):
+    step = xbatch.make_flagship_step(sr_in=SR_IN, sr_bus=SR_BUS, **kw)
+    v = jnp.zeros((batch, N_IN), jnp.int16)
+    b = jnp.zeros((batch, N_IN), jnp.int16)
+    jx = jax.make_jaxpr(step)(v, b)
+    return jx, _walk(jx.jaxpr)
+
+
+def test_headline_chain_structure():
+    """The production (pallas, batch>=128, LTI-fold) chain: exactly two
+    opaque Pallas stages, disciplined dtypes/precision."""
+    jx, eqns = _trace(B_HEAD, iir_backend="pallas")
+
+    top_pallas = [e for e, p in eqns
+                  if e.primitive.name == "pallas_call" and not p]
+    assert len(top_pallas) == 2, (
+        f"headline chain must run exactly 2 Pallas stages (fftconv "
+        f"reverb+EQ fold, limiter envelope), traced "
+        f"{len(top_pallas)} — engine selection regressed")
+
+    for e, _ in eqns:
+        for var in e.outvars:
+            aval = getattr(var, "aval", None)
+            dt = getattr(aval, "dtype", None)
+            if dt is not None and str(dt) == "float64":
+                assert len(aval.shape) <= 1, (
+                    f"batch-shaped float64 intermediate "
+                    f"{e.primitive.name} -> {aval.shape}: f64 belongs "
+                    f"ONLY to the 1-D fade-ramp index math")
+
+    lax_hi = (jax.lax.Precision.HIGH, jax.lax.Precision.HIGHEST)
+    for e, in_pal in eqns:
+        if e.primitive.name != "dot_general" or in_pal:
+            continue
+        in_dts = {str(v.aval.dtype) for v in e.invars}
+        if in_dts == {"float32"}:
+            prec = e.params.get("precision")
+            assert prec and all(p in lax_hi for p in prec), (
+                f"top-level f32 dot {tuple(v.aval.shape for v in e.invars)}"
+                f" has precision={prec}; DSP dots need >=HIGH "
+                f"(default bf16 costs ~90 dB)")
+
+    scatters = [e for e, p in eqns if "scatter" in e.primitive.name]
+    assert len(scatters) <= 2, (
+        f"{len(scatters)} scatter ops (was 2: framed-resample edge "
+        f"correction) — scatters bypass the MXU; check what grew")
+
+    out_aval = jx.jaxpr.outvars[0].aval
+    assert str(out_aval.dtype) == "int16"
+    assert out_aval.shape == (B_HEAD, N_IN * SR_BUS // SR_IN)
+
+
+def test_small_batch_keeps_segmented_kernels():
+    """batch < 128 lanes: the auto policy must stay on the SEGMENTED
+    Pallas kernels (time-segmentation fills the lanes), not fall back
+    to scans — the fallback passes parity but is compile-hostile at
+    long n (CLAUDE.md: unrolled scan HLOs stall the remote compiler)."""
+    _, eqns = _trace(32, iir_backend="pallas")
+    top_pallas = [e for e, p in eqns
+                  if e.primitive.name == "pallas_call" and not p]
+    assert len(top_pallas) >= 3, (
+        f"small-batch path traced only {len(top_pallas)} Pallas stages;"
+        f" segmented IIR/envelope kernels appear to have fallen off")
+
+
+def test_scan_backend_has_no_sequential_pallas():
+    """iir_backend='scan' is the oracle-grade path: the sequential
+    EQ/limiter must NOT silently route into Pallas kernels (the scan
+    path is what CPU/streaming correctness arguments lean on). The
+    reverb stays on its production backend by design — so the pinned
+    count is exactly 1 (fftconv), not 0."""
+    _, eqns = _trace(B_HEAD, iir_backend="scan")
+    top_pallas = [e for e, p in eqns
+                  if e.primitive.name == "pallas_call" and not p]
+    assert len(top_pallas) == 1, (
+        f"scan backend traced {len(top_pallas)} Pallas stages, "
+        f"expected exactly 1 (the fftconv reverb)")
