@@ -155,6 +155,58 @@ def test_pool_dispatch_snapshots_host_clocks(rng):
         assert rms_db(g - r, r + 1e-12) <= -80.0, i
 
 
+def _dp_mesh(min_devices=2):
+    import jax
+
+    devs = jax.devices()
+    if len(devs) < min_devices:
+        pytest.skip("needs a multi-device mesh (XLA_FLAGS="
+                    "--xla_force_host_platform_device_count=8)")
+    ndp = 4 if len(devs) >= 4 else 2
+    return jax.sharding.Mesh(np.array(devs[:ndp]), ("dp",)), ndp
+
+
+def test_pool_dp_mesh_parity(rng):
+    """K slots sharded over a dp mesh == the single-device pool
+    (SURVEY.md §2.2 DP row applied to serving: the slot axis is pure
+    data parallelism, so partitioning the one jitted step must not
+    change any slot's math)."""
+    mesh, ndp = _dp_mesh()
+    K = 2 * ndp
+    srcs = _voices(rng, K, seconds=0.3)
+    pool_m = SessionPool(_cfg(), K, frame_ms=20.0, sources=srcs, mesh=mesh)
+    pool_1 = SessionPool(_cfg(), K, frame_ms=20.0, sources=srcs)
+    for _ in range(2):  # two groups: sharded STATE carries across reads
+        got = pool_m.read(4)
+        ref = pool_1.read(4)
+        g = got.astype(np.float64) / 32768.0
+        r = ref.astype(np.float64) / 32768.0
+        assert rms_db(g - r, r + 1e-12) <= -80.0
+    # slot lifecycle on the sharded pool: leave silences its lanes,
+    # join reattaches, seek repositions — all host-side scatters into
+    # the sharded arrays, no retrace of the SPMD step
+    n_exec = len(pool_m._scan_steps)
+    pool_m.leave(1)
+    out = pool_m.read(4)
+    assert np.all(out[1] == 0)
+    pool_m.join(1, srcs[1])
+    pool_m.seek(0, 100.0)
+    sess = StreamSession(_cfg(), frame_ms=20.0, sources=srcs[1])
+    got = pool_m.read(4)[1].astype(np.float64) / 32768.0
+    ref = sess.read_many(4).astype(np.float64) / 32768.0
+    assert rms_db(got - ref, ref + 1e-12) <= -80.0
+    assert len(pool_m._scan_steps) == n_exec
+
+
+def test_pool_mesh_validation(rng):
+    mesh, ndp = _dp_mesh()
+    srcs = _voices(rng, 1, seconds=0.2)
+    with pytest.raises(ConfigError, match="divide evenly"):
+        SessionPool(_cfg(), ndp + 1, sources=srcs, mesh=mesh)
+    with pytest.raises(ConfigError, match="no axis"):
+        SessionPool(_cfg(), ndp, sources=srcs, mesh=mesh, mesh_axis="tp")
+
+
 def test_pool_parity_at_32_sessions(rng):
     """Parity at the judged serving scale (round-2 VERDICT directive
     #2: 32 concurrent 20 ms sessions): every one of 32 pooled slots

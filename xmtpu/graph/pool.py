@@ -30,6 +30,14 @@ Design (round-3 final, measured on the axon tunnel):
   one dispatch, one device->host fetch (int16 on device) per K x k
   group — and speculatively dispatches the NEXT group before fetching,
   so the device computes group g+1 while group g transfers.
+* **Multi-chip serving**: pass ``mesh=`` to shard the slot dimension K
+  over a device mesh axis (SURVEY.md §2.2 DP row applied to serving).
+  The slot axis is the vmapped leading axis of every device array
+  (sources, DSP state, clocks), so sharding it is pure data
+  parallelism: each chip serves K/n slots, zero collectives in the
+  step (XLA partitions the one jitted program; join/leave/seek stay
+  per-slot host-side scatters). Validated on the virtual CPU mesh like
+  the batch/sp paths.
 """
 
 from __future__ import annotations
@@ -70,12 +78,18 @@ class SessionPool:
     detach with
     :meth:`leave`, reposition with :meth:`seek`; :meth:`read` advances
     every active slot.
+
+    ``mesh``/``mesh_axis``: optional ``jax.sharding.Mesh`` — the K slot
+    dimension of every device-resident array is sharded over
+    ``mesh_axis`` and the one jitted step runs SPMD (each device serves
+    ``K / axis_size`` slots). ``n_slots`` must divide evenly.
     """
 
     def __init__(self, config, n_slots: int, frame_ms: float = 20.0,
                  sources=None, output_dtype=np.int16,
                  duck_params: dict | None = None,
-                 max_seconds: float | None = None):
+                 max_seconds: float | None = None,
+                 mesh=None, mesh_axis: str = "dp"):
         if isinstance(config, dict):
             config = config_from_dict(config)
         if not isinstance(config, PipelineConfig):
@@ -87,6 +101,21 @@ class SessionPool:
         self.sr = config.sample_rate
         self.output_dtype = output_dtype
         self.frame_ms = float(frame_ms)
+
+        self._shard = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            if mesh_axis not in mesh.axis_names:
+                raise ConfigError(
+                    f"mesh has no axis {mesh_axis!r} (axes: "
+                    f"{mesh.axis_names})")
+            axis_size = mesh.shape[mesh_axis]
+            if self.n_slots % axis_size:
+                raise ConfigError(
+                    f"n_slots={self.n_slots} must divide evenly over mesh "
+                    f"axis {mesh_axis!r} (size {axis_size})")
+            self._shard = NamedSharding(mesh, PartitionSpec(mesh_axis))
 
         sources = list(sources or [])
         if len(sources) > self.n_slots:
@@ -131,8 +160,8 @@ class SessionPool:
                 lm = max(lm, int(math.ceil(max_seconds * sr_nat)))
             self._lmax.append(lm)
         self._srcbuf = [
-            jnp.zeros((K, gs.nch, self._need[j] + self._lmax[j]
-                       + self._need[j]), jnp.float32)
+            self._commit(jnp.zeros((K, gs.nch, self._need[j] + self._lmax[j]
+                                    + self._need[j]), jnp.float32))
             for j, gs in enumerate(geom)
         ]
         self._n_nat = [np.zeros(K, np.int64) for _ in geom]
@@ -152,7 +181,8 @@ class SessionPool:
         self.duck_params = dict(duck_params or {})
         self._state0 = self._init_state_single()
         self.states = jax.tree.map(
-            lambda s: jnp.broadcast_to(s[None], (K,) + s.shape), self._state0)
+            lambda s: self._commit(
+                jnp.broadcast_to(s[None], (K,) + s.shape)), self._state0)
 
         self._vslot = jax.vmap(self._make_slot_fn())
         self._scan_steps: dict[int, object] = {}
@@ -163,6 +193,16 @@ class SessionPool:
                 self.join(i, src, _tracks=built[i])
 
     # -- slot lifecycle --------------------------------------------------
+
+    def _commit(self, x):
+        """Pin the slot-sharded placement of a leading-K device array.
+
+        Eager slot updates (``.at[slot].set``) and host uploads don't
+        reliably inherit the mesh sharding — re-commit after every
+        construction/update so the jitted step always sees its inputs
+        already laid out K/n-per-device (no resharding transfer in the
+        hot read path)."""
+        return x if self._shard is None else jax.device_put(x, self._shard)
 
     def _resolve(self, src) -> list:
         """Decode/fetch each track's (pcm, native_sr) once."""
@@ -209,7 +249,8 @@ class SessionPool:
             row = np.zeros((self._geom[j].nch, need + lmax + need),
                            np.float32)
             row[:, need : need + ts.n_native] = ts.pcm
-            self._srcbuf[j] = self._srcbuf[j].at[slot].set(jnp.asarray(row))
+            self._srcbuf[j] = self._commit(
+                self._srcbuf[j].at[slot].set(jnp.asarray(row)))
             self._n_nat[j][slot] = ts.n_native
             self._n_out[j][slot] = float(ts.n_out)
         self._frame_idx[slot] = 0
@@ -253,7 +294,8 @@ class SessionPool:
 
     def _reset_state(self, slot: int) -> None:
         self.states = jax.tree.map(
-            lambda S, s0: S.at[slot].set(s0), self.states, self._state0)
+            lambda S, s0: self._commit(S.at[slot].set(s0)),
+            self.states, self._state0)
 
     # -- device step -------------------------------------------------------
 
@@ -349,11 +391,13 @@ class SessionPool:
         # intermittently computed with the POST-advance clocks
         # (slot output k frames ahead, measured nondeterministic
         # ~25% of runs on the CPU backend)
-        fi0 = jnp.asarray(np.array(self._frame_idx))
-        n_nats = tuple(jnp.asarray(np.array(a)) for a in self._n_nat)
-        n_outs = tuple(jnp.asarray(np.array(a)) for a in self._n_out)
-        active = jnp.asarray(
-            np.array([t is not None for t in self._slot_tracks], np.float32))
+        fi0 = self._commit(jnp.asarray(np.array(self._frame_idx)))
+        n_nats = tuple(self._commit(jnp.asarray(np.array(a)))
+                       for a in self._n_nat)
+        n_outs = tuple(self._commit(jnp.asarray(np.array(a)))
+                       for a in self._n_out)
+        active = self._commit(jnp.asarray(
+            np.array([t is not None for t in self._slot_tracks], np.float32)))
         out_dev, states = fn(tuple(self._srcbuf), fi0, n_nats, n_outs,
                              active, self.states)
         return (k, self._frame_idx.copy(), out_dev, states)
