@@ -155,6 +155,36 @@ def test_pool_dispatch_snapshots_host_clocks(rng):
         assert rms_db(g - r, r + 1e-12) <= -80.0, i
 
 
+def test_pool_checkpoint_resume(rng, tmp_path):
+    """Serving failover: save_state mid-stream, restore into a FRESH
+    pool (same config + sources re-joined), and the stream continues
+    bit-for-bit where the snapshot left off (SURVEY.md §5
+    checkpoint/resume at serving scale)."""
+    K = 3
+    srcs = _voices(rng, K)
+    pool = SessionPool(_cfg(), K, frame_ms=20.0, sources=srcs)
+    pool.read(6)  # advance: filter/limiter state + clocks are nonzero
+    path = tmp_path / "pool_state.npz"
+    pool.save_state(path)
+    expect = pool.read(4)  # the uninterrupted continuation
+
+    pool2 = SessionPool(_cfg(), K, frame_ms=20.0, sources=srcs)
+    pool2.load_state_file(path)
+    got = pool2.read(4)
+    assert np.array_equal(got, expect)
+
+    # restore validation: a pool with a different slot mask refuses
+    pool3 = SessionPool(_cfg(), K, frame_ms=20.0, sources=srcs[:2])
+    with pytest.raises(ConfigError, match="active-slot"):
+        pool3.load_state_file(path)
+    # different sources in the same slots refuse too
+    other = _voices(rng, K, seconds=1.7)
+    pool4 = SessionPool(_cfg(), K, frame_ms=20.0, sources=other,
+                        max_seconds=2.0)
+    with pytest.raises(ConfigError, match="source lengths"):
+        pool4.load_state_file(path)
+
+
 def _dp_mesh(min_devices=2):
     import jax
 

@@ -198,3 +198,12 @@ class SessionPool:
 
     def read(self, k: int = 1):
         return self._impl.read(k)
+
+    def save_state(self, path):
+        """Snapshot every slot's DSP state + clock (serving failover);
+        restore with :meth:`load_state_file` after re-joining the same
+        sources."""
+        return self._impl.save_state(path)
+
+    def load_state_file(self, path):
+        return self._impl.load_state_file(path)

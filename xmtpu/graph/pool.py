@@ -297,6 +297,65 @@ class SessionPool:
             lambda S, s0: self._commit(S.at[slot].set(s0)),
             self.states, self._state0)
 
+    # -- checkpoint/resume (serving failover) ------------------------------
+
+    def save_state(self, path) -> None:
+        """Snapshot every slot's DSP state + clock to ``path`` (npz) —
+        the serving-failover twin of ``StreamSession.save_state``
+        (SURVEY.md §5 checkpoint/resume row). Sources are NOT
+        serialized: user audio is re-\\ ``join``\\ ed on restore and the
+        snapshot validates it is the same (slot mask + per-track
+        native lengths)."""
+        leaves = jax.tree_util.tree_leaves(self.states)
+        np.savez(
+            path,
+            frame_out=self.frame_out,
+            n_slots=self.n_slots,
+            frame_idx=self._frame_idx,
+            n_nat=np.stack(self._n_nat) if self._n_nat else np.zeros((0, 0)),
+            active=np.array(
+                [t is not None for t in self._slot_tracks], bool),
+            **{f"leaf_{i}": np.asarray(v) for i, v in enumerate(leaves)},
+        )
+
+    def load_state_file(self, path) -> None:
+        """Restore a :meth:`save_state` snapshot into this pool. The
+        pool must have the same config geometry and the SAME sources
+        joined in the same slots (validated; the state pytree layout
+        itself is reconstructed from the config, as in
+        ``StreamSession.load_state_file``)."""
+        z = np.load(path)
+        if (int(z["frame_out"]) != self.frame_out
+                or int(z["n_slots"]) != self.n_slots):
+            raise ConfigError(
+                "pool snapshot geometry mismatch: saved frame/slot shape "
+                f"({int(z['frame_out'])}, {int(z['n_slots'])}) vs this "
+                f"pool's ({self.frame_out}, {self.n_slots})")
+        active_now = np.array([t is not None for t in self._slot_tracks],
+                              bool)
+        if not np.array_equal(active_now, z["active"]):
+            raise ConfigError(
+                "pool snapshot active-slot mask mismatch: join the same "
+                "slots before restoring")
+        for j in range(len(self._geom)):
+            if not np.array_equal(self._n_nat[j], z["n_nat"][j]):
+                raise ConfigError(
+                    f"track {j} source lengths differ from the snapshot: "
+                    "rejoin the same sources before restoring")
+        t_leaves = jax.tree_util.tree_leaves(self.states)
+        treedef = jax.tree_util.tree_structure(self.states)
+        leaves = []
+        for i, tl in enumerate(t_leaves):
+            v = z[f"leaf_{i}"]
+            if v.shape != tl.shape:
+                raise ConfigError(
+                    f"pool snapshot state leaf {i} shape {v.shape} != "
+                    f"{tl.shape} (different effects config?)")
+            leaves.append(self._commit(jnp.asarray(v, tl.dtype)))
+        self.states = jax.tree_util.tree_unflatten(treedef, leaves)
+        self._frame_idx[:] = z["frame_idx"]
+        self._pending = None
+
     # -- device step -------------------------------------------------------
 
     def _make_slot_fn(self):
