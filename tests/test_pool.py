@@ -183,6 +183,11 @@ def test_pool_checkpoint_resume(rng, tmp_path):
                         max_seconds=2.0)
     with pytest.raises(ConfigError, match="source lengths"):
         pool4.load_state_file(path)
+    # a different effects chain builds a different state tree: typed
+    # refuse, not a KeyError from the missing npz leaves
+    pool5 = SessionPool(_cfg(effects=False), K, frame_ms=20.0, sources=srcs)
+    with pytest.raises(ConfigError, match="state leaves"):
+        pool5.load_state_file(path)
 
 
 def _dp_mesh(min_devices=2):

@@ -344,6 +344,11 @@ class SessionPool:
                     "rejoin the same sources before restoring")
         t_leaves = jax.tree_util.tree_leaves(self.states)
         treedef = jax.tree_util.tree_structure(self.states)
+        n_saved = sum(1 for k in z.files if k.startswith("leaf_"))
+        if n_saved != len(t_leaves):
+            raise ConfigError(
+                f"pool snapshot has {n_saved} state leaves, this pool's "
+                f"config builds {len(t_leaves)} (different effects chain?)")
         leaves = []
         for i, tl in enumerate(t_leaves):
             v = z[f"leaf_{i}"]
