@@ -46,8 +46,9 @@ def main() -> None:
     # users come and go without retracing the device program
     pool.leave(3)
     pool.seek(0, 1000.0)  # rewind user 0 to 1.0 s
-    pool.join(3, {"voice": ((0.2 * rng.standard_normal(sr * 2)
-                             ).astype(np.float32), sr)})
+    newcomer = {"voice": ((0.2 * rng.standard_normal(sr * 2)
+                           ).astype(np.float32), sr)}
+    pool.join(3, newcomer)
     out = pool.read(25)
     print("after churn:", out.shape, "active slots:", pool.active())
 
@@ -59,6 +60,22 @@ def main() -> None:
     audio = groups * out.shape[0] * out.shape[1] / sr
     print(f"aggregate throughput: {audio / dt:.0f}x realtime "
           f"({K} sessions, grouped dispatch)")
+
+    # serving failover: snapshot every slot's DSP state + clock, restore
+    # into a fresh pool (same config, same sources re-joined) and the
+    # streams continue exactly where the snapshot left off
+    pool.save_state("/tmp/pool_snapshot.npz")
+    expect = pool.read(5)
+    pool2 = SessionPool(config, K, frame_ms=20.0, sources=sources)
+    pool2.join(3, newcomer)  # restore needs the SAME sources re-joined
+    pool2.load_state_file("/tmp/pool_snapshot.npz")
+    got = pool2.read(5)
+    print("checkpoint/resume bit-exact:", bool(np.array_equal(got, expect)))
+
+    # multi-chip serving: pass mesh= to shard the K slots over a device
+    # mesh — each chip serves K/n sessions inside one SPMD step, e.g.
+    #   mesh = jax.sharding.Mesh(np.array(jax.devices()), ("dp",))
+    #   pool = SessionPool(config, K, sources=sources, mesh=mesh)
 
 
 if __name__ == "__main__":
