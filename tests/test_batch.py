@@ -340,6 +340,23 @@ def test_flagship_mixfirst_pad_backend_parity(rng):
                   y_x.astype(np.float64) / 32768.0) < -80
 
 
+def test_flagship_envelope_block_parity(rng):
+    """envelope_block=8 (block-lookahead limiter envelope, exact
+    semiring blocking — kernels/envelope._env_blk_kernel) matches the
+    per-sample default bit-tight at the i16 output."""
+    v = (rng.standard_normal((2, 44100)) * 8000).astype(np.int16)
+    b = (rng.standard_normal((2, 44100)) * 6000).astype(np.int16)
+    kw = dict(sr_in=SR_IN, sr_bus=SR_BUS, interpret=True, fused=True)
+    y_blk = np.asarray(jax.jit(xbatch.make_flagship_step(
+        envelope_block=8, **kw))(jnp.asarray(v), jnp.asarray(b)))
+    y_ref = np.asarray(jax.jit(xbatch.make_flagship_step(**kw))(
+        jnp.asarray(v), jnp.asarray(b)))
+    assert y_blk.shape == y_ref.shape
+    # f32 association-only difference: at most 1 LSB of i16 quantization
+    assert np.max(np.abs(y_blk.astype(np.int32)
+                         - y_ref.astype(np.int32))) <= 1
+
+
 def test_batch_runner_bad_out_path_isolated(tmp_path, rng):
     """One unwritable output path fails ONLY that job — recorded in
     report.failed, other jobs written, no writer-thread hang (round-2

@@ -266,6 +266,57 @@ def test_eq_env_fused_state_carry(sos, rng):
         np.asarray(e2_full), np.concatenate([e1, e2_], axis=-1))
 
 
+def test_envelope_block_lookahead_matches_plain(rng):
+    """block=B lookahead == per-sample kernel: exact semiring blocking
+    (max-plus env carry, affine e2 carry + Kogge-Stone prefixes), with
+    carried-in state and a tail that is not a multiple of U*B=8B (the
+    body1 fallback).  f32 rounding only differs in mult association."""
+    from xmtpu.kernels.envelope import envelope_pallas
+    from xmtpu.ops import limiter as L
+
+    n = 4096 + 37  # partial chunk AND partial-B tail
+    d = np.abs(rng.standard_normal((140, n))).astype(np.float32) * 1.4
+    init = (jnp.asarray(np.abs(rng.standard_normal(140)), jnp.float32),
+            jnp.asarray(np.abs(rng.standard_normal(140)), jnp.float32))
+    k_rel = L._release_coeff(80.0, SR)
+    c_att = L._attack_coeff(1.0, SR)
+    e_ref, z_ref = envelope_pallas(jnp.asarray(d), k_rel, c_att, init=init,
+                                   interpret=True, segments=1)
+    for B in (4, 8):
+        e_blk, z_blk = envelope_pallas(jnp.asarray(d), k_rel, c_att,
+                                       init=init, interpret=True,
+                                       segments=1, block=B)
+        ref = np.asarray(e_ref, np.float64)
+        assert rms_db(np.asarray(e_blk, np.float64) - ref, ref) <= -100.0
+        for a, b in zip(z_blk, z_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-30)
+    with pytest.raises(ValueError, match="power of two"):
+        envelope_pallas(jnp.asarray(d), k_rel, c_att, interpret=True,
+                        segments=1, block=3)
+
+
+def test_envelope_block_lookahead_segmented(rng):
+    """block= composes with the segmented path: exercises the blocked
+    kernel's k_rel=0 (pass B) and c_att=1 (pass A) degenerate
+    coefficients plus the inline correction read."""
+    from xmtpu.kernels.envelope import envelope_pallas
+    from xmtpu.ops import limiter as L
+
+    n = 32768
+    d = np.abs(rng.standard_normal((2, n))).astype(np.float64) * 1.5
+    k_rel = L._release_coeff(100.0, SR)
+    c_att = L._attack_coeff(1.0, SR)
+    e_ref, zf_ref = envelope_pallas(jnp.asarray(d), k_rel, c_att,
+                                    interpret=True)  # segmented, plain
+    e_blk, zf_blk = envelope_pallas(jnp.asarray(d), k_rel, c_att,
+                                    interpret=True, block=8)
+    ref = np.asarray(e_ref, np.float64)
+    assert rms_db(np.asarray(e_blk, np.float64) - ref, ref) <= -100.0
+    for a, b in zip(zf_blk, zf_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-6)
+
+
 def test_envelope_n_valid_padded_detector():
     """n_valid= consumes a padded upstream array: outputs and carried
     state equal the sliced-input call exactly (round-3 padded kernel

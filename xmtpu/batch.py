@@ -102,6 +102,7 @@ def make_flagship_step(
     interpret: bool | None = None,
     fused: bool | None = None,
     lti_fold: bool = True,
+    envelope_block: int | None = None,
 ):
     """Build the full-chain step fn(voice_i16[B,n], bgm_i16[B,n]) -> i16[B,m].
 
@@ -287,7 +288,8 @@ def make_flagship_step(
                         trim=False)
                 with stage("limiter"):
                     e2, _ = envelope_pallas(jnp.abs(out), k_rel, c_att,
-                                            interpret=interpret, n_valid=n)
+                                            interpret=interpret, n_valid=n,
+                                            block=envelope_block)
                     out = _limiter.apply_gain_curve(
                         out[..., None, :n], e2, threshold_db)[..., 0, :]
                 return _convert.f32_to_pcm16(out)

@@ -27,6 +27,19 @@ real work at zero extra arithmetic. Lane count is a parameter; the
 auto picks fill up to ``_LANES_TARGET`` when enough rows/segments
 exist.
 
+BLOCK LOOKAHEAD (round 3, opt-in ``block=``): the lane widening above
+hides latency ACROSS chains; ``block=B`` shortens the chain ITSELF.
+Both recurrences are affine in a semiring — decaying max in (max, *),
+one-pole in (+, *) — so the carry can step B samples at a time
+(env_blk' = max(p, k^B env_blk); e2_blk' = a^B e2_blk + c*s) with the
+within-block values reconstructed by vectorized decayed-prefix
+Kogge-Stone trees, masked at block boundaries by a plain multiply
+(both semirings' identity is 0 and the |x| detector is nonnegative).
+Exact in exact arithmetic — unlike the IIR 4-sample lookahead
+(rejected: coefficient cancellation), max/+ with positive weights
+cannot cancel. Sequential steps drop B-fold; the added prefix-tree
+work is throughput-bound VPU math on data already in VMEM.
+
 INLINE SEGMENT CORRECTION: the segmented path's pass B (one-pole over
 the corrected envelope max(env0[t], E * k^(t+1))) reads env0 raw and
 applies the correction on the loaded tile from a per-lane row ``E``
@@ -116,9 +129,131 @@ def _env_kernel(coef_ref, init_ref, d_ref, *refs, n_total, tc,
     zf_ref[:] = st_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("n", "tc", "interpret", "lanes"))
+def _env_blk_kernel(coef_ref, init_ref, d_ref, *refs, n_total, tc, B,
+                    has_corr=False):
+    """Block-B lookahead variant of :func:`_env_kernel` (see module
+    docstring "BLOCK LOOKAHEAD"). Exact in exact arithmetic: both
+    recurrences are affine in their semirings — (max, *) for the
+    decaying max, (+, *) for the one-pole — so the per-sample chain
+    collapses to a per-BLOCK chain (B-fold fewer dependent steps) plus
+    vectorized within-block prefix trees whose masking is a plain
+    multiply (identity of both semirings is 0 on the limiter's
+    nonnegative detector)."""
+    if has_corr:
+        kt_ref, e_ref, o_ref, zf_ref, st_ref = refs
+    else:
+        o_ref, zf_ref, st_ref = refs
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        st_ref[:] = init_ref[:]
+
+    k_rel = coef_ref[0, 0]
+    c_att = coef_ref[0, 1]
+    a_att = 1.0 - c_att
+
+    U = 8  # blocks per chunk (sequential steps per chunk = 2*U)
+    CH = U * B
+    lanes_c = d_ref.shape[1]
+
+    # powers k^1..k^B / a^1..a^B as traced scalars (k may be a runtime
+    # 0.0 on the segmented path's pass B — no exp/log tricks)
+    kp = [None, k_rel]
+    ap = [None, a_att]
+    for _j in range(2, B + 1):
+        kp.append(kp[-1] * k_rel)
+        ap.append(ap[-1] * a_att)
+
+    # (CH, 1) columns: row u*B+j -> k^(j+1) / a^(j+1); and per-KS-level
+    # masked-decay columns k^l * [row-in-block >= l] (the multiply IS
+    # the block-boundary mask). Built once per kernel invocation,
+    # closed over by the chunk loop.
+    rb = jax.lax.broadcasted_iota(jnp.int32, (CH, 1), 0) % jnp.int32(B)
+    kcol = jnp.zeros((CH, 1), jnp.float32)
+    acol = jnp.zeros((CH, 1), jnp.float32)
+    for j in range(B):
+        sel = (rb == j).astype(jnp.float32)
+        kcol = kcol + sel * kp[j + 1]
+        acol = acol + sel * ap[j + 1]
+    levels = []
+    l = 1
+    while l < B:
+        m = (rb >= l).astype(jnp.float32)
+        levels.append((l, m * kp[l], m * ap[l]))
+        l *= 2
+
+    def body_chunk(i, st):
+        env_b, e2_b = st  # (1, lanes) each
+        tile = d_ref[pl.ds(i * CH, CH), :]
+        if has_corr:
+            tile = jnp.maximum(
+                tile, e_ref[:] * kt_ref[pl.ds(i * CH, CH), :])
+        # within-block decayed prefix max:
+        #   pref[u*B+j] = max_{m<=j} k^(j-m) * d[u*B+m]
+        x = tile
+        for l, km, _am in levels:
+            sh = jnp.concatenate(
+                [jnp.zeros((l, lanes_c), x.dtype), x[:-l]], axis=0)
+            x = jnp.maximum(x, km * sh)
+        pref = x
+        # sequential env carry over U blocks (2 dependent ops/step)
+        carr = []
+        for u in range(U):
+            carr.append(env_b)
+            env_b = jnp.maximum(
+                pref[u * B + B - 1 : u * B + B, :], kp[B] * env_b)
+        carrx = jnp.broadcast_to(
+            jnp.concatenate(carr, axis=0).reshape(U, 1, lanes_c),
+            (U, B, lanes_c)).reshape(CH, lanes_c)
+        envf = jnp.maximum(pref, kcol * carrx)
+        # within-block decayed prefix sum of the envelope:
+        #   y[u*B+j] = sum_{m<=j} a^(j-m) * env[u*B+m]
+        y = envf
+        for l, _km, am in levels:
+            sh = jnp.concatenate(
+                [jnp.zeros((l, lanes_c), y.dtype), y[:-l]], axis=0)
+            y = y + am * sh
+        carr2 = []
+        for u in range(U):
+            carr2.append(e2_b)
+            e2_b = ap[B] * e2_b + c_att * y[u * B + B - 1 : u * B + B, :]
+        carrx2 = jnp.broadcast_to(
+            jnp.concatenate(carr2, axis=0).reshape(U, 1, lanes_c),
+            (U, B, lanes_c)).reshape(CH, lanes_c)
+        o_ref[pl.ds(i * CH, CH), :] = acol * carrx2 + c_att * y
+        return env_b, e2_b
+
+    def update(di, st):
+        env, e2 = st
+        env = jnp.maximum(di, k_rel * env)
+        e2 = a_att * e2 + c_att * env
+        return e2, (env, e2)
+
+    def body1(i, st):
+        di = d_ref[pl.ds(i, 1), :]
+        if has_corr:
+            di = jnp.maximum(di, e_ref[:] * kt_ref[pl.ds(i, 1), :])
+        y, st = update(di, st)
+        o_ref[pl.ds(i, 1), :] = y
+        return st
+
+    state = (st_ref[0:1, :], st_ref[1:2, :])
+    rem = jnp.minimum(
+        jnp.int32(tc), jnp.int32(n_total) - t.astype(jnp.int32) * jnp.int32(tc)
+    )
+    full = rem // jnp.int32(CH)
+    state = jax.lax.fori_loop(jnp.int32(0), full, body_chunk, state)
+    env, e2 = jax.lax.fori_loop(full * jnp.int32(CH), rem, body1, state)
+    st_ref[0:1, :] = env
+    st_ref[1:2, :] = e2
+    zf_ref[:] = st_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("n", "tc", "interpret", "lanes",
+                                             "block"))
 def _envelope_2d_t(dt, coef, initp, kt=None, ep=None, *, n, tc, interpret,
-                   lanes):
+                   lanes, block=None):
     """KERNEL-LAYOUT core: ``dt`` is (npad, Rp) time-major padded input
     (npad = ntc*tc, Rp a multiple of ``lanes``); returns (e2_t (npad,
     Rp), zf (2, Rp)) in the SAME layout. The segmented path runs both
@@ -132,8 +267,15 @@ def _envelope_2d_t(dt, coef, initp, kt=None, ep=None, *, n, tc, interpret,
     """
     npad, Rp = dt.shape
     ntc = npad // tc
-    kern = functools.partial(_env_kernel, n_total=n, tc=tc,
-                             has_corr=kt is not None)
+    if block is not None:
+        B = int(block)
+        if B < 2 or B & (B - 1):
+            raise ValueError(f"block={B} must be a power of two >= 2")
+        kern = functools.partial(_env_blk_kernel, n_total=n, tc=tc, B=B,
+                                 has_corr=kt is not None)
+    else:
+        kern = functools.partial(_env_kernel, n_total=n, tc=tc,
+                                 has_corr=kt is not None)
     # x64 off during kernel trace — Mosaic rejects i64 index types
     with jax.enable_x64(False):
         return _call(kern, coef, initp, dt, kt, ep, Rp, npad, tc, ntc,
@@ -172,9 +314,9 @@ def _auto_tc(n: int, tc: int) -> int:
 
 @functools.partial(jax.jit,
                    static_argnames=("time_chunk", "interpret", "lanes",
-                                    "n_valid"))
+                                    "n_valid", "block"))
 def _envelope_2d(d2d, coef, init, time_chunk=2048,
-                 interpret=False, lanes=LANES, n_valid=None):
+                 interpret=False, lanes=LANES, n_valid=None, block=None):
     """d2d: (R, n) f32 detector rows. init: (2, R). -> (e2 (R, n), zf (2, R)).
 
     Row-major convenience wrapper over :func:`_envelope_2d_t` (the
@@ -200,7 +342,7 @@ def _envelope_2d(d2d, coef, init, time_chunk=2048,
     initp = jnp.zeros((2, Rp), jnp.float32)
     initp = jax.lax.dynamic_update_slice(initp, init.astype(jnp.float32), (0, 0))
     e2, zf = _envelope_2d_t(dt, coef, initp, n=n, tc=tc,
-                            interpret=interpret, lanes=lanes)
+                            interpret=interpret, lanes=lanes, block=block)
     return e2[:n, :R].T, zf[:, :R]
 
 
@@ -274,7 +416,7 @@ def _decay_cut(r: float, n: int) -> int:
     return min(n, int(np.ceil(np.log(1e-40) / np.log(r))))
 
 
-def _envelope_seg(d2d, k_rel, c_att, init2, S_seg, tc, interpret):
+def _envelope_seg(d2d, k_rel, c_att, init2, S_seg, tc, interpret, block=None):
     R, n = d2d.shape
     seglen = n // S_seg
     RS = R * S_seg
@@ -292,7 +434,8 @@ def _envelope_seg(d2d, k_rel, c_att, init2, S_seg, tc, interpret):
     # pass A: decaying max only (c_att=1 -> e2 == env), no correction
     coef_a = jnp.array([[k_rel, 1.0]], jnp.float32)
     env0_t, zf_a = _envelope_2d_t(dt, coef_a, zerosp, n=seglen,
-                                  tc=tc, interpret=interpret, lanes=lanes)
+                                  tc=tc, interpret=interpret, lanes=lanes,
+                                  block=block)
     envf = zf_a[0, :RS].reshape(R, S_seg)
     kp = jnp.float32(float(k_rel) ** seglen)
 
@@ -316,7 +459,7 @@ def _envelope_seg(d2d, k_rel, c_att, init2, S_seg, tc, interpret):
     coef_b = jnp.array([[0.0, c_att]], jnp.float32)
     e2_t, zf_b = _envelope_2d_t(env0_t, coef_b, zerosp, jnp.asarray(ktab),
                                 ep, n=seglen, tc=tc, interpret=interpret,
-                                lanes=lanes)
+                                lanes=lanes, block=block)
     e2f = zf_b[1, :RS].reshape(R, S_seg)
     a = 1.0 - float(c_att)
     ap = jnp.float32(a ** seglen)
@@ -340,7 +483,7 @@ def _envelope_seg(d2d, k_rel, c_att, init2, S_seg, tc, interpret):
 
 
 def envelope_pallas(d, k_rel: float, c_att: float, init=None, time_chunk=2048,
-                    interpret=False, segments=None, n_valid=None):
+                    interpret=False, segments=None, n_valid=None, block=None):
     """Smoothed limiter envelope of detector ``d`` shaped (..., n).
 
     ``init``: (env_last, e2_last) each shaped (...,) or None. Returns
@@ -351,6 +494,12 @@ def envelope_pallas(d, k_rel: float, c_att: float, init=None, time_chunk=2048,
     kernel (e.g. fftconv ``trim=False``) and only the first n_valid
     samples are signal — outputs are (..., n_valid) and the upstream
     trim pass is saved (its slice fuses here).
+
+    ``block``: power-of-two block-lookahead factor (None = per-sample
+    recurrence). Both recurrences are affine in their semirings, so
+    block-B carries are exact: B-fold fewer dependent steps traded for
+    vectorized within-block prefix trees (see _env_blk_kernel). Opt-in
+    pending chip measurement.
 
     PRECONDITION: ``d`` and ``init`` must be NONNEGATIVE (true for the
     limiter's |x| detector). The max-semiring corrections compose with
@@ -385,13 +534,15 @@ def envelope_pallas(d, k_rel: float, c_att: float, init=None, time_chunk=2048,
         if d2d.shape[1] != n:
             d2d = d2d[:, :n]  # materialize: segmentation reshapes (R, n)
         e2, zf = _envelope_seg(d2d, k_rel, c_att, init2, S_seg,
-                               _auto_tc(n // S_seg, time_chunk), interpret)
+                               _auto_tc(n // S_seg, time_chunk), interpret,
+                               block=block)
     else:
         coef = jnp.array([[k_rel, c_att]], jnp.float32)
         e2, zf = _envelope_2d(d2d, coef, init2,
                               time_chunk=_auto_tc(n, time_chunk),
                               interpret=interpret, lanes=_pick_lanes(R),
-                              n_valid=(None if d2d.shape[1] == n else n))
+                              n_valid=(None if d2d.shape[1] == n else n),
+                              block=block)
     return (
         e2.reshape(*batch, n).astype(d.dtype),
         (zf[0].reshape(batch), zf[1].reshape(batch)),
