@@ -65,6 +65,30 @@ def test_cli_effects_wrapped_chain(tone, tmp_path):
         main(["effects", inp, out, "--chain", str(bad)])
 
 
+def test_cli_typed_errors_clean_exit(tone, tmp_path, capsys):
+    """Bad user input (malformed chain entries, invalid JSON, missing
+    files) exits 2 with a one-line 'xmtpu: error:' diagnostic — never a
+    traceback (verify-session find: a chain entry keyed 'type' instead
+    of 'name' dumped a raw ConfigError traceback)."""
+    inp, sr = tone
+    out = str(tmp_path / "never.wav")
+    # ConfigError: wrong vocabulary key inside an otherwise-valid file
+    cpath = tmp_path / "bad_key.json"
+    cpath.write_text(json.dumps([{"type": "volume", "gain_db": -6.0}]))
+    assert main(["effects", inp, out, "--chain", str(cpath)]) == 2
+    err = capsys.readouterr().err
+    assert err.startswith("xmtpu: error:") and "name" in err
+    # invalid JSON
+    jpath = tmp_path / "not_json.json"
+    jpath.write_text("{nope")
+    assert main(["effects", inp, out, "--chain", str(jpath)]) == 2
+    assert "invalid JSON" in capsys.readouterr().err
+    # missing input file
+    assert main(["resample", str(tmp_path / "ghost.wav"), out,
+                 "--rate", "16000"]) == 2
+    assert "xmtpu: error:" in capsys.readouterr().err
+
+
 def test_cli_generate(tone, tmp_path):
     inp, sr = tone
     cfg = {"sampleRate": 16000,

@@ -19,6 +19,8 @@ import json
 import sys
 import time
 
+from xmtpu.utils.errors import XmtpuError
+
 
 def _check_rate(rate: int, sr: int) -> None:
     """Reject rates the polyphase path cannot sensibly serve — the same
@@ -188,7 +190,24 @@ def main(argv=None) -> int:
     pba.set_defaults(fn=_cmd_batch)
 
     args = p.parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except XmtpuError as e:
+        # typed errors are BAD USER INPUT (malformed config/chain,
+        # undecodable file) — a clean one-line diagnostic, not a
+        # traceback (the reference's negative error codes, SURVEY.md
+        # §5 failure-detection row; seen live: a chain file with
+        # 'type' instead of 'name' dumped a 20-frame traceback)
+        print(f"xmtpu: error: {e}", file=sys.stderr)
+        return 2
+    except FileNotFoundError as e:
+        print(f"xmtpu: error: {e}", file=sys.stderr)
+        return 2
+    except json.JSONDecodeError as e:
+        fname = getattr(args, "chain", None) or getattr(
+            args, "config", None) or getattr(args, "manifest", "<input>")
+        print(f"xmtpu: error: {fname}: invalid JSON: {e}", file=sys.stderr)
+        return 2
 
 
 if __name__ == "__main__":
