@@ -156,6 +156,7 @@ def limiter(
     backend: str = "scan",
     ratio: float = float("inf"),
     makeup_db: float = 0.0,
+    envelope_block: int | None = None,
 ):
     """Soft-knee limit ``x`` shaped (..., channels, n). Jittable.
 
@@ -168,6 +169,10 @@ def limiter(
     unrolled HLO — slow to compile at long n on the remote TPU
     compiler); "pallas" = sequential f32 Pallas kernel (tiny compile,
     batch-parallel — the 256-clip batch path, SURVEY.md §7.3).
+
+    ``envelope_block``: power-of-two block-lookahead factor for the
+    pallas backend's envelope recurrences (kernels/envelope.py "BLOCK
+    LOOKAHEAD"); None = per-sample. Ignored by the scan backend.
     """
     k_rel = _release_coeff(release_ms, sr)
     c_att = _attack_coeff(attack_ms, sr)
@@ -190,6 +195,7 @@ def limiter(
         e2, (env_last, sm_last) = envelope_pallas(
             d, k_rel, c_att, init=(env_init, sm_init),
             interpret=(backend == "pallas_interpret"),
+            block=envelope_block,
         )
     else:
         raise ValueError(f"unknown limiter backend {backend!r}")
