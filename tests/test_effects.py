@@ -277,6 +277,27 @@ def test_effects_api_entry(signals):
     assert rms_db(y - ref, ref) <= -100.0
 
 
+def test_limiter_fx_envelope_block_param(signals):
+    """Chain-level envelope_block (block-lookahead pallas envelope)
+    matches the per-sample pallas limiter; invalid values raise
+    ConfigError at build time."""
+    from xmtpu.utils.errors import ConfigError
+
+    x = signals(9600, SR)["noise"] * 1.6
+    base = [{"name": "limiter", "params": {
+        "threshold_db": -6.0, "backend": "pallas_interpret"}}]
+    blk = [{"name": "limiter", "params": {
+        "threshold_db": -6.0, "backend": "pallas_interpret",
+        "envelope_block": 8}}]
+    y0 = fxg.apply_chain(x, SR, base)
+    y1 = fxg.apply_chain(x, SR, blk)
+    assert rms_db(np.asarray(y1, np.float64) - np.asarray(y0, np.float64),
+                  np.asarray(y0, np.float64)) <= -100.0
+    with pytest.raises(ConfigError, match="power of two"):
+        fxg.build_chain(SR, [{"name": "limiter",
+                              "params": {"envelope_block": 3}}])
+
+
 def test_effects_chain_cache_reused(signals):
     fxg._cache.clear()
     x = signals(4800, SR)["noise"]

@@ -332,21 +332,31 @@ def _fold_lti(effects):
 
 class LimiterFx:
     """Soft-knee limiter. params: threshold_db, knee_db, attack_ms,
-    release_ms, ceiling_db, backend (auto|scan|pallas)."""
+    release_ms, ceiling_db, backend (auto|scan|pallas), envelope_block
+    (power-of-two block-lookahead for the pallas envelope kernel —
+    kernels/envelope.py; ignored by the scan backend)."""
 
     PARAMS = frozenset({"threshold_db", "knee_db", "attack_ms",
-                        "release_ms", "ceiling_db", "backend"})
+                        "release_ms", "ceiling_db", "backend",
+                        "envelope_block"})
 
     def __init__(self, sample_rate: int, params):
         p = dict(params)
         self.sr = sample_rate
         self.engine, self.interpret = _resolve_backend(p.get("backend"))
+        eb = p.get("envelope_block")
+        if eb is not None:
+            eb = int(eb)
+            if eb < 2 or eb & (eb - 1):
+                raise ConfigError(
+                    f"envelope_block={eb} must be a power of two >= 2")
         self.kw = dict(
             threshold_db=float(p.get("threshold_db", -3.0)),
             knee_db=float(p.get("knee_db", 6.0)),
             attack_ms=float(p.get("attack_ms", 1.0)),
             release_ms=float(p.get("release_ms", 100.0)),
             ceiling_db=float(p.get("ceiling_db", 0.0)),
+            envelope_block=eb,
         )
 
     def _backend_name(self) -> str:
