@@ -282,7 +282,7 @@ def test_envelope_block_lookahead_matches_plain(rng):
     c_att = L._attack_coeff(1.0, SR)
     e_ref, z_ref = envelope_pallas(jnp.asarray(d), k_rel, c_att, init=init,
                                    interpret=True, segments=1)
-    for B in (4, 8):
+    for B in (4, 8, 16):
         e_blk, z_blk = envelope_pallas(jnp.asarray(d), k_rel, c_att,
                                        init=init, interpret=True,
                                        segments=1, block=B)
@@ -314,7 +314,7 @@ def test_envelope_block_lookahead_segmented(rng):
     ref = np.asarray(e_ref, np.float64)
     assert rms_db(np.asarray(e_blk, np.float64) - ref, ref) <= -100.0
     for a, b in zip(zf_blk, zf_ref):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-6)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4)
 
 
 def test_envelope_n_valid_padded_detector():
