@@ -188,6 +188,16 @@ def test_pool_checkpoint_resume(rng, tmp_path):
     pool5 = SessionPool(_cfg(effects=False), K, frame_ms=20.0, sources=srcs)
     with pytest.raises(ConfigError, match="state leaves"):
         pool5.load_state_file(path)
+    # a different TRACK count: typed refuse on the track-table shape,
+    # not an IndexError from indexing the snapshot's n_nat rows
+    cfg2 = PipelineConfig(
+        tracks=(TrackConfig(url="v", fade_in_ms=50.0, fade_out_ms=80.0),
+                TrackConfig(url="w")),
+        effects=(), sample_rate=SR, normalize=None)
+    srcs2 = [dict(s, w=s["v"]) for s in srcs]
+    pool6 = SessionPool(cfg2, K, frame_ms=20.0, sources=srcs2)
+    with pytest.raises(ConfigError, match="track table shape"):
+        pool6.load_state_file(path)
 
 
 def _dp_mesh(min_devices=2):

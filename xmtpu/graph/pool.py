@@ -337,6 +337,14 @@ class SessionPool:
             raise ConfigError(
                 "pool snapshot active-slot mask mismatch: join the same "
                 "slots before restoring")
+        want = (len(self._geom), self.n_slots)
+        if z["n_nat"].shape != want:
+            # validate BEFORE indexing rows: a snapshot saved from a
+            # different-track-count config used to escape as an
+            # IndexError instead of the typed refuse
+            raise ConfigError(
+                f"pool snapshot track table shape {z['n_nat'].shape} != "
+                f"{want} (different track count in config?)")
         for j in range(len(self._geom)):
             if not np.array_equal(self._n_nat[j], z["n_nat"][j]):
                 raise ConfigError(
