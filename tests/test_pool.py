@@ -270,3 +270,42 @@ def test_pool_parity_at_32_sessions(rng):
         g = got[i].astype(np.float64) / 32768.0
         r = ref.astype(np.float64) / 32768.0
         assert rms_db(g - r, r + 1e-12) <= -80.0, i
+
+
+def test_pool_thread_safety_join_leave_during_reads(rng):
+    """Serving shape: one thread pumps read() while another churns
+    join/leave/seek on other slots. The internal lock must keep every
+    group internally consistent — no exceptions, correct shapes, and a
+    slot that was left (and not rejoined) reads silence afterwards."""
+    import threading
+
+    K = 4
+    srcs = _voices(rng, K, seconds=0.4)
+    pool = SessionPool(_cfg(), K, frame_ms=20.0, sources=srcs)
+    errs: list = []
+    stop = threading.Event()
+
+    def churn():
+        try:
+            for i in range(30):
+                s = 1 + (i % (K - 1))  # never slot 0
+                pool.leave(s)
+                pool.seek(0, 40.0 * (i % 3))
+                pool.join(s, srcs[s])
+            pool.leave(K - 1)
+        except Exception as e:  # noqa: BLE001 — surface to the main thread
+            errs.append(e)
+        finally:
+            stop.set()
+
+    t = threading.Thread(target=churn)
+    t.start()
+    outs = []
+    while not stop.is_set():
+        outs.append(pool.read(4))  # k=4: reuses the suite's executable
+    t.join()
+    assert not errs, errs
+    assert all(o.shape == outs[0].shape for o in outs)
+    out = pool.read(4)  # post-churn: K-1 was left last and stays silent
+    assert np.all(out[K - 1] == 0)
+    assert np.any(out[0] != 0)

@@ -42,7 +42,9 @@ Design (round-3 final, measured on the axon tunnel):
 
 from __future__ import annotations
 
+import functools
 import math
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -61,6 +63,17 @@ def _track_need(ts: _TrackStream) -> int:
     if ts.plan is None:
         return ts.frame_out
     return _resample.plan_rows(ts.plan, ts.nj) * ts.plan.M
+
+
+def _locked(method):
+    """Serialize a public SessionPool method on the pool lock (see the
+    class docstring's THREAD SAFETY note). RLock: locked methods may
+    call each other (__init__'s join of the construction sources)."""
+    @functools.wraps(method)
+    def wrapper(self, *a, **kw):
+        with self._lock:
+            return method(self, *a, **kw)
+    return wrapper
 
 
 class SessionPool:
@@ -83,6 +96,13 @@ class SessionPool:
     dimension of every device-resident array is sharded over
     ``mesh_axis`` and the one jitted step runs SPMD (each device serves
     ``K / axis_size`` slots). ``n_slots`` must divide evenly.
+
+    THREAD SAFETY: all public methods serialize on one internal lock —
+    a serving process can pump :meth:`read` on one thread while request
+    handlers ``join``/``leave``/``seek`` other slots (the reference's
+    one-handle-per-thread model has no equivalent guard to port; a
+    pooled object needs one). A mutation waits for an in-flight read's
+    fetch, which the RTT-dominated read cadence absorbs.
     """
 
     def __init__(self, config, n_slots: int, frame_ms: float = 20.0,
@@ -90,6 +110,7 @@ class SessionPool:
                  duck_params: dict | None = None,
                  max_seconds: float | None = None,
                  mesh=None, mesh_axis: str = "dp"):
+        self._lock = threading.RLock()
         if isinstance(config, dict):
             config = config_from_dict(config)
         if not isinstance(config, PipelineConfig):
@@ -219,6 +240,7 @@ class SessionPool:
             for t, (pcm, sr_nat) in zip(self.config.tracks, resolved)
         ]
 
+    @_locked
     def join(self, slot: int, sources, _tracks: list | None = None) -> None:
         """Attach a user's sources to ``slot`` (state + clock reset;
         ONE source upload per track — windows are carved on device).
@@ -257,6 +279,7 @@ class SessionPool:
         self._pending = None  # stale windows/state
         self._reset_state(slot)
 
+    @_locked
     def leave(self, slot: int) -> None:
         """Detach ``slot``: its lanes output exact silence until the
         next :meth:`join` (zero source/length + state reset — a
@@ -270,6 +293,7 @@ class SessionPool:
         self._pending = None
         self._reset_state(slot)
 
+    @_locked
     def seek(self, slot: int, ms: float) -> None:
         """Frame-aligned reposition of one slot + state reset (the
         reference's per-handle seek semantics)."""
@@ -279,6 +303,7 @@ class SessionPool:
         self._pending = None
         self._reset_state(slot)
 
+    @_locked
     def active(self) -> list[int]:
         return [i for i, t in enumerate(self._slot_tracks) if t is not None]
 
@@ -299,6 +324,7 @@ class SessionPool:
 
     # -- checkpoint/resume (serving failover) ------------------------------
 
+    @_locked
     def save_state(self, path) -> None:
         """Snapshot every slot's DSP state + clock to ``path`` (npz) —
         the serving-failover twin of ``StreamSession.save_state``
@@ -318,6 +344,7 @@ class SessionPool:
             **{f"leaf_{i}": np.asarray(v) for i, v in enumerate(leaves)},
         )
 
+    @_locked
     def load_state_file(self, path) -> None:
         """Restore a :meth:`save_state` snapshot into this pool. The
         pool must have the same config geometry and the SAME sources
@@ -474,6 +501,7 @@ class SessionPool:
                              active, self.states)
         return (k, self._frame_idx.copy(), out_dev, states)
 
+    @_locked
     def read(self, k: int = 1) -> np.ndarray:
         """Advance every active slot by k frames -> (K, k*frame, ch) PCM
         (empty slots return silence). ONE device dispatch and ONE host
