@@ -337,3 +337,35 @@ def test_envelope_n_valid_padded_detector():
     np.testing.assert_array_equal(np.asarray(e_nv), np.asarray(e_ref))
     for a, b in zip(z_nv, z_ref):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_envelope_block_lookahead_property():
+    """Property sweep (seeded): blocked == per-sample envelope across
+    random coefficients (incl. the k=0 / c=1 / k->1 edges), lengths
+    (ragged tails), block factors, and carried states."""
+    from xmtpu.kernels.envelope import envelope_pallas
+
+    rng = np.random.default_rng(20260818)
+    for trial in range(14):
+        k_rel = [0.0, 1.0, float(rng.uniform(0.3, 0.99999))][trial % 3]
+        c_att = [1.0, float(rng.uniform(0.001, 0.9))][trial % 2]
+        B = int([2, 8, 32][trial % 3])
+        n = int(rng.integers(64, 3000))
+        R = int(rng.integers(1, 9))
+        d = np.abs(rng.standard_normal((R, n))).astype(np.float32)
+        init = None
+        if trial % 2:
+            init = (jnp.asarray(np.abs(rng.standard_normal(R)), jnp.float32),
+                    jnp.asarray(np.abs(rng.standard_normal(R)), jnp.float32))
+        e_ref, z_ref = envelope_pallas(jnp.asarray(d), k_rel, c_att,
+                                       init=init, interpret=True, segments=1)
+        e_blk, z_blk = envelope_pallas(jnp.asarray(d), k_rel, c_att,
+                                       init=init, interpret=True, segments=1,
+                                       block=B)
+        ref = np.asarray(e_ref, np.float64)
+        db = rms_db(np.asarray(e_blk, np.float64) - ref, ref + 1e-12)
+        assert db <= -90.0, (trial, k_rel, c_att, B, n, R, db)
+        for a, b in zip(z_blk, z_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-30,
+                                       err_msg=str((trial, k_rel, c_att, B)))
