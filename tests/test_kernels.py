@@ -369,3 +369,30 @@ def test_envelope_block_lookahead_property():
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-30,
                                        err_msg=str((trial, k_rel, c_att, B)))
+
+
+def test_iir_kernel_wide_lanes_parity(sos, rng):
+    """lanes=256 (chain-interleaved row tiles, the envelope kernel's
+    measured latency-hiding trick) == the 128-lane default, including
+    partial tiles (R=140: one full + one 3/4 tile at 256) and the
+    segmented small-batch path."""
+    x = (0.3 * rng.standard_normal((140, 4096))).astype(np.float32)
+    y128, z128 = sosfilt_pallas(sos, jnp.asarray(x), interpret=True,
+                                segments=1)
+    y256, z256 = sosfilt_pallas(sos, jnp.asarray(x), interpret=True,
+                                segments=1, lanes=256)
+    np.testing.assert_array_equal(np.asarray(y256), np.asarray(y128))
+    np.testing.assert_array_equal(np.asarray(z256), np.asarray(z128))
+    # segmented auto pick fills toward the wider lane target (min_seglen
+    # relaxed so the lane bound is what binds)
+    from xmtpu.kernels.iir import pick_segments
+    assert pick_segments(2, 65536, min_seglen=512, lanes=256) \
+        == 2 * pick_segments(2, 65536, min_seglen=512)
+    n = 32768
+    x2 = (0.4 * rng.standard_normal((2, n))).astype(np.float32)
+    ys, _ = sosfilt_pallas(sos, jnp.asarray(x2), interpret=True, lanes=256)
+    yp, _ = sosfilt_pallas(sos, jnp.asarray(x2), interpret=True, segments=1)
+    assert rms_db(np.asarray(ys, np.float64) - np.asarray(yp, np.float64),
+                  np.asarray(yp, np.float64)) <= -75.0
+    with pytest.raises(ValueError, match="multiple of"):
+        sosfilt_pallas(sos, jnp.asarray(x2), interpret=True, lanes=192)

@@ -96,14 +96,21 @@ def _iir_kernel(sos_ref, zi_ref, x_ref, o_ref, zf_ref, st_ref, *, n_total, tc, n
 
 
 @functools.partial(
-    jax.jit, static_argnames=("time_chunk", "interpret", "return_state")
+    jax.jit, static_argnames=("time_chunk", "interpret", "return_state",
+                              "lanes")
 )
 def _sosfilt_pallas_2d(sos, x2d, zi, time_chunk=2048, interpret=False,
-                       return_state=True):
-    """x2d: (R, n) f32, rows independent. zi: (S, 2, R). -> (y2d, zf)."""
+                       return_state=True, lanes=LANES):
+    """x2d: (R, n) f32, rows independent. zi: (S, 2, R). -> (y2d, zf).
+
+    ``lanes``: row-tile width. 128 = one f32 vreg (the measured round-2
+    default). Wider tiles interleave independent rows' recurrence
+    chains in each VPU op — the same latency-hiding that won 256 for
+    the envelope kernel (kernels/envelope.py) — at zero extra
+    arithmetic; opt-in pending an IIR chip measurement."""
     S = sos.shape[0]
     R, n = x2d.shape
-    Rp = _cdiv(R, LANES) * LANES
+    Rp = _cdiv(R, lanes) * lanes
     tc = time_chunk
     ntc = _cdiv(n, tc)
     npad = ntc * tc
@@ -117,35 +124,36 @@ def _sosfilt_pallas_2d(sos, x2d, zi, time_chunk=2048, interpret=False,
     # x64 mode is on package-wide (IIR f64 scans); trace the kernel with it
     # off — Mosaic rejects the i64 index types x64 tracing produces.
     with jax.enable_x64(False):
-        y, zf = _call(kern, sos, zip_, xt, S, Rp, npad, tc, ntc, interpret)
+        y, zf = _call(kern, sos, zip_, xt, S, Rp, npad, tc, ntc, interpret,
+                      lanes)
     y = y[:n, :R].T
     if not return_state:
         return y, None
     return y, zf[:, :, :R]
 
 
-def _call(kern, sos, zip_, xt, S, Rp, npad, tc, ntc, interpret):
+def _call(kern, sos, zip_, xt, S, Rp, npad, tc, ntc, interpret, lanes):
     return pl.pallas_call(
         kern,
-        grid=(Rp // LANES, ntc),
+        grid=(Rp // lanes, ntc),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # sos (S, 6), whole
-            pl.BlockSpec((S, 2, LANES), lambda b, t: (0, 0, b),
+            pl.BlockSpec((S, 2, lanes), lambda b, t: (0, 0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tc, LANES), lambda b, t: (t, b),
+            pl.BlockSpec((tc, lanes), lambda b, t: (t, b),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tc, LANES), lambda b, t: (t, b),
+            pl.BlockSpec((tc, lanes), lambda b, t: (t, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, 2, LANES), lambda b, t: (0, 0, b),
+            pl.BlockSpec((S, 2, lanes), lambda b, t: (0, 0, b),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((npad, Rp), jnp.float32),
             jax.ShapeDtypeStruct((S, 2, Rp), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((S, 2, LANES), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((S, 2, lanes), jnp.float32)],
         interpret=interpret,
     )(sos.astype(jnp.float32), zip_, xt)
 
@@ -246,7 +254,8 @@ def pick_segments(R: int, n: int, min_seglen: int = 4096,
     return s
 
 
-def _sosfilt_seg(sos, x2d, zi3, S_seg: int, consts, time_chunk, interpret):
+def _sosfilt_seg(sos, x2d, zi3, S_seg: int, consts, time_chunk, interpret,
+                 lanes=LANES):
     """Segmented exact sosfilt: x2d (R, n) -> (y2d, zf3 (ns, 2, R))."""
     _HI = jax.lax.Precision.HIGHEST
     ns = sos.shape[0]
@@ -256,7 +265,7 @@ def _sosfilt_seg(sos, x2d, zi3, S_seg: int, consts, time_chunk, interpret):
     xs = x2d.reshape(R * S_seg, seglen)  # row index = r*S + k
     zi0 = jnp.zeros((ns, 2, R * S_seg), jnp.float32)
     y0, zf0 = _sosfilt_pallas_2d(sos, xs, zi0, time_chunk=time_chunk,
-                                 interpret=interpret)
+                                 interpret=interpret, lanes=lanes)
     # per-segment zero-init final states -> (S_seg, R, D) in probe order
     v = jnp.transpose(zf0.reshape(ns, 2, R, S_seg), (3, 2, 0, 1))
     v = v.reshape(S_seg, R, D).astype(jnp.float64)
@@ -282,7 +291,7 @@ def _sosfilt_seg(sos, x2d, zi3, S_seg: int, consts, time_chunk, interpret):
 
 
 def sosfilt_pallas(sos, x, zi=None, time_chunk=2048, interpret=False,
-                   segments=None):
+                   segments=None, lanes=None):
     """Drop-in twin of :func:`xmtpu.ops.biquad.sosfilt_scan` (f32 path).
 
     ``x``: (..., n); ``zi``: (S, ..., 2) or None. Returns (y, zf) in the
@@ -295,6 +304,12 @@ def sosfilt_pallas(sos, x, zi=None, time_chunk=2048, interpret=False,
     lanes when the flattened batch is small and n divides evenly; the
     256-clip batch path is unaffected). Exact: the affine state
     corrections reproduce the unsegmented recurrence.
+
+    ``lanes``: row-tile width (None = 128, the measured default). 256
+    interleaves two independent recurrence chains per VPU op — the
+    envelope kernel's measured latency-hiding trick — opt-in pending
+    an IIR chip probe (when set, the segment auto-pick fills toward
+    it).
     """
     try:  # host-side consts need concrete coefficients; a traced sos
         # (rare: sos passed through a jit boundary) falls back to the
@@ -315,7 +330,11 @@ def sosfilt_pallas(sos, x, zi=None, time_chunk=2048, interpret=False,
         # (S, ..., 2) -> (S, 2, R)
         zi3 = jnp.moveaxis(jnp.asarray(zi).reshape(S, R, 2), -1, 1)
 
-    S_seg = pick_segments(R, n) if segments is None else int(segments)
+    lane_w = LANES if lanes is None else int(lanes)
+    if lane_w < LANES or lane_w % LANES:
+        raise ValueError(f"lanes={lane_w} must be a multiple of {LANES}")
+    S_seg = (pick_segments(R, n, lanes=lane_w)
+             if segments is None else int(segments))
     if S_seg > 1 and n % S_seg:
         raise ValueError(
             f"segments={S_seg} does not divide n={n} (exact state "
@@ -324,10 +343,11 @@ def sosfilt_pallas(sos, x, zi=None, time_chunk=2048, interpret=False,
         if (S_seg > 1 and sos_host is not None) else None
     if consts is not None:
         y2d, zf3 = _sosfilt_seg(sos, x2d, zi3, S_seg, consts,
-                                time_chunk, interpret)
+                                time_chunk, interpret, lanes=lane_w)
     else:
         y2d, zf3 = _sosfilt_pallas_2d(
-            sos, x2d, zi3, time_chunk=time_chunk, interpret=interpret
+            sos, x2d, zi3, time_chunk=time_chunk, interpret=interpret,
+            lanes=lane_w
         )
     y = y2d.reshape(*batch, n).astype(x.dtype)
     zf = jnp.moveaxis(zf3, 1, -1).reshape((S,) + batch + (2,))
