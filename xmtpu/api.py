@@ -126,6 +126,10 @@ class Session:
     of speculative work are discarded on seek); ``read_many``
     amortizes the round trip over k frames. See
     :class:`xmtpu.graph.streaming.StreamSession` for measured numbers.
+
+    Not thread-safe: one Session per thread, like the reference's
+    one-handle-per-thread model. For many concurrent streams in one
+    process use :class:`SessionPool`, whose public methods are locked.
     """
 
     def __init__(self, *a, **kw):
