@@ -120,6 +120,22 @@ def test_mix_rejects_empty():
         api.mix([], 16000)
 
 
+def test_mix_accepts_pcm_sr_pairs(rng):
+    # (pcm, sr) shorthand == dict(pcm=, sr=) track-for-track
+    a = (rng.standard_normal(1600) * 0.2).astype(np.float32)
+    b = (rng.standard_normal(1600) * 0.1).astype(np.float32)
+    want = api.mix([dict(pcm=a, sr=16000), dict(pcm=b, sr=16000)], 16000)
+    got = api.mix([(a, 16000), [b, 16000]], 16000)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_mix_rejects_bare_array_track():
+    from xmtpu.utils.errors import ConfigError
+
+    with pytest.raises(ConfigError, match=r"\(pcm, sr\) pair"):
+        api.mix([np.zeros(100, np.float32)], 16000)
+
+
 # --- side-chain ducking (reference BGM-under-voice; pinned in ops.mix) -----
 
 

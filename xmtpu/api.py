@@ -79,7 +79,18 @@ def resample(
 
 
 def mix(tracks, sample_rate: int, normalize: str | None = "peak", **kw):
-    """Multi-track mix — implemented in milestone M2 (SURVEY.md §7.2)."""
+    """Multi-track mix onto a common bus (config 2, ``BASELINE.json:8``).
+
+    ``tracks``: list of track specs — each a ``(pcm, sr)`` pair, a dict
+    (``{"pcm", "sr", "gain"/"gain_db", "start_ms", "fade_in_ms",
+    "fade_out_ms", "loop", "kind", "side_duck"}``), or a
+    :class:`xmtpu.graph.mixer.MixTrack`. Tracks are resampled to
+    ``sample_rate``, placed/faded/looped, optionally ducked under the
+    voice bus, summed, and normalized (``"peak"`` / ``"rms"`` /
+    ``"lufs"`` / ``None``). Output dtype follows the first track
+    (int16 in -> int16 out). Reference parity: the mixer entry point of
+    ``xm_audio_utils`` (SURVEY.md §3.4).
+    """
     from xmtpu.graph import mixer  # local import: keeps M1 surface light
 
     return mixer.mix(tracks, sample_rate, normalize=normalize, **kw)

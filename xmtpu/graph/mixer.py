@@ -65,6 +65,27 @@ def _ms_to_samples(ms: float, sr: int) -> int:
 _MIX_JIT_CACHE: dict = {}
 
 
+def _coerce_track(t) -> "MixTrack":
+    """Accept MixTrack, a config dict, or a bare ``(pcm, sr)`` pair.
+
+    A tuple/list pair is the natural shorthand for callers that just
+    want tracks summed at default gain; anything else used to die with
+    a raw TypeError from dict indexing.
+    """
+    if isinstance(t, MixTrack):
+        return t
+    if isinstance(t, dict):
+        return MixTrack.from_dict(t)
+    if (isinstance(t, (tuple, list)) and len(t) == 2
+            and np.isscalar(t[1]) and not np.isscalar(t[0])):
+        return MixTrack(pcm=t[0], sr=int(t[1]))
+    from xmtpu.utils.errors import ConfigError
+
+    raise ConfigError(
+        f"mix() track must be a MixTrack, a dict with 'pcm'/'sr', or a "
+        f"(pcm, sr) pair; got {type(t).__name__}")
+
+
 def mix(tracks, sample_rate: int, normalize: str | None = "peak",
         target_db: float = -1.0, duration_ms: float | None = None,
         duck_params: dict | None = None, voice_effects=None):
@@ -82,7 +103,7 @@ def mix(tracks, sample_rate: int, normalize: str | None = "peak",
     """
     if not tracks:
         raise ValueError("mix() needs at least one track")
-    mts = [t if isinstance(t, MixTrack) else MixTrack.from_dict(t) for t in tracks]
+    mts = [_coerce_track(t) for t in tracks]
 
     first = np.asarray(mts[0].pcm)
     out_int16 = first.dtype == np.int16
