@@ -143,6 +143,41 @@ def test_batch_runner_pipeline_equals_serial(tmp_path, rng):
         np.testing.assert_array_equal(a, b)
 
 
+def test_batch_runner_decode_threads_identical_and_isolated(tmp_path, rng):
+    """decode_threads=4 drains results in manifest order through the
+    SPSC ring, so bucket packing and output WAVs are byte-identical to
+    decode_threads=1; a corrupt clip still fails alone."""
+    lengths = [22050, 44100, 30000, 16000, 20000]
+    jobs_1, jobs_4 = [], []
+    for i, c in enumerate(_clips(rng, lengths)):
+        p = tmp_path / f"in_{i}.wav"
+        write_wav(str(p), c, SR_IN)
+        jobs_1.append(ClipJob(voice=str(p), out=str(tmp_path / f"a_{i}.wav")))
+        jobs_4.append(ClipJob(voice=str(p), out=str(tmp_path / f"b_{i}.wav")))
+    bad = tmp_path / "bad.wav"
+    bad.write_bytes(b"RIFFgarbage")
+    jobs_1.insert(2, ClipJob(voice=str(bad), out=str(tmp_path / "a_bad.wav")))
+    jobs_4.insert(2, ClipJob(voice=str(bad), out=str(tmp_path / "b_bad.wav")))
+    r1 = run_batch(jobs_1, sr_in=SR_IN, sr_bus=SR_BUS, batch_size=2,
+                   step_kw={"interpret": True}, decode_threads=1)
+    r4 = run_batch(jobs_4, sr_in=SR_IN, sr_bus=SR_BUS, batch_size=2,
+                   step_kw={"interpret": True}, decode_threads=4)
+    assert r1.done == r4.done == 5
+    assert len(r1.failed) == len(r4.failed) == 1
+    assert "b_bad" in r4.failed[0][0]
+    for i in range(5):
+        a, _ = read_wav(str(tmp_path / f"a_{i}.wav"))
+        b, _ = read_wav(str(tmp_path / f"b_{i}.wav"))
+        np.testing.assert_array_equal(a, b)
+
+
+def test_batch_runner_rejects_bad_decode_threads(tmp_path):
+    from xmtpu.utils.errors import ConfigError
+
+    with pytest.raises(ConfigError, match="decode_threads"):
+        run_batch([], decode_threads=0)
+
+
 def test_batch_runner_with_bgm(tmp_path, rng):
     v = _clips(rng, [30000])[0]
     t = np.arange(11025) / SR_IN

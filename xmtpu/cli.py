@@ -136,7 +136,8 @@ def _cmd_batch(args) -> int:
     with open(args.manifest) as f:
         jobs = json.load(f)
     rep = run_batch(jobs, sr_in=args.sr_in, sr_bus=args.rate,
-                    batch_size=args.batch_size, resume=not args.no_resume)
+                    batch_size=args.batch_size, resume=not args.no_resume,
+                    decode_threads=args.decode_threads)
     print(rep.to_json())
     # ANY failed job -> nonzero exit (a 7-of-10 batch is not success;
     # round-2 review find: partial failures used to exit 0)
@@ -187,6 +188,10 @@ def main(argv=None) -> int:
     pba.add_argument("--rate", type=int, default=16000)
     pba.add_argument("--batch-size", type=int, default=64, dest="batch_size")
     pba.add_argument("--no-resume", action="store_true", dest="no_resume")
+    pba.add_argument("--decode-threads", type=int, default=1,
+                     dest="decode_threads",
+                     help="concurrent decode workers (results stay in "
+                          "manifest order; outputs identical to 1)")
     pba.set_defaults(fn=_cmd_batch)
 
     args = p.parse_args(argv)

@@ -146,6 +146,7 @@ def run_batch(
     step_kw: dict | None = None,
     write_done_markers: bool = True,
     pipeline: bool = True,
+    decode_threads: int = 1,
 ) -> BatchReport:
     """Run clips through the fused masked pipeline.
 
@@ -164,7 +165,18 @@ def run_batch(
     decode/write time hides behind device compute instead of adding to
     it. ``pipeline=False`` keeps the serial decode-all -> step -> write
     order (same outputs; the timing baseline).
+
+    ``decode_threads`` (pipelined mode only): decode up to N clips
+    concurrently — the native codecs run under ctypes, which releases
+    the GIL, so compressed-format manifests scale with real threads.
+    Results enter the ring in MANIFEST ORDER regardless of which thread
+    finishes first, so bucket packing (and therefore output bytes) is
+    identical to ``decode_threads=1``.
     """
+    if decode_threads < 1:
+        from xmtpu.utils.errors import ConfigError
+
+        raise ConfigError(f"decode_threads must be >= 1, got {decode_threads}")
     if isinstance(jobs, (str, bytes, dict)):
         from xmtpu.utils.errors import ConfigError
 
@@ -202,7 +214,7 @@ def run_batch(
 
     if pipeline:
         _run_batch_pipelined(todo, report, sr_in, sr_bus, batch_size,
-                             step_kw, write_done_markers)
+                             step_kw, write_done_markers, decode_threads)
     else:
         _run_batch_serial(todo, report, sr_in, sr_bus, batch_size,
                           step_kw, write_done_markers)
@@ -330,7 +342,7 @@ def _run_batch_serial(todo, report, sr_in, sr_bus, batch_size, step_kw,
 
 
 def _run_batch_pipelined(todo, report, sr_in, sr_bus, batch_size, step_kw,
-                         write_done_markers):
+                         write_done_markers, decode_threads: int = 1):
     """Three concurrent host stages (SURVEY.md §2.2 PP row):
 
     decode thread --PcmChannel(SPSC ring)--> main (pack + dispatch)
@@ -352,16 +364,43 @@ def _run_batch_pipelined(todo, report, sr_in, sr_bus, batch_size, step_kw,
     chan = PcmChannel()
     write_q: _queue.Queue = _queue.Queue(maxsize=4)  # bounds in-flight
 
+    def _emit(job, result):
+        """Publish one decode result (a thunk) or per-clip failure."""
+        try:
+            v, b, rate = result()
+        except Exception as e:
+            log.warning("clip %s failed to decode: %s", job.out, e)
+            report.failed.append((job.out, str(e)))
+            return
+        chan.put([v, b], (job, rate))
+
     def producer():
         try:
-            for job in todo:
-                try:
-                    v, b, rate = _decode_job(job, sr_in, sr_bus)
-                except Exception as e:
-                    log.warning("clip %s failed to decode: %s", job.out, e)
-                    report.failed.append((job.out, str(e)))
-                    continue
-                chan.put([v, b], (job, rate))
+            if decode_threads <= 1:
+                for job in todo:
+                    _emit(job, lambda j=job: _decode_job(j, sr_in, sr_bus))
+                return
+            # N decode workers, ONE publisher (this thread): results are
+            # drained in SUBMISSION order through a bounded window, so
+            # the SPSC ring still has a single producer and the bucket
+            # packing (hence output bytes) matches decode_threads=1.
+            # The window caps decoded-but-unconsumed clips at ~2N; the
+            # blocking chan.put provides backpressure beyond that.
+            from collections import deque
+            from concurrent.futures import ThreadPoolExecutor
+
+            pending: deque = deque()
+            with ThreadPoolExecutor(
+                    decode_threads, thread_name_prefix="xmtpu-decode") as ex:
+                for job in todo:
+                    pending.append(
+                        (job, ex.submit(_decode_job, job, sr_in, sr_bus)))
+                    if len(pending) > 2 * decode_threads:
+                        j, fut = pending.popleft()
+                        _emit(j, fut.result)
+                while pending:
+                    j, fut = pending.popleft()
+                    _emit(j, fut.result)
         finally:
             chan.close()
 
