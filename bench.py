@@ -114,14 +114,15 @@ if __name__ == "__main__":
         # real failure
         msg = str(e)
         retriable = "UNAVAILABLE" in msg or "initialize backend" in msg
-        # up to 5 re-exec'd retries over ~10 min (the 2026-08-18 outage
-        # flapped; a single retry missed brief recoveries and cost the
-        # round its number)
+        # up to 8 re-exec'd retries over ~24 min (the 2026-08-18 outage
+        # flapped for hours with brief recoveries; a short retry window
+        # missed them and cost the round its number — the caller's own
+        # timeout, if any, still bounds us)
         attempt = int(os.environ.get("XMTPU_BENCH_RETRY", "0"))
-        if not retriable or attempt >= 5:
+        if not retriable or attempt >= 8:
             raise
         print(f"bench: backend init failed ({msg[:120]}); retry "
-              f"{attempt + 1}/5 in 120 s", file=sys.stderr)
-        time.sleep(120)
+              f"{attempt + 1}/8 in 180 s", file=sys.stderr)
+        time.sleep(180)
         env = dict(os.environ, XMTPU_BENCH_RETRY=str(attempt + 1))
         os.execve(sys.executable, [sys.executable] + sys.argv, env)
