@@ -47,6 +47,62 @@ def test_mixer_handle_flow(wav_fixture):
     h.freep()
 
 
+CHAIN = [{"name": "equalizer",
+          "params": {"bands": [{"freq_hz": 1000.0, "gain_db": 3.0,
+                                "q": 1.0}]}},
+         {"name": "limiter", "params": {"threshold_db": -6.0}}]
+
+
+def test_effects_handle_matches_offline(wav_fixture):
+    """xm_audio_effects_* parity: the effects handle streams the SAME
+    output as the offline xmtpu.effects() chain (streaming == offline
+    invariant, SURVEY.md §4.2)."""
+    from tests.conftest import rms_db
+
+    path, pcm, sr = wav_fixture
+    h = compat.XmAudioUtils()
+    assert h.effects_init(json.dumps(CHAIN), path) == 0
+    frames = []
+    while (f := h.effects_get_frame()) is not None:
+        frames.append(f)
+        assert len(frames) < 200
+    got = np.concatenate(frames)[: len(pcm), 0].astype(np.float64)
+    want = np.asarray(
+        xmtpu.effects(pcm, sr, CHAIN)).reshape(-1).astype(np.float64)
+    assert rms_db(got - want, want) <= -80.0
+    # seek back: frame 0 reproduces bit-for-bit
+    h.effects_seek(0.0)
+    np.testing.assert_array_equal(h.effects_get_frame(), frames[0])
+    h.freep()
+    from xmtpu.utils.errors import XmtpuError
+
+    with pytest.raises(XmtpuError, match="effects_init"):
+        h.effects_get_frame()
+
+
+def test_effects_handle_in_memory_and_eos(wav_fixture):
+    path, pcm, sr = wav_fixture
+    h = compat.XmAudioUtils()
+    # dict config with sampleRate + (pcm, sr) in-memory voice
+    h.effects_init({"effects": CHAIN, "sampleRate": sr}, (pcm, sr))
+    f = h.effects_get_frame()
+    assert f is not None and f.dtype == np.int16
+    h.effects_seek(2000.0)  # past the 1 s clip -> end-of-stream
+    assert h.effects_get_frame() is None
+
+
+def test_effects_handle_rejects_tracks_config(wav_fixture):
+    path, pcm, sr = wav_fixture
+    from xmtpu.utils.errors import ConfigError
+
+    h = compat.XmAudioUtils()
+    with pytest.raises(ConfigError, match="mixer_init"):
+        h.effects_init({"effects": CHAIN,
+                        "tracks": [{"url": path}]}, path)
+    with pytest.raises(ConfigError, match="chain list"):
+        h.effects_init(42, path)
+
+
 def test_generator_async_flow(tmp_path, wav_fixture):
     path, pcm, sr = wav_fixture
     out = str(tmp_path / "out.wav")

@@ -54,30 +54,87 @@ class XmAudioUtils:
     def mixer_get_frame(self) -> np.ndarray | None:
         """Next int16 frame, or None at end-of-stream (reference returns
         <= 0 byte count)."""
-        s = self._require()
-        # end-of-stream BEFORE reading: every NON-LOOP track is already
-        # past its end at the frame about to be produced. Loop tracks
-        # (BGM) never end on their own — the offline mixer ends at the
-        # non-loop tracks' end, so they must not keep the stream alive
-        # (a voice+looped-BGM config would otherwise never return None).
-        finite = [ts for ts in s.tracks if not ts.cfg.loop]
-        if not finite:
-            # all-loop (or empty) track list: no natural end; the caller
-            # bounds the stream (reference: loop-only configs play
-            # forever until seek/free)
-            return s.read() if s.tracks else None
-        end = all(
-            (s.frame_idx * s.frame_out - ts.start_bus) >= ts.n_out
-            for ts in finite
-        )
-        if end:
-            return None
-        return s.read()
+        return _next_frame(self._require())
 
     def _require(self):
         if self._session is None:
             raise XmtpuError("call mixer_init first")
         return self._session
+
+    # -- voice-effects path (xm_audio_effects_* parity:
+    #    src/effects/xm_audio_effects.c [upstream, SURVEY.md §2.1]) --
+    def effects_init(self, config_json, voice, frame_ms: float = 20.0):
+        """Open a voice-effects session: ONE voice stream through the
+        configured NS -> EQ -> reverb -> volume -> limiter chain, with
+        seek + frame reads (reference: ``xm_audio_effects_create/init``).
+
+        ``config_json``: an effect chain — a list of ``{"name", ...}``
+        entries (Python list or JSON), or an object with an ``effects``
+        key (``sampleRate``/``blockSize`` honored). Multi-track configs
+        belong to :meth:`mixer_init`. ``voice``: a file path, a
+        ``(pcm, sr)`` pair, or a bare array at the config sample rate.
+        """
+        import dataclasses
+        import json as _json
+
+        from xmtpu.config.schema import TrackConfig, config_from_dict
+        from xmtpu.graph.streaming import StreamSession
+        from xmtpu.utils.errors import ConfigError
+
+        d = config_json
+        if isinstance(d, (str, bytes)):
+            s = str(d)
+            if s.lstrip()[:1] in ("{", "["):
+                try:
+                    d = _json.loads(s)
+                except _json.JSONDecodeError as e:
+                    raise ConfigError(f"invalid effects JSON: {e}") from e
+            else:
+                try:
+                    with open(s) as f:
+                        d = _json.load(f)
+                except OSError as e:
+                    raise ConfigError(
+                        f"effects config is neither JSON nor a readable "
+                        f"file: {s[:80]!r} ({e})") from e
+                except _json.JSONDecodeError as e:
+                    raise ConfigError(f"{s}: invalid effects JSON: {e}") from e
+        if isinstance(d, (list, tuple)):
+            d = {"effects": list(d)}
+        if not isinstance(d, dict):
+            raise ConfigError(
+                f"effects config must be a chain list or an object with "
+                f"'effects', got {type(d).__name__}")
+        if d.get("tracks"):
+            raise ConfigError(
+                "effects_init takes a single voice stream; multi-track "
+                "configs go through mixer_init")
+        cfg = config_from_dict({k: v for k, v in d.items() if k != "tracks"})
+        if isinstance(voice, (str, bytes)):
+            url, sources = str(voice), None
+        elif isinstance(voice, tuple) and len(voice) == 2:
+            url, sources = "__voice__", {"__voice__": voice}
+        else:
+            url = "__voice__"
+            sources = {"__voice__": (np.asarray(voice), cfg.sample_rate)}
+        cfg = dataclasses.replace(cfg, tracks=(TrackConfig(url=url),))
+        self._fx_session = StreamSession(cfg, frame_ms=frame_ms,
+                                         sources=sources)
+        return 0
+
+    def effects_seek(self, ms: float) -> int:
+        self._require_fx().seek(float(ms))
+        return 0
+
+    def effects_get_frame(self) -> np.ndarray | None:
+        """Next effected int16 frame, or None past the voice's end."""
+        return _next_frame(self._require_fx())
+
+    def _require_fx(self):
+        s = getattr(self, "_fx_session", None)
+        if s is None:
+            raise XmtpuError("call effects_init first")
+        return s
 
     # -- decoder path (xm_audio_utils decoder handle parity:
     #    audio_decoder_create / seekTo / get_decoded_frame / freep) --
@@ -117,7 +174,31 @@ class XmAudioUtils:
 
     def freep(self) -> None:
         self._session = None
+        self._fx_session = None
         self.decoder_freep()
+
+
+def _next_frame(s) -> np.ndarray | None:
+    """One frame from a StreamSession, or None at end-of-stream.
+
+    End-of-stream BEFORE reading: every NON-LOOP track is already past
+    its end at the frame about to be produced. Loop tracks (BGM) never
+    end on their own — the offline mixer ends at the non-loop tracks'
+    end, so they must not keep the stream alive (a voice+looped-BGM
+    config would otherwise never return None). All-loop (or empty)
+    track lists have no natural end; the caller bounds the stream
+    (reference: loop-only configs play forever until seek/free).
+    """
+    finite = [ts for ts in s.tracks if not ts.cfg.loop]
+    if not finite:
+        return s.read() if s.tracks else None
+    end = all(
+        (s.frame_idx * s.frame_out - ts.start_bus) >= ts.n_out
+        for ts in finite
+    )
+    if end:
+        return None
+    return s.read()
 
 
 class XmAudioGenerator:
