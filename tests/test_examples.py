@@ -28,6 +28,12 @@ def test_example_runs(name, capsys):
     assert capsys.readouterr().out.strip()
 
 
+def test_example_compat_handles(tmp_path, capsys):
+    _run("compat_handles", ["examples/compat_handles.py", str(tmp_path)])
+    out = capsys.readouterr().out
+    assert "end-of-stream" in out and "generator: status 2" in out
+
+
 def test_example_batch_pipeline(tmp_path, capsys):
     _run("batch_pipeline", ["examples/batch_pipeline.py", str(tmp_path)])
     out = capsys.readouterr().out
