@@ -171,6 +171,20 @@ def test_batch_runner_decode_threads_identical_and_isolated(tmp_path, rng):
         np.testing.assert_array_equal(a, b)
 
 
+def test_batch_report_peak_hbm_field(tmp_path, rng):
+    # SURVEY.md §5 metrics row: the report carries a peak-device-memory
+    # reading — an int where the backend reports (TPU), None on XLA:CPU
+    # — and to_json always includes the key.
+    p = tmp_path / "v.wav"
+    write_wav(str(p), _clips(rng, [16000])[0], SR_IN)
+    rep = run_batch([ClipJob(voice=str(p), out=str(tmp_path / "o.wav"))],
+                    sr_in=SR_IN, sr_bus=SR_BUS, step_kw={"interpret": True})
+    import json
+
+    assert rep.peak_hbm_bytes is None or rep.peak_hbm_bytes > 0
+    assert "peak_hbm_bytes" in json.loads(rep.to_json())
+
+
 def test_batch_runner_rejects_bad_decode_threads(tmp_path):
     from xmtpu.utils.errors import ConfigError
 

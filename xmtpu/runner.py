@@ -55,6 +55,8 @@ class BatchReport:
     audio_sec: float = 0.0
     wall_sec: float = 0.0
     buckets: int = 0
+    peak_hbm_bytes: int | None = None  # device peak memory (SURVEY.md §5
+    # metrics row); None when the backend doesn't report (XLA:CPU)
 
     @property
     def realtime_factor(self) -> float:
@@ -71,8 +73,27 @@ class BatchReport:
                 "wall_sec": round(self.wall_sec, 3),
                 "realtime_factor": round(self.realtime_factor, 1),
                 "buckets": self.buckets,
+                "peak_hbm_bytes": self.peak_hbm_bytes,
             }
         )
+
+
+def _peak_hbm_bytes() -> int | None:
+    """Best-effort device peak-memory reading. Only consults an
+    ALREADY-initialized backend (probing an unreachable remote hangs
+    minutes in init); TPU runtimes report ``peak_bytes_in_use``,
+    XLA:CPU returns no stats."""
+    try:
+        from jax._src import xla_bridge
+
+        if not xla_bridge.backends_are_initialized():
+            return None
+        import jax
+
+        stats = jax.devices()[0].memory_stats()
+        return int(stats["peak_bytes_in_use"]) if stats else None
+    except Exception:
+        return None
 
 
 def _bucket_edge(n: int, base: int = 16384) -> int:
@@ -219,6 +240,7 @@ def run_batch(
         _run_batch_serial(todo, report, sr_in, sr_bus, batch_size,
                           step_kw, write_done_markers)
     report.wall_sec = time.perf_counter() - t_start
+    report.peak_hbm_bytes = _peak_hbm_bytes()
     log.info("batch: %s", report.to_json())
     return report
 
