@@ -91,6 +91,37 @@ def test_effects_handle_in_memory_and_eos(wav_fixture):
     assert h.effects_get_frame() is None
 
 
+def test_effects_handle_adopts_native_rate(tmp_path, rng):
+    """No sampleRate in the config -> the session runs at the VOICE's
+    native rate (the reference processes at the input PCM's rate); the
+    silent 16 kHz default used to resample a 44.1k voice."""
+    sr = 44100
+    pcm = (rng.standard_normal(sr // 2) * 9000).astype(np.int16)
+    p = tmp_path / "v44.wav"
+    write_wav(str(p), pcm, sr)
+    h = compat.XmAudioUtils()
+    h.effects_init(json.dumps(CHAIN), str(p))
+    f = h.effects_get_frame()
+    assert f.shape[0] == sr // 50  # 20 ms at 44.1k = 882, not 320
+    # in-memory pair without a config rate: same rule
+    h.effects_init(CHAIN, (pcm, sr))
+    assert h.effects_get_frame().shape[0] == sr // 50
+    # explicit config rate still wins
+    h.effects_init({"effects": CHAIN, "sampleRate": 16000}, (pcm, sr))
+    assert h.effects_get_frame().shape[0] == 320
+
+
+def test_effects_handle_bytes_and_list_pair(wav_fixture):
+    path, pcm, sr = wav_fixture
+    h = compat.XmAudioUtils()
+    # bytes JSON + bytes path used to be mangled by str() ("b'...'")
+    h.effects_init(json.dumps(CHAIN).encode(), path.encode())
+    assert h.effects_get_frame() is not None
+    # list pair, like mix()'s track coercion
+    h.effects_init(CHAIN, [pcm, sr])
+    assert h.effects_get_frame() is not None
+
+
 def test_effects_handle_rejects_tracks_config(wav_fixture):
     path, pcm, sr = wav_fixture
     from xmtpu.utils.errors import ConfigError

@@ -73,32 +73,21 @@ class XmAudioUtils:
         key (``sampleRate``/``blockSize`` honored). Multi-track configs
         belong to :meth:`mixer_init`. ``voice``: a file path, a
         ``(pcm, sr)`` pair, or a bare array at the config sample rate.
+        When the config names no ``sampleRate``, the session runs at
+        the VOICE's native rate (the reference processes at the input
+        PCM's rate — a silent 16 kHz default would resample it).
         """
         import dataclasses
-        import json as _json
+        import os as _os
 
-        from xmtpu.config.schema import TrackConfig, config_from_dict
+        from xmtpu.config.schema import (TrackConfig, config_from_dict,
+                                         load_json_source)
         from xmtpu.graph.streaming import StreamSession
         from xmtpu.utils.errors import ConfigError
 
         d = config_json
         if isinstance(d, (str, bytes)):
-            s = str(d)
-            if s.lstrip()[:1] in ("{", "["):
-                try:
-                    d = _json.loads(s)
-                except _json.JSONDecodeError as e:
-                    raise ConfigError(f"invalid effects JSON: {e}") from e
-            else:
-                try:
-                    with open(s) as f:
-                        d = _json.load(f)
-                except OSError as e:
-                    raise ConfigError(
-                        f"effects config is neither JSON nor a readable "
-                        f"file: {s[:80]!r} ({e})") from e
-                except _json.JSONDecodeError as e:
-                    raise ConfigError(f"{s}: invalid effects JSON: {e}") from e
+            d = load_json_source(d, what="effects config")
         if isinstance(d, (list, tuple)):
             d = {"effects": list(d)}
         if not isinstance(d, dict):
@@ -109,14 +98,29 @@ class XmAudioUtils:
             raise ConfigError(
                 "effects_init takes a single voice stream; multi-track "
                 "configs go through mixer_init")
+        has_rate = "sampleRate" in d
         cfg = config_from_dict({k: v for k, v in d.items() if k != "tracks"})
+        native_sr = None  # adopt the voice's rate when the config is silent
         if isinstance(voice, (str, bytes)):
-            url, sources = str(voice), None
-        elif isinstance(voice, tuple) and len(voice) == 2:
-            url, sources = "__voice__", {"__voice__": voice}
+            url, sources = _os.fsdecode(voice), None
+            if not has_rate:
+                from xmtpu.io import open_audio
+
+                with open_audio(url) as dec:
+                    native_sr = int(dec.sample_rate)
+        elif (isinstance(voice, (tuple, list)) and len(voice) == 2
+                and np.isscalar(voice[1]) and not np.isscalar(voice[0])):
+            url = "__voice__"
+            sources = {"__voice__": (np.asarray(voice[0]), int(voice[1]))}
+            native_sr = None if has_rate else int(voice[1])
         else:
+            # bare array: documented as being at the config sample rate
             url = "__voice__"
             sources = {"__voice__": (np.asarray(voice), cfg.sample_rate)}
+        if native_sr is not None:
+            # the reference effects path processes at the input PCM's
+            # rate; a silent 16 kHz default would resample the voice
+            cfg = dataclasses.replace(cfg, sample_rate=native_sr)
         cfg = dataclasses.replace(cfg, tracks=(TrackConfig(url=url),))
         self._fx_session = StreamSession(cfg, frame_ms=frame_ms,
                                          sources=sources)

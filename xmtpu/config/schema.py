@@ -242,29 +242,43 @@ def config_to_dict(cfg: PipelineConfig) -> dict:
     }
 
 
-def load_config(path_or_str) -> PipelineConfig:
-    """Load a PipelineConfig from a JSON file path or a JSON string."""
+def load_json_source(path_or_str, what: str = "config"):
+    """Parse a JSON literal OR a JSON file -> the parsed value.
+
+    A str/bytes whose first non-space char is ``{`` / ``[`` parses as a
+    literal; anything else is opened as a file path. Shared by
+    :func:`load_config` and ``compat.effects_init`` so the two surfaces
+    cannot drift on resolution/error semantics. All failures raise
+    :class:`ConfigError` naming ``what``.
+    """
+    import os as _os
+
     from xmtpu.utils.errors import ConfigError
 
-    s = str(path_or_str)
+    s = (path_or_str.decode("utf-8", "replace")
+         if isinstance(path_or_str, bytes) else str(path_or_str))
     if s.lstrip()[:1] in ("{", "["):  # JSON literal, not a path
         try:
-            d = json.loads(s)
+            return json.loads(s)
         except json.JSONDecodeError as e:
-            raise ConfigError(f"invalid config JSON: {e}") from e
-        return config_from_dict(d)
+            raise ConfigError(f"invalid {what} JSON: {e}") from e
     try:
-        f = open(s)
+        f = open(_os.fsdecode(path_or_str) if isinstance(path_or_str, bytes)
+                 else s)
     except OSError as e:
         raise ConfigError(
-            f"config is neither a JSON object string nor a readable "
+            f"{what} is neither a JSON object string nor a readable "
             f"file: {s[:80]!r} ({e})") from e
     with f:
         try:
-            d = json.load(f)
+            return json.load(f)
         except json.JSONDecodeError as e:
-            raise ConfigError(f"{s}: invalid config JSON: {e}") from e
-    return config_from_dict(d)
+            raise ConfigError(f"{s}: invalid {what} JSON: {e}") from e
+
+
+def load_config(path_or_str) -> PipelineConfig:
+    """Load a PipelineConfig from a JSON file path or a JSON string."""
+    return config_from_dict(load_json_source(path_or_str))
 
 
 def dump_config(cfg: PipelineConfig, path=None) -> str:
