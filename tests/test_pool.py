@@ -306,6 +306,12 @@ def test_pool_thread_safety_join_leave_during_reads(rng):
     t.join()
     assert not errs, errs
     assert all(o.shape == outs[0].shape for o in outs)
+    # Re-seek slot 0 before asserting it is audible: how many read(4)
+    # calls the main loop lands between churn steps is scheduling-
+    # dependent, and each one advances slot 0 by 80 ms — on a fast run
+    # the 0.4 s source is already past its end here, which read as a
+    # thread-safety failure (flaky-by-timing; fixed 2026-08-18).
+    pool.seek(0, 0.0)
     out = pool.read(4)  # post-churn: K-1 was left last and stays silent
     assert np.all(out[K - 1] == 0)
     assert np.any(out[0] != 0)
