@@ -188,8 +188,10 @@ def run_batch(
     order (same outputs; the timing baseline).
 
     ``decode_threads`` (pipelined mode only): decode up to N clips
-    concurrently — the native codecs run under ctypes, which releases
-    the GIL, so compressed-format manifests scale with real threads.
+    concurrently. The native codecs run under ctypes, which releases
+    the GIL during the foreign call, so compressed-format decode can
+    scale with HOST CORES — on a single-core host (like the dev
+    environment, measured: 0.96x at 4 threads) it changes nothing.
     Results enter the ring in MANIFEST ORDER regardless of which thread
     finishes first, so bucket packing (and therefore output bytes) is
     identical to ``decode_threads=1``.
