@@ -52,6 +52,3 @@ def f32_to_pcm16_np(x: np.ndarray) -> np.ndarray:
     return np.clip(rounded, INT16_MIN, INT16_MAX).astype(np.int16)
 
 
-def db_to_linear(db) -> jnp.ndarray:
-    """dB -> linear amplitude gain (reference's volume-effect convention)."""
-    return jnp.power(10.0, jnp.asarray(db, jnp.float32) / 20.0).astype(jnp.float32)
