@@ -185,6 +185,17 @@ def test_batch_report_peak_hbm_field(tmp_path, rng):
     assert "peak_hbm_bytes" in json.loads(rep.to_json())
 
 
+def test_config6_file_batch_smoke():
+    # the aux file-fed bench row runs end-to-end (decode->device->write)
+    # and reports a positive wall-clock rate; WAV fallback keeps it
+    # meaningful without the FFmpeg shim
+    from xmtpu import benchmarks
+
+    r = benchmarks.config6_file_batch(n_clips=2, seconds=0.5,
+                                      step_kw={"interpret": True})
+    assert r["config"] == 6 and r["audio_sec_per_sec"] > 0
+
+
 def test_batch_runner_rejects_bad_decode_threads(tmp_path):
     from xmtpu.utils.errors import ConfigError
 

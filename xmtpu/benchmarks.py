@@ -11,6 +11,7 @@ number as the headline metric.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -251,8 +252,55 @@ def config5_streaming(seconds=4.0):
                     "per dispatch"}
 
 
+def config6_file_batch(n_clips=64, seconds=10.0, fmt="flac",
+                       decode_threads=1, step_kw=None):
+    """AUX row (not a BASELINE.json config): FILE-fed batch end-to-end —
+    compressed decode (host) -> full chain (device) -> WAV write (host),
+    wall-clock INCLUDING all IO. Configs 1-5 measure device-side
+    throughput on in-memory PCM; this is the real-workload number the
+    BASELINE.md scope note describes (host decode ~1.15k audio-sec/s
+    per core, so the chip is idle most of the time here by design —
+    the PP pipeline hides device time behind decode, not vice versa).
+    Falls back to WAV inputs when the FFmpeg shim is absent.
+    """
+    import shutil
+    import tempfile
+
+    from xmtpu.io import HAVE_FFMPEG, encode_audio, write_wav
+    from xmtpu.runner import run_batch
+
+    if fmt != "wav" and not HAVE_FFMPEG:
+        fmt = "wav"
+    d = tempfile.mkdtemp(prefix="xmtpu_bench6_")
+    try:
+        rng = np.random.default_rng(0)
+        sr = 44100
+        n = int(sr * seconds)
+        jobs = []
+        for i in range(n_clips):
+            pcm = (rng.standard_normal(n) * 9000).astype(np.int16)
+            p = os.path.join(d, f"in_{i}.{fmt}")
+            if fmt == "wav":
+                write_wav(p, pcm, sr)
+            else:
+                encode_audio(p, pcm, sr)
+            jobs.append({"voice": p, "out": os.path.join(d, f"out_{i}.wav")})
+        rep = run_batch(jobs, sr_in=sr, sr_bus=16000, resume=False,
+                        write_done_markers=False, step_kw=step_kw,
+                        decode_threads=decode_threads)
+        if rep.failed:
+            raise RuntimeError(f"file-batch bench had failures: {rep.failed}")
+        return {"config": 6,
+                "desc": f"file-fed batch ({fmt}, decode->device->write, "
+                        f"decode_threads={decode_threads})",
+                "audio_sec_per_sec": rep.audio_sec / rep.wall_sec}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 _CONFIGS = {1: config1_resample, 2: config2_mix, 3: config3_effects,
-            4: config4_full_chain, 5: config5_streaming}
+            4: config4_full_chain, 5: config5_streaming,
+            6: config6_file_batch}
 
 
 def run(config: int | None = None):
