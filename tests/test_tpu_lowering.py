@@ -1,0 +1,81 @@
+"""Cross-platform TPU lowering of every Pallas kernel variant.
+
+``jax.export(..., platforms=["tpu"])`` builds and serializes the Mosaic
+kernel MLIR on any host — no chip needed — so structural lowering
+regressions (bad block shapes, i64 leaking into kernel index math, an
+op Mosaic's serializer rejects) surface in CI instead of on the first
+chip run. This is NOT a full Mosaic compile (layout assignment and
+code-gen still happen in the backend at XLA-compile time), but it has
+real teeth: the 2026-08-18 outage left the blocked-envelope variant
+(`block=`) interpret-tested only, and this gate is the strongest local
+check available for it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import xmtpu  # noqa: F401  (cache-dir + x64 config)
+import jax
+import jax.numpy as jnp
+from jax import export
+
+
+def _xlower(fn, *args):
+    return export.export(jax.jit(fn), platforms=["tpu"])(*args)
+
+
+@pytest.fixture(scope="module")
+def det(rng):
+    return jnp.asarray(
+        np.abs(rng.standard_normal((8, 1600))).astype(np.float32))
+
+
+@pytest.mark.parametrize("block", [None, 8, 16])
+def test_envelope_lowering(det, block):
+    from xmtpu.kernels import envelope as E
+
+    exp = _xlower(
+        lambda d: E.envelope_pallas(d, k_rel=0.999, c_att=0.2, block=block),
+        det)
+    assert exp.platforms == ("tpu",)
+
+
+def test_envelope_segmented_blocked_lowering(rng):
+    # small batch -> auto segmentation, combined with block lookahead
+    from xmtpu.kernels import envelope as E
+
+    d = jnp.asarray(np.abs(rng.standard_normal((2, 4096))).astype(np.float32))
+    _xlower(lambda d: E.envelope_pallas(d, k_rel=0.999, c_att=0.2, block=8), d)
+
+
+@pytest.mark.parametrize("lanes", [None, 256])
+def test_iir_lowering(rng, lanes):
+    from xmtpu.kernels import iir as I
+    from xmtpu.ops import biquad
+
+    sos = biquad.eq_sos(
+        [{"freq_hz": 1000.0, "gain_db": 3.0, "q": 1.0}], 48000)
+    x = jnp.asarray((0.3 * rng.standard_normal((8, 1600))).astype(np.float32))
+    _xlower(lambda x: I.sosfilt_pallas(np.asarray(sos, np.float32), x,
+                                       lanes=lanes)[0], x)
+
+
+def test_fftconv_lowering(rng):
+    from xmtpu.kernels import fftconv as F
+
+    x = jnp.asarray((0.3 * rng.standard_normal((4, 8192))).astype(np.float32))
+    ir = (0.5 ** np.arange(256)).astype(np.float32)
+    _xlower(lambda x: F.fir_convolve_os_pallas(x, ir, block=4096), x)
+
+
+def test_eq_env_lowering(rng):
+    from xmtpu.kernels import eq_env as EE
+    from xmtpu.ops import biquad
+
+    sos = biquad.eq_sos(
+        [{"freq_hz": 1000.0, "gain_db": 3.0, "q": 1.0}], 48000)
+    x = jnp.asarray((0.3 * rng.standard_normal((8, 1600))).astype(np.float32))
+    _xlower(lambda x: EE.eq_env_pallas(
+        np.asarray(sos, np.float32), x, k_rel=0.999, c_att=0.2)[0], x)
