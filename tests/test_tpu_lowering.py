@@ -70,6 +70,24 @@ def test_fftconv_lowering(rng):
     _xlower(lambda x: F.fir_convolve_os_pallas(x, ir, block=4096), x)
 
 
+def test_resample_kernel_lowering(rng):
+    from xmtpu.kernels import resample as R
+
+    x = jnp.asarray((0.3 * rng.standard_normal((4, 44100))).astype(np.float32))
+    _xlower(lambda x: R.resample_pallas(x, 44100, 16000), x)
+
+
+def test_rsmix_kernel_lowering(rng):
+    from xmtpu.kernels import rsmix as RM
+
+    n = 44100  # n % M == 0 for the 441/160 ratio
+    v = jnp.asarray((rng.standard_normal((2, n)) * 9000).astype(np.int16))
+    b = jnp.asarray((rng.standard_normal((2, n)) * 9000).astype(np.int16))
+    assert RM.resample_mix_supported(n, 2, 44100, 16000)
+    _xlower(lambda v, b: RM.resample_mix_pallas(v, b, 44100, 16000,
+                                                fade=160), v, b)
+
+
 def test_eq_env_lowering(rng):
     from xmtpu.kernels import eq_env as EE
     from xmtpu.ops import biquad
