@@ -143,10 +143,14 @@ def test_batch_runner_pipeline_equals_serial(tmp_path, rng):
         np.testing.assert_array_equal(a, b)
 
 
-def test_batch_runner_decode_threads_identical_and_isolated(tmp_path, rng):
-    """decode_threads=4 drains results in manifest order through the
+@pytest.mark.parametrize("threads", [2, 4])
+def test_batch_runner_decode_threads_identical_and_isolated(
+        tmp_path, rng, threads):
+    """Threaded decode drains results in manifest order through the
     SPSC ring, so bucket packing and output WAVs are byte-identical to
-    decode_threads=1; a corrupt clip still fails alone."""
+    decode_threads=1; a corrupt clip still fails alone. threads=2 with
+    6 jobs exercises the bounded-window mid-loop drain (window 2N=4);
+    threads=4 exercises the end-of-stream drain only."""
     lengths = [22050, 44100, 30000, 16000, 20000]
     jobs_1, jobs_4 = [], []
     for i, c in enumerate(_clips(rng, lengths)):
@@ -161,7 +165,7 @@ def test_batch_runner_decode_threads_identical_and_isolated(tmp_path, rng):
     r1 = run_batch(jobs_1, sr_in=SR_IN, sr_bus=SR_BUS, batch_size=2,
                    step_kw={"interpret": True}, decode_threads=1)
     r4 = run_batch(jobs_4, sr_in=SR_IN, sr_bus=SR_BUS, batch_size=2,
-                   step_kw={"interpret": True}, decode_threads=4)
+                   step_kw={"interpret": True}, decode_threads=threads)
     assert r1.done == r4.done == 5
     assert len(r1.failed) == len(r4.failed) == 1
     assert "b_bad" in r4.failed[0][0]
