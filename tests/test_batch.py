@@ -189,6 +189,20 @@ def test_batch_report_peak_hbm_field(tmp_path, rng):
     assert "peak_hbm_bytes" in json.loads(rep.to_json())
 
 
+def test_flagship_oversize_ir_typed_refuse(rng):
+    """An IR whose overlap-save block exceeds the fftconv kernel's
+    131072 VMEM plan must refuse with a typed ConfigError at trace time
+    — on chip it used to surface as an opaque Mosaic error at the first
+    step (graph/fx.py refuses at the same bound; review find)."""
+    from xmtpu.utils.errors import ConfigError
+    from xmtpu import batch as xbatch
+
+    step = xbatch.make_flagship_step(ir_seconds=2.5, interpret=True)
+    v = jnp.asarray((rng.standard_normal((2, 44100)) * 9000).astype(np.int16))
+    with pytest.raises(ConfigError, match="131072"):
+        step(v, v)
+
+
 def test_config6_file_batch_smoke():
     # the aux file-fed bench row runs end-to-end (decode->device->write)
     # and reports a positive wall-clock rate; WAV fallback keeps it

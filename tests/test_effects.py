@@ -307,6 +307,18 @@ def test_effects_chain_cache_reused(signals):
     assert len(fxg._cache) == 1
 
 
+def test_effects_chain_cache_is_lru_not_fifo():
+    """A hit must bump recency: a hot chain re-used between inserts of
+    64+ cold chains used to be evicted (FIFO .get) and re-jitted — a
+    full remote recompile per rotation (review find)."""
+    fxg._cache.clear()
+    hot = fxg.get_compiled_chain(SR, CHAIN)
+    for g in range(70):
+        fxg.get_compiled_chain(
+            SR, [{"name": "volume", "params": {"gain_db": float(g)}}])
+        assert fxg.get_compiled_chain(SR, CHAIN) is hot  # same executable
+
+
 def test_unknown_effect_raises():
     from xmtpu.utils.errors import ConfigError
 

@@ -339,6 +339,31 @@ def test_envelope_n_valid_padded_detector():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_envelope_auto_tc_always_sublane_multiple():
+    """Every _auto_tc return must be a multiple of 8: the (tc, lanes)
+    BlockSpec's second-minor dim must land on the f32 (8,128) tile —
+    Mosaic rejects it at lowering, which interpret-mode tests never see.
+    A caller tc like 500 that happened to divide n used to pass through
+    the fast path unrounded (review find)."""
+    from xmtpu.kernels.envelope import _auto_tc
+
+    for n, tc in [(1000, 500), (4800, 2048), (999, 37), (8000, 100),
+                  (2048, 7), (123456, 2048)]:
+        got = _auto_tc(n, tc)
+        assert got % 8 == 0 and got > 0, (n, tc, got)
+    # a non-8 caller tc still computes exactly (interpret parity)
+    import numpy as np
+    from xmtpu.kernels.envelope import envelope_pallas
+
+    rng = np.random.default_rng(6)
+    d = np.abs(rng.standard_normal((130, 1000))).astype(np.float32)
+    e_a, z_a = envelope_pallas(jnp.asarray(d), 0.999, 0.04,
+                               time_chunk=500, interpret=True)
+    e_b, z_b = envelope_pallas(jnp.asarray(d), 0.999, 0.04, interpret=True)
+    np.testing.assert_allclose(np.asarray(e_a), np.asarray(e_b), atol=0,
+                               rtol=0)
+
+
 def test_envelope_block_lookahead_property():
     """Property sweep (seeded): blocked == per-sample envelope across
     random coefficients (incl. the k=0 / c=1 / k->1 edges), lengths

@@ -151,6 +151,32 @@ def test_session_public_api(two_tracks):
     assert "frame_idx" in s.state
 
 
+def test_streaming_load_state_rejects_foreign_chain(two_tracks):
+    """A state dict captured under a DIFFERENT effects chain must refuse
+    at restore with a typed error (it can share frame_out, and used to
+    blow up as an opaque jit pytree error at the next read)."""
+    import dataclasses
+
+    from xmtpu.config.schema import EffectConfig
+    from xmtpu.utils.errors import ConfigError
+
+    voice, bgm = two_tracks
+    src = {"voice": (voice, 44100), "bgm": (bgm, SR)}
+    cfg = _config()
+    other = dataclasses.replace(
+        cfg, master_effects=cfg.master_effects + (
+            EffectConfig("volume", {"gain_db": -3.0}),
+            EffectConfig("limiter", {}),
+        ))
+    s1 = StreamSession(other, frame_ms=20.0, sources=src,
+                       output_dtype=np.float32)
+    s1.read()
+    s2 = StreamSession(cfg, frame_ms=20.0, sources=src,
+                       output_dtype=np.float32)
+    with pytest.raises(ConfigError, match="effects chain"):
+        s2.load_state(s1.state)
+
+
 def test_streaming_state_file_roundtrip(tmp_path, two_tracks):
     voice, bgm = two_tracks
     chain = (EffectConfig("limiter", {"threshold_db": -6.0}),)

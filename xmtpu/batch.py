@@ -61,6 +61,19 @@ def _reverb_block(m: int) -> tuple[int, int]:
     b = 32768
     while b < 4 * max(1, m - 1):
         b *= 2
+    if b > 131072:
+        # every batch.py caller feeds backend="pallas"; past this bound
+        # the fftconv kernel exceeds its VMEM plan and the failure used
+        # to surface as an opaque Mosaic error at the first on-chip
+        # step (graph/fx.py refuses/downgrades at the same bound —
+        # review find). interpret mode has no VMEM and sailed through.
+        from xmtpu.utils.errors import ConfigError
+
+        raise ConfigError(
+            f"combined IR of {m} taps needs overlap-save block {b} > "
+            f"131072 (the fftconv kernel's VMEM plan); use a shorter "
+            f"ir_seconds or the XLA reverb path (ops.reverb "
+            f"backend='xla')")
     return b, _reverb.fftconv_gp(b)
 
 

@@ -680,15 +680,19 @@ def get_compiled_chain(sample_rate: int, chain,
     """-> (effects, jitted fn(x, states) -> (y, states)). Cached so repeat
     calls with the same chain config reuse the XLA executable."""
     key = (default_backend, _chain_key(sample_rate, chain))
-    hit = _cache.get(key)
+    hit = _cache.pop(key, None)  # pop+reinsert = true LRU: plain .get()
+    # left a HOT chain oldest-by-insertion, so 64 rotating cold chains
+    # evicted it and the next call re-traced a fresh jit closure — a
+    # full 30-500 s remote recompile (same class as the pool._dispatch
+    # and sp._cached_jit fixes; review find)
     if hit is None:
         effects = build_chain(sample_rate, chain,
                               default_backend=default_backend)
         fn = jax.jit(partial(chain_apply, effects))
         hit = (effects, fn)
-        _cache[key] = hit
-        if len(_cache) > 64:  # bound the executable cache
-            _cache.pop(next(iter(_cache)))
+    _cache[key] = hit
+    if len(_cache) > 64:  # bound the executable cache (LRU out)
+        _cache.pop(next(iter(_cache)))
     return hit
 
 

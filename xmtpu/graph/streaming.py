@@ -387,6 +387,20 @@ class StreamSession:
     def load_state(self, st) -> None:
         if st["frame_out"] != self.frame_out:
             raise ConfigError("state frame size mismatch")
+        # Typed refuse AT RESTORE, like load_state_file: a state from a
+        # session with a different effects chain or channel count can
+        # share frame_out, and installing it unchecked used to surface
+        # as an opaque jit pytree/shape error at the NEXT read()
+        # (review find).
+        template = self._init_state()
+        t_leaves, treedef = jax.tree_util.tree_flatten(template)
+        leaves, got_def = jax.tree_util.tree_flatten(st["fx_state"])
+        if got_def != treedef or any(
+                np.shape(a) != np.shape(b) for a, b in zip(leaves, t_leaves)):
+            raise ConfigError(
+                "state does not match this session's effects chain "
+                f"(expected {len(t_leaves)} leaves of the config's "
+                "structure)")
         self.frame_idx = int(st["frame_idx"])
         self.fx_state = st["fx_state"]
         self._queue.clear()

@@ -304,9 +304,15 @@ def _auto_tc(n: int, tc: int) -> int:
     sublane tile); falls back to tc (ceil-padding) when n has no
     suitable divisor >= tc//2. An exact divisor keeps _pad_t a bare
     transpose AND avoids the partial last grid step."""
+    # EVERY return must be a multiple of 8: the (tc, lanes) BlockSpec's
+    # second-minor dim must land on the f32 (8, 128) tile, and Mosaic
+    # rejects it at lowering otherwise (interpret mode does not enforce
+    # tiling, so a caller-supplied tc like 500 used to pass tests and
+    # fail on chip whenever it divided n — review find).
+    tc = max(8, tc - tc % 8)
     if n % tc == 0:
         return tc
-    for d in range(tc - tc % 8, tc // 2 - 1, -8):
+    for d in range(tc, tc // 2 - 1, -8):
         if d > 0 and n % d == 0:
             return d
     return tc
