@@ -43,6 +43,23 @@ def _voices(rng, k, sr=44100, seconds=1.0):
     ]
 
 
+def test_pool_drops_host_pcm_after_upload(rng):
+    """Sources are device-resident: the decoded host PCM must not stay
+    pinned in _slot_tracks/_geom after the one-time upload (a 32-slot
+    pool of long clips pinned GBs of host RAM redundantly; review
+    find). Geometry fields keep working — reads stay correct."""
+    K = 2
+    srcs = _voices(rng, K, seconds=0.3)
+    pool = SessionPool(_cfg(), K, frame_ms=20.0, sources=srcs)
+    for tracks in pool._slot_tracks:
+        assert tracks is not None
+        assert all(ts.pcm is None for ts in tracks)
+    out = pool.read(2)
+    assert np.any(out != 0)
+    pool.join(1, srcs[1])  # re-join still works post-drop
+    assert all(ts.pcm is None for ts in pool._slot_tracks[1])
+
+
 def test_pool_matches_independent_sessions(rng):
     """K pooled slots == K independent sessions <= -80 dB, int16 out."""
     K = 3

@@ -65,6 +65,20 @@ def _track_need(ts: _TrackStream) -> int:
     return _resample.plan_rows(ts.plan, ts.nj) * ts.plan.M
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _set_slot_row(buf, row, slot):
+    """Write one slot's source row into the (K, ch, len) buffer.
+
+    Jitted with the buffer DONATED so XLA aliases it and writes O(row)
+    in place — the eager ``buf.at[slot].set(row)`` form copied the
+    ENTIRE buffer per track per join (GB-scale at large max_seconds,
+    with a transient 2x HBM peak; review find)."""
+    z = jnp.zeros((), jnp.int32)  # match slot's dtype exactly: under the
+    # package-wide x64 mode bare 0s trace as i64 and DUS rejects the mix
+    return jax.lax.dynamic_update_slice(
+        buf, row[None].astype(buf.dtype), (slot.astype(jnp.int32), z, z))
+
+
 def _locked(method):
     """Serialize a public SessionPool method on the pool lock (see the
     class docstring's THREAD SAFETY note). RLock: locked methods may
@@ -272,9 +286,16 @@ class SessionPool:
                            np.float32)
             row[:, need : need + ts.n_native] = ts.pcm
             self._srcbuf[j] = self._commit(
-                self._srcbuf[j].at[slot].set(jnp.asarray(row)))
+                _set_slot_row(self._srcbuf[j], jnp.asarray(row),
+                              jnp.int32(slot)))
             self._n_nat[j][slot] = ts.n_native
             self._n_out[j][slot] = float(ts.n_out)
+        for ts in tracks:
+            # sources are device-resident from here: keeping the decoded
+            # host PCM pinned the whole clip per slot for the life of
+            # the join (~GB-scale pools) though only geometry fields are
+            # read afterwards (review find)
+            ts.pcm = None
         self._frame_idx[slot] = 0
         self._pending = None  # stale windows/state
         self._reset_state(slot)
