@@ -339,14 +339,21 @@ def test_large_batch_fused_path_matches_solo(rng):
 
 def test_flagship_long_ir_block_scales(rng):
     """ir_seconds past the old hard-coded 32768 block must build and run
-    (round-2 review find: block now scales via _reverb_block)."""
+    up to the fftconv kernel's 131072 VMEM plan (round-2 review find:
+    block scales via _reverb_block); past the plan it refuses TYPED
+    (round-3 review find: the unguarded call surfaced an opaque Mosaic
+    error at the first on-chip step — fx.py refuses at the same bound)."""
+    from xmtpu.utils.errors import ConfigError
+
     assert xbatch._reverb_block(4000) == (32768, 16)
     assert xbatch._reverb_block(16800)[0] >= 4 * 16799
     # gp follows the round-3 chip sweep (16/4/1 at 32768/65536/larger);
     # a fixed gp=16 at big blocks pressed the per-grid-step VMEM
     # footprint (review find)
     assert xbatch._reverb_block(10000) == (65536, 4)
-    assert xbatch._reverb_block(40000)[1] == 1
+    assert xbatch._reverb_block(32769)[0] == 131072
+    with pytest.raises(ConfigError, match="131072"):
+        xbatch._reverb_block(40000)
     step = jax.jit(xbatch.make_flagship_step(ir_seconds=1.05,
                                              interpret=True))
     v = (rng.standard_normal((2, 44100)) * 8000).astype(np.int16)
