@@ -221,6 +221,54 @@ def test_batch_runner_rejects_bad_decode_threads(tmp_path):
         run_batch([], decode_threads=0)
 
 
+def test_batch_runner_rejects_nonpath_out_and_bad_bus_rate(tmp_path, rng):
+    from xmtpu.utils.errors import ConfigError
+
+    p = tmp_path / "v.wav"
+    write_wav(str(p), _clips(rng, [16000])[0], SR_IN)
+    # a non-path 'out' used to crash the run with a raw TypeError at
+    # the resume probe (or write a file named by its repr)
+    with pytest.raises(ConfigError, match="'out' must be a path"):
+        run_batch([{"voice": str(p), "out": 3}])
+    # whole-run rates fail typed BEFORE any decode: negative/zero rates
+    # used to reach filter design; a huge bus-side ratio used to hang
+    # the remote compiler (the old check bounded only the clip side)
+    for bad in (0, -16000, 8_388_608):
+        with pytest.raises(ConfigError, match="unreasonable"):
+            run_batch([{"voice": str(p), "out": str(tmp_path / "o.wav")}],
+                      sr_bus=bad)
+    with pytest.raises(ConfigError, match="unreasonable"):
+        run_batch([], sr_in=44101, sr_bus=16000)  # 44101-phase bank
+
+
+def test_batch_runner_producer_crash_accounted(tmp_path, rng, monkeypatch):
+    """A producer-stage crash OUTSIDE the per-clip decode isolation
+    (chan.put failing) must mark the undelivered jobs failed — it used
+    to close the channel cleanly and report success with jobs missing
+    (review find)."""
+    from xmtpu import native as native_mod
+
+    p = tmp_path / "v.wav"
+    write_wav(str(p), _clips(rng, [16000])[0], SR_IN)
+    jobs = [ClipJob(voice=str(p), out=str(tmp_path / f"o{i}.wav"))
+            for i in range(3)]
+    calls = {"n": 0}
+    real_put = native_mod.PcmChannel.put
+
+    def boom(self, arrays, meta):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise MemoryError("simulated publish failure")
+        return real_put(self, arrays, meta)
+
+    monkeypatch.setattr(native_mod.PcmChannel, "put", boom)
+    rep = run_batch(jobs, sr_in=SR_IN, sr_bus=SR_BUS,
+                    step_kw={"interpret": True}, resume=False)
+    # job 0 published (may complete); jobs 1-2 must surface as failures
+    assert rep.total == 3 and len(rep.failed) == 2
+    assert all("decode stage failed" in msg for _, msg in rep.failed)
+
+
 def test_batch_runner_with_bgm(tmp_path, rng):
     v = _clips(rng, [30000])[0]
     t = np.arange(11025) / SR_IN

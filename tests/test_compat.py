@@ -132,6 +132,36 @@ def test_effects_handle_rejects_tracks_config(wav_fixture):
                         "tracks": [{"url": path}]}, path)
     with pytest.raises(ConfigError, match="chain list"):
         h.effects_init(42, path)
+    # a plausible (path, sr) pair used to register a unicode array as
+    # PCM (review find) — typed refuse naming the accepted forms
+    with pytest.raises(ConfigError, match=r"\(path, rate\)"):
+        h.effects_init(CHAIN, (path, sr))
+
+
+def test_generator_double_start_atomic(tmp_path, wav_fixture, monkeypatch):
+    """Two concurrent start()s must not both launch workers: the
+    unlocked check-then-act let both pass (review find). The second
+    call returns the reference's -1 'already running'."""
+    import threading
+
+    from xmtpu.graph import pipeline
+
+    gate = threading.Event()
+    started = threading.Event()
+
+    def slow_process(inputs, cfg, out_path, progress=None):
+        started.set()
+        gate.wait(10)
+
+    monkeypatch.setattr(pipeline, "process_file", slow_process)
+    path, pcm, sr = wav_fixture
+    cfg = json.dumps({"sampleRate": sr, "tracks": [{"url": path}]})
+    g = compat.XmAudioGenerator()
+    assert g.start(cfg, str(tmp_path / "o.wav")) == 0
+    started.wait(10)
+    assert g.start(cfg, str(tmp_path / "o2.wav")) == -1
+    gate.set()
+    assert g.wait(30) == compat.GS_COMPLETED
 
 
 def test_generator_async_flow(tmp_path, wav_fixture):

@@ -107,6 +107,27 @@ def test_wav_info_float32_fallback(tmp_path, rng):
         pytest.skip("no float32-WAV decode backend in this env")
     info = wav_info(str(p))
     assert info.sample_rate == 16000 and info.num_samples == 500
+    # sample_width is the ON-DISK width: the fallback used to report
+    # the decoded itemsize (2), wrong exactly for the formats that take
+    # this path (review find)
+    assert info.sample_width == 4
+
+
+def test_decoder_freezes_1d_input_base(rng):
+    """The handle-level read-only guard must freeze the CALLER's array:
+    for 1-d input it was set on the fresh (n, 1) view only, leaving the
+    base writable (review find)."""
+    import pytest
+    from xmtpu.io.decoder import Decoder
+
+    x = (rng.standard_normal(100) * 0.1).astype(np.float32)
+    d = Decoder(x, 16000)
+    with pytest.raises(ValueError):
+        x[0] = 7.0
+    y2 = (rng.standard_normal((100, 2)) * 0.1).astype(np.float32)
+    Decoder(y2, 16000)
+    with pytest.raises(ValueError):
+        y2[0, 0] = 7.0
 
 
 def test_truncated_wav_typed_errors(tmp_path, rng):

@@ -246,6 +246,55 @@ def test_pcm_channel_closed_mid_frame_raises_not_hangs():
         ch.get()
 
 
+def test_pcm_channel_close_after_final_write_not_midframe():
+    """close() happens-after the producer's final write: a consumer
+    whose empty read races the close must still drain the completed
+    frame, not raise 'closed mid-frame' (TOCTOU review find). Driven
+    deterministically: frame fully in the ring, channel closed, THEN
+    the consumer reads."""
+    from xmtpu import native
+    from xmtpu.native import PcmChannel
+
+    if native.load() is None:
+        pytest.skip("native library unavailable")
+    ch = PcmChannel(capacity=1 << 12)
+    x = (np.arange(512) % 251).astype(np.int16)
+    ch.put([x], "m")
+    ch.close()
+    arrays, meta = ch.get()
+    np.testing.assert_array_equal(arrays[0], x)
+    assert ch.get() is None  # closed + empty -> clean end-of-stream
+
+
+def test_pcm_channel_fallback_deque_backpressure():
+    """The pure-Python fallback must bound queued bytes like the native
+    ring: it used to grow without limit, so a big manifest decoded
+    entirely into RAM ahead of the consumer (review find)."""
+    import threading
+
+    from xmtpu.native import PcmChannel
+
+    ch = PcmChannel(capacity=4096)
+    ch._fifo = None  # force the fallback path
+    ch._deque = []
+    frame = np.zeros(1024, np.int16)  # 2 KiB each
+    ch.put([frame], 0)
+    ch.put([frame], 1)  # 4 KiB queued = at capacity
+    blocked = threading.Event()
+
+    def put_third():
+        ch.put([frame], 2)  # must wait for the consumer
+        blocked.set()
+
+    t = threading.Thread(target=put_third, daemon=True)
+    t.start()
+    assert not blocked.wait(0.5)  # producer is backpressured
+    assert ch.get() is not None  # consumer drains one frame
+    assert blocked.wait(5)  # producer proceeds
+    t.join(5)
+    assert len(ch._deque) <= 2
+
+
 def test_pcm_channel_put_after_close_raises_when_full():
     """put() on a full ring used to spin forever even after close()
     (review find)."""

@@ -23,19 +23,15 @@ from xmtpu.utils.errors import XmtpuError
 
 
 def _check_rate(rate: int, sr: int) -> None:
-    """Reject rates the polyphase path cannot sensibly serve — the same
-    sanity rule as runner._decode_job (review find: --rate 0 used to
-    die with a low-level ZeroDivisionError; --rate 44101 designed a
-    ~44101-phase filter bank and hung in a massive compile)."""
-    import math
+    """Reject rates the polyphase path cannot sensibly serve (review
+    find: --rate 0 used to die with a low-level ZeroDivisionError;
+    --rate 44101 designed a ~44101-phase filter bank and hung in a
+    massive compile). ONE shared rule with the batch runner
+    (ops.resample.check_rates); ConfigError rides the CLI's typed
+    error boundary to exit 2."""
+    from xmtpu.ops.resample import check_rates
 
-    if not (4000 <= rate <= 192000):
-        raise SystemExit(f"--rate must be in [4000, 192000], got {rate}")
-    g = math.gcd(sr, rate)
-    if sr // g > 2048 or rate // g > 2048:
-        raise SystemExit(
-            f"unreasonable polyphase ratio {rate // g}/{sr // g} for "
-            f"{sr} -> {rate} Hz")
+    check_rates(sr, rate)
 
 
 def _cmd_resample(args) -> int:

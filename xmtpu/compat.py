@@ -109,6 +109,15 @@ class XmAudioUtils:
                 with open_audio(url) as dec:
                     native_sr = int(dec.sample_rate)
         elif (isinstance(voice, (tuple, list)) and len(voice) == 2
+                and isinstance(voice[0], (str, bytes))):
+            # a plausible (path, sr) pair used to fall through to the
+            # bare-array branch and register a unicode array as PCM
+            # (review find) — refuse typed instead
+            raise ConfigError(
+                "voice must be a path, a (pcm, sr) pair, or an array — "
+                "got a (path, rate) pair; pass the path alone (the "
+                "session adopts the file's native rate)")
+        elif (isinstance(voice, (tuple, list)) and len(voice) == 2
                 and np.isscalar(voice[1]) and not np.isscalar(voice[0])):
             url = "__voice__"
             sources = {"__voice__": (np.asarray(voice[0]), int(voice[1]))}
@@ -214,17 +223,26 @@ class XmAudioGenerator:
         self._status = GS_IDLE
         self._error = None
         self._stop = threading.Event()
+        self._start_lock = threading.Lock()
 
     def start(self, config_json, out_path, inputs=None) -> int:
         """Begin processing on a host thread (reference:
-        ``xm_audio_generator_start``; pthread analogue)."""
-        if self._status == GS_RUNNING:
-            return -1
-        cfg = load_config(config_json)
+        ``xm_audio_generator_start``; pthread analogue). Returns -1 if
+        already running — atomically: the unlocked check-then-act let
+        two near-simultaneous starts both pass and race two pipelines
+        onto one out_path (review find)."""
+        with self._start_lock:
+            if self._status == GS_RUNNING:
+                return -1
+            self._status = GS_RUNNING
+        try:
+            cfg = load_config(config_json)
+        except Exception:
+            self._status = GS_IDLE  # claim released; config never ran
+            raise
         self._progress = 0.0
         self._error = None
         self._stop.clear()
-        self._status = GS_RUNNING
 
         def work():
             from xmtpu.graph import pipeline

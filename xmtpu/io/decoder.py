@@ -37,6 +37,11 @@ class Decoder:
 
     def __init__(self, pcm: np.ndarray, sample_rate: int):
         if pcm.ndim == 1:
+            # freeze the BASE before taking the (n, 1) view: setflags on
+            # the view alone left the caller's 1-d array writable, so
+            # the guard below protected 2-d inputs but not 1-d ones
+            # (review find)
+            pcm.setflags(write=False)
             pcm = pcm[:, None]
         # read-only at the handle level (not per-backend): read()
         # returns VIEWS into this buffer, and a caller scratch-mutating

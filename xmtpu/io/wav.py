@@ -141,6 +141,35 @@ def wav_info(path) -> WavInfo:
         pcm, sr = read_wav(path)
         pcm = np.asarray(pcm)
         ch = 1 if pcm.ndim == 1 else pcm.shape[1]
+        # sample_width is the ON-DISK bytes per sample: the decoded
+        # itemsize is always 2 (int16), which misreported exactly the
+        # formats that take this fallback (float32 -> 4; review find)
+        bits = _fmt_chunk_bits(path)
         return WavInfo(sample_rate=sr, num_channels=ch,
                        num_samples=pcm.shape[0],
-                       sample_width=pcm.dtype.itemsize)
+                       sample_width=(bits // 8) if bits
+                       else pcm.dtype.itemsize)
+
+
+def _fmt_chunk_bits(path) -> int | None:
+    """bits-per-sample straight from the RIFF fmt chunk; None when the
+    header is not parseable (non-RIFF input decoded by a backend)."""
+    try:
+        with open(path, "rb") as f:
+            hdr = f.read(12)
+            if len(hdr) < 12 or hdr[:4] != b"RIFF" or hdr[8:12] != b"WAVE":
+                return None
+            while True:
+                ck = f.read(8)
+                if len(ck) < 8:
+                    return None
+                sz = int.from_bytes(ck[4:8], "little")
+                if ck[:4] == b"fmt ":
+                    body = f.read(min(sz, 40))
+                    if len(body) >= 16:
+                        bits = int.from_bytes(body[14:16], "little")
+                        return bits or None
+                    return None
+                f.seek(sz + (sz & 1), 1)
+    except OSError:
+        return None

@@ -229,6 +229,8 @@ class PcmChannel:
         self._meta = queue.Queue()
         self._cv = threading.Condition()
         self._closed = False
+        self._capacity = int(capacity)
+        self._qbytes = 0  # fallback-path backpressure accounting
         try:
             self._fifo = Fifo(int(capacity))
         except Exception:
@@ -250,9 +252,20 @@ class PcmChannel:
                 conts.append(a)
         self._meta.put((descs, meta))
         if self._fifo is None:
+            frame = [None if a is None else a.copy() for a in conts]
+            nbytes = sum(a.nbytes for a in frame if a is not None)
             with self._cv:
-                self._deque.append([None if a is None else a.copy()
-                                    for a in conts])
+                # bounded like the native ring: the fallback deque used
+                # to grow without limit, so a large manifest decoded
+                # entirely into RAM ahead of the consumer (review
+                # find). A single frame larger than the capacity is
+                # admitted alone (queue-empty) rather than deadlocking.
+                while (self._qbytes > 0
+                       and self._qbytes + nbytes > self._capacity
+                       and not self._closed):
+                    self._cv.wait(timeout=0.1)
+                self._deque.append(frame)
+                self._qbytes += nbytes
                 self._cv.notify_all()
             return
         for a in conts:
@@ -298,7 +311,11 @@ class PcmChannel:
                             "PcmChannel closed mid-frame (producer "
                             "died between meta and payload)")
                     self._cv.wait(timeout=0.1)
-                return self._deque.pop(0), meta
+                frame = self._deque.pop(0)
+                self._qbytes -= sum(a.nbytes for a in frame
+                                    if a is not None)
+                self._cv.notify_all()  # wake a backpressured producer
+                return frame, meta
         arrays = []
         for d in descs:
             if d is None:
@@ -316,16 +333,28 @@ class PcmChannel:
                     off += got
                     with self._cv:
                         self._cv.notify_all()
-                else:  # ring empty: wait for the producer
-                    with self._cv:
-                        if self._closed:
-                            # closed = no more writes can ever arrive;
-                            # an incomplete frame must surface, not
-                            # hang the consumer (review find)
-                            raise RuntimeError(
-                                "PcmChannel closed mid-frame "
-                                f"({off}/{out.size} bytes)")
+                    continue
+                with self._cv:
+                    if not self._closed:
                         self._cv.wait(timeout=0.1)
+                        continue
+                # closed — but close() happens-AFTER the producer's
+                # final write, so the frame's bytes may have landed
+                # between our empty read and the flag check (TOCTOU: a
+                # complete frame used to raise 'closed mid-frame' and
+                # kill the batch intermittently; review find). Drain
+                # once more; only a STILL-empty ring is a dead frame.
+                got = int(self._fifo._lib.xm_fifo_read(
+                    self._fifo._h, out.ctypes.data + off, out.size - off
+                ))
+                if got > 0:
+                    off += got
+                    continue
+                # closed + empty = no more writes can ever arrive; an
+                # incomplete frame must surface, not hang the consumer
+                raise RuntimeError(
+                    "PcmChannel closed mid-frame "
+                    f"({off}/{out.size} bytes)")
             arrays.append(out.view(dtype).reshape(shape))
         return arrays, meta
 

@@ -138,6 +138,29 @@ def resample_output_len(n: int, L: int, M: int) -> int:
     return _cdiv(n * L, M)
 
 
+def check_rates(sr_in: int, sr_out: int) -> None:
+    """Typed sanity gate for a polyphase rate pair — THE one copy of
+    the rule the CLI ``--rate`` flags and the batch runner's per-clip
+    header check both apply (they used to carry diverging copies: the
+    runner bounded only the clip side of the ratio, so a huge bus rate
+    sailed through into a thousands-of-phase filter-bank compile;
+    review find). Both rates must lie in [4000, 192000] and neither
+    side of the reduced ratio may exceed 2048 phases. Raises
+    :class:`ConfigError` (message keeps the 'unreasonable' wording
+    callers match on)."""
+    from xmtpu.utils.errors import ConfigError
+
+    for r, nm in ((sr_in, "input rate"), (sr_out, "output rate")):
+        if not (4000 <= int(r) <= 192000):
+            raise ConfigError(
+                f"unreasonable {nm} {r}: must be in [4000, 192000]")
+    g = math.gcd(int(sr_in), int(sr_out))
+    if sr_in // g > 2048 or sr_out // g > 2048:
+        raise ConfigError(
+            f"unreasonable polyphase ratio {sr_out // g}/{sr_in // g} "
+            f"for {sr_in} -> {sr_out} Hz")
+
+
 def polyphase_resample(
     x: jnp.ndarray,
     sr_in: int,

@@ -149,12 +149,9 @@ def _decode_job(job: ClipJob, sr_in: int, sr_bus: int):
         b = None
     if len(v) == 0:
         raise XmtpuError("empty clip")
-    g = math.gcd(v_sr, sr_bus)
-    if not (4000 <= v_sr <= 192000) or v_sr // g > 2048:
-        raise XmtpuError(
-            f"unreasonable input rate {v_sr} (polyphase ratio "
-            f"{sr_bus // g}/{v_sr // g})"
-        )
+    from xmtpu.ops.resample import check_rates
+
+    check_rates(v_sr, sr_bus)  # per-clip: a weird header fails one clip
     return v, b, v_sr
 
 
@@ -200,6 +197,12 @@ def run_batch(
         from xmtpu.utils.errors import ConfigError
 
         raise ConfigError(f"decode_threads must be >= 1, got {decode_threads}")
+    # whole-run rates fail the RUN, typed, before any decode: a negative
+    # or zero --rate used to reach filter design / WAV headers, and a
+    # huge bus-side ratio hung the remote compiler (review find)
+    from xmtpu.ops.resample import check_rates
+
+    check_rates(sr_in, sr_bus)
     if isinstance(jobs, (str, bytes, dict)):
         from xmtpu.utils.errors import ConfigError
 
@@ -230,6 +233,20 @@ def run_batch(
                     f"manifest entry has unknown key(s) {sorted(unknown)}: "
                     f"{job!r}")
             job = ClipJob(**job)
+        if not isinstance(job.out, (str, os.PathLike)):
+            # a non-path 'out' (e.g. an int) passed the key check and
+            # crashed the whole run with a raw TypeError at the resume
+            # probe — or silently wrote a file named by its repr
+            # (review find)
+            from xmtpu.utils.errors import ConfigError
+
+            raise ConfigError(
+                f"manifest 'out' must be a path, got "
+                f"{type(job.out).__name__}: {job!r}")
+        if not isinstance(job.out, str):
+            import dataclasses
+
+            job = dataclasses.replace(job, out=os.fspath(job.out))
         if resume and os.path.exists(job.out + ".done"):
             report.skipped_resume += 1
             continue
@@ -241,6 +258,15 @@ def run_batch(
     else:
         _run_batch_serial(todo, report, sr_in, sr_bus, batch_size,
                           step_kw, write_done_markers)
+    missing = report.total - (report.done + len(report.failed)
+                              + report.skipped_resume)
+    if missing > 0:
+        # accounting safety net: every job must end done, failed, or
+        # skipped — a stage crash that silently dropped jobs used to
+        # report success with exit code 0 (review find)
+        report.failed.append((
+            "<unaccounted>",
+            f"{missing} job(s) were dropped by a pipeline-stage failure"))
     report.wall_sec = time.perf_counter() - t_start
     report.peak_hbm_bytes = _peak_hbm_bytes()
     log.info("batch: %s", report.to_json())
@@ -388,6 +414,9 @@ def _run_batch_pipelined(todo, report, sr_in, sr_bus, batch_size, step_kw,
     chan = PcmChannel()
     write_q: _queue.Queue = _queue.Queue(maxsize=4)  # bounds in-flight
 
+    handled = [0]  # prefix of `todo` that reached _emit's outcome —
+    # jobs are emitted strictly in manifest order in both decode paths
+
     def _emit(job, result):
         """Publish one decode result (a thunk) or per-clip failure."""
         try:
@@ -395,8 +424,11 @@ def _run_batch_pipelined(todo, report, sr_in, sr_bus, batch_size, step_kw,
         except Exception as e:
             log.warning("clip %s failed to decode: %s", job.out, e)
             report.failed.append((job.out, str(e)))
+            handled[0] += 1
             return
-        chan.put([v, b], (job, rate))
+        chan.put([v, b], (job, rate))  # counted only AFTER the publish:
+        # a put failure leaves this job unhandled for the sweep below
+        handled[0] += 1
 
     def producer():
         try:
@@ -425,6 +457,15 @@ def _run_batch_pipelined(todo, report, sr_in, sr_bus, batch_size, step_kw,
                 while pending:
                     j, fut = pending.popleft()
                     _emit(j, fut.result)
+        except Exception as e:  # a producer-stage crash (e.g. chan.put
+            # failing) used to die silently: the finally closed the
+            # channel, the main loop saw a clean end-of-stream, and the
+            # undelivered jobs vanished from the report with exit code 0
+            # (review find)
+            log.warning("decode stage failed: %s", e)
+            for job in todo[handled[0]:]:
+                report.failed.append(
+                    (job.out, f"decode stage failed: {e}"))
         finally:
             chan.close()
 
