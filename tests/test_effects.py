@@ -798,3 +798,32 @@ def test_chain_fuzz_only_typed_errors():
         except ConfigError:
             bad += 1
     assert ok + bad == 400 and bad > 150, (ok, bad)
+
+
+def test_fftmm_explicit_fused_respects_bake_limit():
+    """variant='fused' used to bypass the _BAKE_LIMIT_BYTES guard the
+    auto pick enforces, baking constants past the remote compile
+    endpoint's body limit with no message naming the cause (review
+    find)."""
+    from xmtpu.ops.fftmm import fir_convolve_os_mxu
+
+    x = np.zeros((1, 1 << 18), np.float32)
+    ir = np.ones(1000, np.float64)
+    with pytest.raises(ValueError, match="bakes"):
+        fir_convolve_os_mxu(jnp.asarray(x), ir, 1 << 18, variant="fused")
+
+
+def test_reverb_rejects_engine_knobs_on_wrong_backend(signals):
+    """gp/interpret (pallas-only) and precision (mxu-only) used to be
+    silently dropped by other backends — a typo'd perf probe measured
+    the wrong configuration and reported success (review find)."""
+    from xmtpu.ops import reverb as R
+
+    x = signals(4800, SR)["noise"]
+    ir = R.synthetic_ir(0.01, SR).astype(np.float32)
+    with pytest.raises(ValueError, match="pallas"):
+        R.reverb(jnp.asarray(x), ir, block=16384, backend="mxu", gp=4)
+    with pytest.raises(ValueError, match="pallas"):
+        R.reverb(jnp.asarray(x), ir, backend="xla", interpret=True)
+    with pytest.raises(ValueError, match="mxu"):
+        R.reverb(jnp.asarray(x), ir, backend="xla", precision="highest")

@@ -339,6 +339,20 @@ def test_envelope_n_valid_padded_detector():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_iir_kernel_empty_cascade_identity(rng):
+    """Zero-band EQ == identity, matching the scan twin (the segment
+    picker used to crash reducing an empty eigenvalue array; review
+    find)."""
+    import numpy as np
+
+    from xmtpu.kernels.iir import sosfilt_pallas
+
+    x = (0.3 * rng.standard_normal((2, 8192))).astype(np.float32)
+    y, zf = sosfilt_pallas(np.zeros((0, 6)), x, interpret=True)
+    np.testing.assert_array_equal(np.asarray(y), x)
+    assert zf.shape == (0, 2, 2)
+
+
 def test_envelope_auto_tc_always_sublane_multiple():
     """Every _auto_tc return must be a multiple of 8: the (tc, lanes)
     BlockSpec's second-minor dim must land on the f32 (8,128) tile —

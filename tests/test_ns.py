@@ -211,3 +211,25 @@ def test_stream_noise_frames_mismatch_raises():
     x = np.zeros((1, 512), np.float32)
     with pytest.raises(ValueError, match="lead buffer"):
         ns.stream_suppress(x, st, noise_frames=16)
+
+
+def test_ns_int16_pinned_conversion(signals):
+    """int16 PCM through suppress()/stream_suppress() must use the
+    pinned PCM16 conversion: the raw astype skipped the /32768 scaling
+    in and truncated toward zero out (review find; same class as the
+    measure_lufs int16 fix)."""
+    import numpy as np
+
+    from xmtpu.ops import ns
+    from xmtpu.ops.convert import f32_to_pcm16_np, pcm16_to_f32_np
+
+    x = signals(4800, 16000)["noise"]
+    xi = f32_to_pcm16_np(x)
+    yi = np.asarray(ns.suppress(xi, nfft=256))
+    assert yi.dtype == np.int16
+    yf = np.asarray(ns.suppress(pcm16_to_f32_np(xi), nfft=256))
+    np.testing.assert_array_equal(yi, f32_to_pcm16_np(yf))
+    # streaming twin: same rule
+    st = ns.stream_init(1, nfft=256)
+    yi_s, _ = ns.stream_suppress(xi[None, :4736], st, nfft=256)
+    assert np.asarray(yi_s).dtype == np.int16

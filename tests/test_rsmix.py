@@ -60,3 +60,18 @@ def test_rsmix_unsupported_ratios():
     assert not resample_mix_supported(44101, 2, 44100, 16000)
     # identity rate
     assert not resample_mix_supported(44100, 2, 16000, 16000)
+
+
+def test_rsmix_unsupported_geometry_typed_refuse():
+    """An ungateable frame count used to fall into an opaque
+    ZeroDivisionError from _pick_F()==0 (review find)."""
+    import pytest
+
+    from xmtpu.kernels import rsmix
+    from xmtpu.utils.errors import ConfigError
+
+    n = 1025 * 441  # nc=1025: no divisor that is a multiple of 8, >1024
+    assert not rsmix.resample_mix_supported(n, 2, 44100, 16000)
+    v = np.zeros((2, n), np.int16)
+    with pytest.raises(ConfigError, match="resample_mix_supported"):
+        rsmix.resample_mix_pallas(v, v, 44100, 16000, interpret=True)

@@ -320,6 +320,12 @@ def sosfilt_pallas(sos, x, zi=None, time_chunk=2048, interpret=False,
     sos = jnp.asarray(sos)
     x = jnp.asarray(x)
     S = sos.shape[0]
+    if S == 0:
+        # empty cascade is the identity, matching the scan twin's
+        # zero-band EQ convention — the segment picker used to reduce
+        # over an empty eigenvalue array and crash (review find)
+        return (x.astype(jnp.float32),
+                jnp.zeros((0,) + x.shape[:-1] + (2,), jnp.float32))
     batch = x.shape[:-1]
     n = x.shape[-1]
     R = int(np.prod(batch)) if batch else 1

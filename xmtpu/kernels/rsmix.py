@@ -40,30 +40,13 @@ from jax.experimental.pallas import tpu as pltpu
 from xmtpu.ops import resample as _rs
 
 
-def _split_host(a: np.ndarray):
-    import ml_dtypes
-
-    a32 = np.asarray(a, np.float32)
-    hi = a32.astype(ml_dtypes.bfloat16)
-    lo = (a32 - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
-    return hi, lo
-
-
-def _splitf(xf):
-    """f32 with int16-range values -> exact (hi, lo) bf16 pair via
-    mantissa masking (see kernels/fftconv._split: XLA's
-    allow-excess-precision folds the astype-based split to zero)."""
-    u = jax.lax.bitcast_convert_type(xf, jnp.uint32)
-    hi = jax.lax.bitcast_convert_type(u & jnp.uint32(0xFFFF0000),
-                                      jnp.float32)
-    return hi.astype(jnp.bfloat16), (xf - hi).astype(jnp.bfloat16)
-
-
-def _dot3(xh, xl, wh, wl):
-    f = jnp.float32
-    return (jnp.dot(xh, wh, preferred_element_type=f)
-            + jnp.dot(xh, wl, preferred_element_type=f)
-            + jnp.dot(xl, wh, preferred_element_type=f))
+# ONE implementation of the bf16 3-pass split machinery: fftconv owns
+# it (incl. the mantissa-masking rationale vs --xla_allow_excess_
+# precision); this module used to carry a verbatim clone that a fix to
+# the original would silently miss (review find).
+from xmtpu.kernels.fftconv import _dot3  # noqa: F401
+from xmtpu.kernels.fftconv import _split as _splitf  # noqa: F401
+from xmtpu.kernels.fftconv import _split_host  # noqa: F401
 
 
 def _rsmix_kernel(*refs, G, F, L, M, lo, hi, r0, r2, fade, out_n, nblk,
@@ -234,6 +217,15 @@ def resample_mix_pallas(voice_i16, bgm_i16, sr_in: int, sr_out: int,
     g = math.gcd(int(sr_in), int(sr_out))
     L, M = sr_out // g, sr_in // g
     B, n = voice_i16.shape
+    if not resample_mix_supported(n, B, sr_in, sr_out,
+                                  taps_per_phase=taps_per_phase):
+        # the unsupported-geometry path used to fall through into an
+        # opaque ZeroDivisionError from _pick_F()==0 (review find)
+        from xmtpu.utils.errors import ConfigError
+
+        raise ConfigError(
+            f"resample_mix_pallas does not support n={n}, B={B}, "
+            f"{sr_in}->{sr_out} Hz (gate with resample_mix_supported)")
     nc = n // M
     F = _pick_F(nc)
     G = next(g_ for g_ in (8, 4, 2, 1) if B % g_ == 0)

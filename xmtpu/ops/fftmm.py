@@ -241,6 +241,18 @@ def fir_convolve_os_mxu(x: jnp.ndarray, ir, block: int = 16384,
         raise ValueError(f"unknown variant {variant!r}; "
                          "use 'fused', 'four_step' or 'auto'")
     if variant == "fused":
+        n1, n2 = _split_factors(block)
+        baked = n1 * n2 * n2 * 8
+        if baked > _BAKE_LIMIT_BYTES:
+            # the auto pick enforced the limit but an EXPLICIT 'fused'
+            # bypassed it, baking GB-scale constants that the remote
+            # compile endpoint rejects (~0.5 GB HTTP 413) with no
+            # message naming the cause (review find)
+            raise ValueError(
+                f"variant='fused' at block {block} bakes "
+                f"{baked >> 20} MB of circulant constants "
+                f"(limit {_BAKE_LIMIT_BYTES >> 20} MB); use "
+                f"variant='four_step' or a smaller block")
         c = _fused_consts(block, ir_np)
     else:
         c = _dft_consts(block)

@@ -173,6 +173,15 @@ def suppress(
     docstring item 2) — the reference's continuously-updated estimator.
     """
     in_dtype = x.dtype
+    was_i16 = in_dtype == jnp.int16
+    if was_i16:
+        # pinned PCM16 conversion, not raw astype: the bare cast skipped
+        # the /32768 scaling in and truncated toward zero out (wrapping
+        # past full scale after iSTFT ringing) — the same class as the
+        # measure_lufs int16 fix (review find)
+        from xmtpu.ops.convert import pcm16_to_f32
+
+        x = pcm16_to_f32(x)
     if noise_update not in ("frozen", "adaptive"):
         raise ValueError(
             f"noise_update must be 'frozen' or 'adaptive', got "
@@ -198,6 +207,10 @@ def suppress(
     snr = jnp.maximum(P / jnp.maximum(noise, 1e-20) - 1.0, 0.0)
     G = jnp.maximum(snr / (1.0 + snr), jnp.float32(floor))
     y = istft(X * G, x.shape[-1], nfft)
+    if was_i16:
+        from xmtpu.ops.convert import f32_to_pcm16
+
+        return f32_to_pcm16(y)
     return y.astype(in_dtype)
 
 
@@ -263,7 +276,13 @@ def stream_suppress(x, state, nfft: int = _DEF_NFFT, noise_frames: int = 8,
     nch = x.shape[0]
     w = jnp.asarray(_win(nfft), jnp.float32)
     k = n // hop
-    xf = x.astype(jnp.float32)
+    was_i16 = x.dtype == jnp.int16
+    if was_i16:  # pinned conversion, like suppress() (review find)
+        from xmtpu.ops.convert import pcm16_to_f32
+
+        xf = pcm16_to_f32(x)
+    else:
+        xf = x.astype(jnp.float32)
     buf = jnp.concatenate([state["carry"], xf], axis=-1)
     frames = jnp.stack(
         [jax.lax.dynamic_slice_in_dim(buf, j * hop, nfft, axis=-1)
@@ -316,6 +335,10 @@ def stream_suppress(x, state, nfft: int = _DEF_NFFT, noise_frames: int = 8,
     y = jnp.moveaxis(outs, 0, 1).reshape(nch, k * hop)
     new_state = dict(st)
     new_state["carry"] = buf[:, -(nfft - hop):]
+    if was_i16:
+        from xmtpu.ops.convert import f32_to_pcm16
+
+        return f32_to_pcm16(y), new_state
     return y.astype(x.dtype), new_state
 
 

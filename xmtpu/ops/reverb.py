@@ -138,6 +138,18 @@ def reverb(
     n = x.shape[-1]
     if not trim and (backend != "pallas" or dry != 0.0):
         raise ValueError("trim=False requires backend='pallas', dry=0")
+    # engine-specific knobs must not be silently dropped: a perf probe
+    # that typos the backend would measure the wrong configuration and
+    # report success (the bench.py unknown-arg fix's failure mode;
+    # review find — pre_row/pre_col below already refused typed)
+    if backend != "pallas" and (gp is not None or interpret):
+        raise ValueError(
+            f"gp/interpret apply to backend='pallas' only, got "
+            f"backend={backend!r}")
+    if precision is not None and backend != "mxu":
+        raise ValueError(
+            f"precision applies to backend='mxu' only, got "
+            f"backend={backend!r}")
     if backend == "pallas":
         from xmtpu.kernels.fftconv import fir_convolve_os_pallas
 
