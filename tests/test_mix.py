@@ -254,3 +254,42 @@ def test_partial_channel_mismatch_rejected(rng):
     with pytest.raises(ConfigError, match="only mono tracks upmix"):
         mix([{"pcm": stereo, "sr": 16000}, {"pcm": quad, "sr": 16000}],
             16000)
+
+
+def test_mix_rejects_negative_placement_and_bad_rate(rng):
+    from xmtpu.utils.errors import ConfigError
+
+    x = (rng.standard_normal(1600) * 0.2).astype(np.float32)
+    # negative start_ms used to die as an opaque negative-pad trace
+    # error deep inside jit (review find)
+    with pytest.raises(ConfigError, match="start_ms"):
+        api.mix([dict(pcm=x, sr=16000, start_ms=-50.0)], 16000)
+    with pytest.raises(ConfigError, match="duration_ms"):
+        api.mix([dict(pcm=x, sr=16000)], 16000, duration_ms=-1.0)
+    # a pathological header rate (coprime with the bus) used to design
+    # a 16000-phase filter bank and hang the remote compile
+    with pytest.raises(ConfigError, match="unreasonable"):
+        api.mix([dict(pcm=x, sr=44101)], 16000)
+    with pytest.raises(ConfigError, match="unreasonable"):
+        api.resample(x, 44101, 16000)
+
+
+def test_mix_jit_cache_is_lru_and_holds_no_pcm(rng):
+    """The plan cache must bump recency on hit (FIFO evicted hot plans;
+    review find) and its keys/closures must not pin track PCM — the
+    slim-meta copy is checked white-box via the closure contents."""
+    import xmtpu.graph.mixer as mixer_mod
+
+    mixer_mod._MIX_JIT_CACHE.clear()
+    x = (rng.standard_normal(1600) * 0.2).astype(np.float32)
+    api.mix([dict(pcm=x, sr=16000)], 16000)
+    assert len(mixer_mod._MIX_JIT_CACHE) == 1
+    key0, fn0 = next(iter(mixer_mod._MIX_JIT_CACHE.items()))
+    api.mix([dict(pcm=x, sr=16000)], 16000)  # hit: same executable
+    assert mixer_mod._MIX_JIT_CACHE[key0] is fn0
+    # the cached closure's meta must carry pcm=None MixTracks
+    build = fn0.__wrapped__
+    meta = build.__closure__[[
+        n for n, c in enumerate(build.__code__.co_freevars)][
+        build.__code__.co_freevars.index("meta")]].cell_contents
+    assert all(t.pcm is None for (_, _, t) in meta)

@@ -52,4 +52,22 @@ def host_cache_dir(prefix: str = "/tmp/xmtpu_jax_cache") -> str:
     # per-uid: a predictable world-shared /tmp path could be
     # pre-created (and its AOT entries planted) by another local user —
     # cache entries are executable machine code (review find)
-    return f"{prefix}_u{os.getuid()}_{fp}"
+    path = f"{prefix}_u{os.getuid()}_{fp}"
+    # the uid suffix alone is still a PREDICTABLE path another local
+    # user can pre-create and own (review find): create it 0700 now and
+    # verify ownership; a foreign-owned dir is abandoned for a
+    # user-private location under ~/.cache
+    try:
+        os.makedirs(path, mode=0o700, exist_ok=True)
+        st = os.stat(path)
+        if st.st_uid == os.getuid():
+            if st.st_mode & 0o077:  # pre-existing dir from before this
+                # hardening: tighten in place (same-owner, so safe)
+                os.chmod(path, 0o700)
+            return path
+    except OSError:
+        pass
+    home = os.path.expanduser("~")
+    alt = os.path.join(home, ".cache", os.path.basename(path))
+    os.makedirs(alt, mode=0o700, exist_ok=True)
+    return alt

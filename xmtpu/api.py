@@ -26,7 +26,7 @@ from xmtpu.config.schema import PipelineConfig, TrackConfig, EffectConfig  # noq
 
 
 def _to_f32_device(pcm) -> tuple[jnp.ndarray, bool, bool]:
-    """-> (f32 array, time-LAST layout, was_int16, was_1d).
+    """-> (f32 time-LAST array, was_int16, was_1d).
 
     xmtpu's device layout is time-LAST: (channels, n) or batched
     (B, channels, n). Public layout is time-first (n, channels) /
@@ -71,6 +71,8 @@ def resample(
     (``BASELINE.json:7`` config). int16 in -> int16 out; f32 in -> f32
     out; output length = ceil(n * sr_out / sr_in) after gcd reduction.
     """
+    _resample_op.check_rates(sr_in, sr_out)  # typed: a pathological
+    # pair (44101->16000) used to hang in a 16000-phase filter design
     x, was_i16, was_1d = _to_f32_device(pcm)
     y = _resample_op.polyphase_resample(
         x, sr_in, sr_out, taps_per_phase=taps_per_phase, beta=beta

@@ -105,20 +105,43 @@ def mix(tracks, sample_rate: int, normalize: str | None = "peak",
         raise ValueError("mix() needs at least one track")
     mts = [_coerce_track(t) for t in tracks]
 
-    first = np.asarray(mts[0].pcm)
+    first = (mts[0].pcm if hasattr(mts[0].pcm, "ndim")
+             else np.asarray(mts[0].pcm))
+    first_1d = first.ndim == 1
     out_int16 = first.dtype == np.int16
 
     # --- host-side shape planning (static) ---
     prepared = []  # (f32 device array (ch, n_at_bus_rate), static params)
     nch = 1
     for t in mts:
-        pcm = np.asarray(t.pcm)
+        # keep device arrays on device: np.asarray on a jax array is a
+        # full device->host fetch, re-uploaded below — planning needs
+        # only shape/dtype (review find)
+        pcm = t.pcm if hasattr(t.pcm, "ndim") else np.asarray(t.pcm)
         if pcm.ndim == 1:
             pcm = pcm[:, None]
         nch = max(nch, pcm.shape[1])
         sr = t.sr or sample_rate
+        _resample.check_rates(sr, sample_rate)  # typed: a pathological
+        # header rate (e.g. 44101 Hz, coprime with the bus) used to
+        # design a 16000-phase filter bank and hang the remote compile
+        # — the shared rule the CLI/runner paths already apply
+        for nm, val in (("start_ms", t.start_ms),
+                        ("fade_in_ms", t.fade_in_ms),
+                        ("fade_out_ms", t.fade_out_ms)):
+            if not (val >= 0.0) or val != val or val == float("inf"):
+                from xmtpu.utils.errors import ConfigError
+
+                raise ConfigError(f"track {nm} must be finite and >= 0, "
+                                  f"got {val!r}")  # a negative start_ms
+                # died as an opaque negative-pad trace error
         n_bus = _resample.resample_output_len(pcm.shape[0], *_ratio(sr, sample_rate))
         prepared.append((pcm, sr, n_bus, t))
+    if duration_ms is not None and not (0 < float(duration_ms) < 1e12):
+        from xmtpu.utils.errors import ConfigError
+
+        raise ConfigError(f"duration_ms must be positive/finite, "
+                          f"got {duration_ms!r}")
     for (pcm, _, _, _) in prepared:
         if pcm.shape[1] not in (1, nch):
             # only mono-to-nch upmix is defined; a 2-ch track next to a
@@ -132,8 +155,14 @@ def mix(tracks, sample_rate: int, normalize: str | None = "peak",
     # static per-track params WITHOUT the host PCM: `build` is cached
     # below and must not pin every clip's full PCM in its closure for
     # the cache's lifetime (review find — 64 cached plans x full-clip
-    # PCM grew unbounded in a long-running service)
-    meta = [(sr, n_bus, t) for (_, sr, n_bus, t) in prepared]
+    # PCM grew unbounded in a long-running service). The MixTrack
+    # itself must be COPIED WITHOUT ITS pcm FIELD: dropping only the
+    # local array variable still pinned everything through t.pcm
+    # (second review find on the same leak)
+    import dataclasses as _dc
+
+    meta = [(sr, n_bus, _dc.replace(t, pcm=None))
+            for (_, sr, n_bus, t) in prepared]
 
     if duration_ms is not None:
         total = _ms_to_samples(duration_ms, sample_rate)
@@ -263,17 +292,20 @@ def mix(tracks, sample_rate: int, normalize: str | None = "peak",
             for (pcm, sr, n_bus, t) in prepared
         ),
     )
-    fn = _MIX_JIT_CACHE.get(key)
+    fn = _MIX_JIT_CACHE.pop(key, None)  # pop+reinsert = LRU: plain .get
+    # left hot plans oldest-by-insertion and 64 rotating cold plans
+    # evicted them — a remote recompile per call (review find; same
+    # idiom as fx._cache / pool / sp)
     if fn is None:
         fn = jax.jit(build)
-        _MIX_JIT_CACHE[key] = fn
-        if len(_MIX_JIT_CACHE) > 64:  # bound the executable cache
-            _MIX_JIT_CACHE.pop(next(iter(_MIX_JIT_CACHE)))
+    _MIX_JIT_CACHE[key] = fn
+    if len(_MIX_JIT_CACHE) > 64:  # bound the executable cache
+        _MIX_JIT_CACHE.pop(next(iter(_MIX_JIT_CACHE)))
     out = fn(dev)
     if out_int16:
         out = _convert.f32_to_pcm16(out)
     out = np.asarray(out).T  # (n, ch)
-    if first.ndim == 1 and out.shape[1] == 1:
+    if first_1d and out.shape[1] == 1:
         out = out[:, 0]
     return out
 

@@ -25,4 +25,11 @@ def get_logger(name: str = "xmtpu") -> logging.Logger:
             "%(asctime)s %(name)s %(levelname)s %(message)s"))
         root.addHandler(h)
         root.setLevel(logging.INFO)
+        # we attached our own handler, so stop propagating to the
+        # GLOBAL root: an application's basicConfig() used to emit
+        # every xmtpu record twice (review find — the child-vs-parent
+        # fix above covered intra-package propagation only). An app
+        # that wants full control can clear xmtpu's handlers and
+        # re-enable propagation.
+        root.propagate = False
     return logging.getLogger(name)
