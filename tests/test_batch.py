@@ -143,35 +143,46 @@ def test_batch_runner_pipeline_equals_serial(tmp_path, rng):
         np.testing.assert_array_equal(a, b)
 
 
+_DT_BASELINE: dict = {}  # decode_threads=1 outputs, computed ONCE for
+# both parametrize cases (the duplicate baseline run cost a full
+# pipeline pass per case; review find). Fixed local seed: the clips
+# must be identical across cases for the cache to be the same audio.
+
+
 @pytest.mark.parametrize("threads", [2, 4])
 def test_batch_runner_decode_threads_identical_and_isolated(
-        tmp_path, rng, threads):
+        tmp_path, threads):
     """Threaded decode drains results in manifest order through the
     SPSC ring, so bucket packing and output WAVs are byte-identical to
     decode_threads=1; a corrupt clip still fails alone. threads=2 with
     6 jobs exercises the bounded-window mid-loop drain (window 2N=4);
     threads=4 exercises the end-of-stream drain only."""
     lengths = [22050, 44100, 30000, 16000, 20000]
-    jobs_1, jobs_4 = [], []
-    for i, c in enumerate(_clips(rng, lengths)):
+    local = np.random.default_rng(20260819)
+    clips = _clips(local, lengths)
+    jobs = []
+    for i, c in enumerate(clips):
         p = tmp_path / f"in_{i}.wav"
         write_wav(str(p), c, SR_IN)
-        jobs_1.append(ClipJob(voice=str(p), out=str(tmp_path / f"a_{i}.wav")))
-        jobs_4.append(ClipJob(voice=str(p), out=str(tmp_path / f"b_{i}.wav")))
+        jobs.append(ClipJob(voice=str(p), out=str(tmp_path / f"b_{i}.wav")))
     bad = tmp_path / "bad.wav"
     bad.write_bytes(b"RIFFgarbage")
-    jobs_1.insert(2, ClipJob(voice=str(bad), out=str(tmp_path / "a_bad.wav")))
-    jobs_4.insert(2, ClipJob(voice=str(bad), out=str(tmp_path / "b_bad.wav")))
-    r1 = run_batch(jobs_1, sr_in=SR_IN, sr_bus=SR_BUS, batch_size=2,
-                   step_kw={"interpret": True}, decode_threads=1)
-    r4 = run_batch(jobs_4, sr_in=SR_IN, sr_bus=SR_BUS, batch_size=2,
+    jobs.insert(2, ClipJob(voice=str(bad), out=str(tmp_path / "b_bad.wav")))
+    if "outs" not in _DT_BASELINE:
+        jobs_1 = [ClipJob(voice=j.voice, out=str(tmp_path / f"a_{i}.wav"))
+                  for i, j in enumerate(jobs)]
+        r1 = run_batch(jobs_1, sr_in=SR_IN, sr_bus=SR_BUS, batch_size=2,
+                       step_kw={"interpret": True}, decode_threads=1)
+        assert r1.done == 5 and len(r1.failed) == 1
+        _DT_BASELINE["outs"] = [
+            read_wav(str(tmp_path / f"a_{i}.wav"))[0]
+            for i in (0, 1, 3, 4, 5)]  # index 2 is the bad clip
+    r4 = run_batch(jobs, sr_in=SR_IN, sr_bus=SR_BUS, batch_size=2,
                    step_kw={"interpret": True}, decode_threads=threads)
-    assert r1.done == r4.done == 5
-    assert len(r1.failed) == len(r4.failed) == 1
-    assert "b_bad" in r4.failed[0][0]
-    for i in range(5):
-        a, _ = read_wav(str(tmp_path / f"a_{i}.wav"))
-        b, _ = read_wav(str(tmp_path / f"b_{i}.wav"))
+    assert r4.done == 5
+    assert len(r4.failed) == 1 and "b_bad" in r4.failed[0][0]
+    got = [read_wav(str(tmp_path / f"b_{i}.wav"))[0] for i in range(5)]
+    for a, b in zip(_DT_BASELINE["outs"], got):
         np.testing.assert_array_equal(a, b)
 
 
@@ -185,7 +196,15 @@ def test_batch_report_peak_hbm_field(tmp_path, rng):
                     sr_in=SR_IN, sr_bus=SR_BUS, step_kw={"interpret": True})
     import json
 
-    assert rep.peak_hbm_bytes is None or rep.peak_hbm_bytes > 0
+    import jax
+
+    if jax.devices()[0].platform == "cpu":
+        # XLA:CPU reports no memory stats — the field must be None, not
+        # garbage (on TPU it is a positive int; only the chip suite can
+        # check that side)
+        assert rep.peak_hbm_bytes is None
+    else:
+        assert rep.peak_hbm_bytes and rep.peak_hbm_bytes > 0
     assert "peak_hbm_bytes" in json.loads(rep.to_json())
 
 
@@ -399,7 +418,8 @@ def test_flagship_long_ir_block_scales(rng):
     # a fixed gp=16 at big blocks pressed the per-grid-step VMEM
     # footprint (review find)
     assert xbatch._reverb_block(10000) == (65536, 4)
-    assert xbatch._reverb_block(32769)[0] == 131072
+    assert xbatch._reverb_block(32769) == (131072, 1)  # gp=1 above 65536
+    # (the chip-sweep row the 40000-tap assertion used to pin)
     with pytest.raises(ConfigError, match="131072"):
         xbatch._reverb_block(40000)
     step = jax.jit(xbatch.make_flagship_step(ir_seconds=1.05,

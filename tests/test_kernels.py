@@ -386,14 +386,19 @@ def test_envelope_block_lookahead_property():
 
     rng = np.random.default_rng(20260818)
     for trial in range(14):
-        k_rel = [0.0, 1.0, float(rng.uniform(0.3, 0.99999))][trial % 3]
-        c_att = [1.0, float(rng.uniform(0.001, 0.9))][trial % 2]
-        B = int([2, 8, 32][trial % 3])
+        # INDEPENDENT draws per dimension: the old trial%3 / trial%2
+        # indexing correlated the axes (k=0 only ever met B=2; c=1.0
+        # never met a carried init), so the claimed edge-case cross
+        # coverage was a diagonal, not a sweep (review find)
+        k_rel = [0.0, 1.0, float(rng.uniform(0.3, 0.99999))][
+            int(rng.integers(3))]
+        c_att = [1.0, float(rng.uniform(0.001, 0.9))][int(rng.integers(2))]
+        B = int([2, 8, 32][int(rng.integers(3))])
         n = int(rng.integers(64, 3000))
         R = int(rng.integers(1, 9))
         d = np.abs(rng.standard_normal((R, n))).astype(np.float32)
         init = None
-        if trial % 2:
+        if rng.integers(2):
             init = (jnp.asarray(np.abs(rng.standard_normal(R)), jnp.float32),
                     jnp.asarray(np.abs(rng.standard_normal(R)), jnp.float32))
         e_ref, z_ref = envelope_pallas(jnp.asarray(d), k_rel, c_att,
@@ -408,6 +413,20 @@ def test_envelope_block_lookahead_property():
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-30,
                                        err_msg=str((trial, k_rel, c_att, B)))
+    # pinned combos the correlated sweep provably never hit
+    from xmtpu.kernels.envelope import envelope_pallas as _env
+
+    for k_rel, c_att, B in [(1.0, 0.2, 32), (0.9, 1.0, 8), (0.0, 1.0, 32)]:
+        d = np.abs(rng.standard_normal((3, 777))).astype(np.float32)
+        init = (jnp.asarray(np.abs(rng.standard_normal(3)), jnp.float32),
+                jnp.asarray(np.abs(rng.standard_normal(3)), jnp.float32))
+        e_ref, z_ref = _env(jnp.asarray(d), k_rel, c_att, init=init,
+                            interpret=True, segments=1)
+        e_blk, z_blk = _env(jnp.asarray(d), k_rel, c_att, init=init,
+                            interpret=True, segments=1, block=B)
+        ref = np.asarray(e_ref, np.float64)
+        db = rms_db(np.asarray(e_blk, np.float64) - ref, ref + 1e-12)
+        assert db <= -90.0, (k_rel, c_att, B, db)
 
 
 def test_iir_kernel_wide_lanes_parity(sos, rng):

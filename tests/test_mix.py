@@ -275,21 +275,32 @@ def test_mix_rejects_negative_placement_and_bad_rate(rng):
 
 
 def test_mix_jit_cache_is_lru_and_holds_no_pcm(rng):
-    """The plan cache must bump recency on hit (FIFO evicted hot plans;
-    review find) and its keys/closures must not pin track PCM — the
-    slim-meta copy is checked white-box via the closure contents."""
+    """The plan cache must bump recency on hit — under real eviction
+    pressure: 66 rotating cold plans overflow the 64-entry bound, and
+    a FIFO .get (the pre-fix code) evicts the hot plan despite its
+    hits (review find). Closures must not pin track PCM (slim-meta
+    copy, checked white-box)."""
     import xmtpu.graph.mixer as mixer_mod
 
     mixer_mod._MIX_JIT_CACHE.clear()
-    x = (rng.standard_normal(1600) * 0.2).astype(np.float32)
-    api.mix([dict(pcm=x, sr=16000)], 16000)
-    assert len(mixer_mod._MIX_JIT_CACHE) == 1
+    x = (rng.standard_normal(160) * 0.2).astype(np.float32)
+    hot = [dict(pcm=x, sr=16000)]
+    api.mix(hot, 16000)
     key0, fn0 = next(iter(mixer_mod._MIX_JIT_CACHE.items()))
-    api.mix([dict(pcm=x, sr=16000)], 16000)  # hit: same executable
-    assert mixer_mod._MIX_JIT_CACHE[key0] is fn0
+    # fill to the 64-entry bound with direct dummy inserts (cheap: no
+    # compiles — the axon suite pays 30-500 s per remote compile, so
+    # 60+ real cold mixes are not an option there). Hot is now OLDEST.
+    for i in range(63):
+        mixer_mod._MIX_JIT_CACHE[("dummy", i)] = None
+    api.mix(hot, 16000)  # hit MUST bump recency (pop+reinsert)
+    api.mix([dict(pcm=x, sr=16000, gain=1.5)], 16000)  # overflow: evicts
+    # the oldest entry — a dummy under LRU; the pre-fix .get left hot
+    # oldest and evicted IT here
+    assert mixer_mod._MIX_JIT_CACHE.get(key0) is fn0
+    assert ("dummy", 0) not in mixer_mod._MIX_JIT_CACHE
+    mixer_mod._MIX_JIT_CACHE.clear()  # drop the dummies
     # the cached closure's meta must carry pcm=None MixTracks
     build = fn0.__wrapped__
-    meta = build.__closure__[[
-        n for n, c in enumerate(build.__code__.co_freevars)][
-        build.__code__.co_freevars.index("meta")]].cell_contents
+    meta = build.__closure__[
+        build.__code__.co_freevars.index("meta")].cell_contents
     assert all(t.pcm is None for (_, _, t) in meta)

@@ -248,10 +248,13 @@ def test_pcm_channel_closed_mid_frame_raises_not_hangs():
 
 def test_pcm_channel_close_after_final_write_not_midframe():
     """close() happens-after the producer's final write: a consumer
-    whose empty read races the close must still drain the completed
-    frame, not raise 'closed mid-frame' (TOCTOU review find). Driven
-    deterministically: frame fully in the ring, channel closed, THEN
-    the consumer reads."""
+    whose EMPTY read races the close must re-drain and find the
+    completed frame, not raise 'closed mid-frame' (TOCTOU review
+    find). The race is forced deterministically: the first ring read
+    is made to return 0 while _closed is already set — pre-fix code
+    raises on that exact interleaving."""
+    import types
+
     from xmtpu import native
     from xmtpu.native import PcmChannel
 
@@ -261,8 +264,27 @@ def test_pcm_channel_close_after_final_write_not_midframe():
     x = (np.arange(512) % 251).astype(np.int16)
     ch.put([x], "m")
     ch.close()
+
+    real = ch._fifo
+
+    class _FlakyLib:
+        def __init__(self, lib):
+            self._lib = lib
+            self.zero_reads = 1  # first read sees an 'empty' ring
+
+        def xm_fifo_read(self, h, ptr, n):
+            if self.zero_reads:
+                self.zero_reads -= 1
+                return 0
+            return self._lib.xm_fifo_read(h, ptr, n)
+
+        def __getattr__(self, k):
+            return getattr(self._lib, k)
+
+    ch._fifo = types.SimpleNamespace(_lib=_FlakyLib(real._lib), _h=real._h)
     arrays, meta = ch.get()
     np.testing.assert_array_equal(arrays[0], x)
+    ch._fifo = real
     assert ch.get() is None  # closed + empty -> clean end-of-stream
 
 

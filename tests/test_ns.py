@@ -229,7 +229,13 @@ def test_ns_int16_pinned_conversion(signals):
     assert yi.dtype == np.int16
     yf = np.asarray(ns.suppress(pcm16_to_f32_np(xi), nfft=256))
     np.testing.assert_array_equal(yi, f32_to_pcm16_np(yf))
-    # streaming twin: same rule
+    # streaming twin: same rule — VALUE equality vs the pinned-converted
+    # f32 path, not just dtype (a raw astype also returns int16)
     st = ns.stream_init(1, nfft=256)
     yi_s, _ = ns.stream_suppress(xi[None, :4736], st, nfft=256)
     assert np.asarray(yi_s).dtype == np.int16
+    st2 = ns.stream_init(1, nfft=256)
+    yf_s, _ = ns.stream_suppress(
+        pcm16_to_f32_np(xi)[None, :4736], st2, nfft=256)
+    np.testing.assert_array_equal(np.asarray(yi_s),
+                                  f32_to_pcm16_np(np.asarray(yf_s)))
