@@ -56,6 +56,7 @@ from xmtpu.api import (  # noqa: E402
     Session,
     SessionPool,
 )
+from xmtpu.graph.serve import PoolServer  # noqa: E402
 from xmtpu import io  # noqa: E402  (xmtpu.io.read_wav / write_wav / open_audio)
 from xmtpu import compat  # noqa: E402  (handle-style reference-parity API)
 from xmtpu.config.schema import (  # noqa: E402
@@ -71,6 +72,7 @@ __all__ = [
     "process_file",
     "Session",
     "SessionPool",
+    "PoolServer",
     "PipelineConfig",
     "TrackConfig",
     "EffectConfig",

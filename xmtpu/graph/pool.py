@@ -328,6 +328,44 @@ class SessionPool:
     def active(self) -> list[int]:
         return [i for i, t in enumerate(self._slot_tracks) if t is not None]
 
+    @_locked
+    def at_end(self, slot: int) -> bool:
+        """True when ``slot`` is past end-of-stream at its CURRENT clock:
+        every non-loop track has been fully produced (the reference's
+        get_frame returns <= 0 there — ``compat._next_frame`` applies
+        the same rule to single sessions). Loop tracks never end on
+        their own; an all-loop slot streams until seek/leave. Empty
+        slots are trivially at end."""
+        self._check_slot(slot)
+        tracks = self._slot_tracks[slot]
+        if tracks is None:
+            return True
+        finite = [ts for ts in tracks if not ts.cfg.loop]
+        if not finite:
+            return False
+        fi = int(self._frame_idx[slot])
+        return all(
+            (fi * self.frame_out - ts.start_bus) >= ts.n_out
+            for ts in finite
+        )
+
+    @_locked
+    def frames_remaining(self, slot: int) -> int | None:
+        """Frames until :meth:`at_end` at the current clock. ``None``
+        for loop-only slots (unbounded); ``0`` for empty/ended slots.
+        The last counted frame may be partial (a 5 ms tail in a 20 ms
+        frame) — the remainder of that frame is exact silence, the
+        same group-aligned tail the offline mixer pads."""
+        self._check_slot(slot)
+        tracks = self._slot_tracks[slot]
+        if tracks is None:
+            return 0
+        finite = [ts for ts in tracks if not ts.cfg.loop]
+        if not finite:
+            return None
+        end = max(ts.start_bus + ts.n_out for ts in finite)
+        return max(0, -(-end // self.frame_out) - int(self._frame_idx[slot]))
+
     def _check_slot(self, slot: int) -> None:
         if not (0 <= slot < self.n_slots):
             raise ConfigError(f"slot {slot} out of range [0, {self.n_slots})")

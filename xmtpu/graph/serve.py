@@ -1,0 +1,312 @@
+"""Heterogeneous-config serving front end over :class:`SessionPool`.
+
+Reference usage model: a process holds MANY independent
+``xm_audio_utils`` handles, one per client, each with its own JSON
+config (``src/xm_audio_utils.c`` [upstream, SURVEY.md §3.2]; round-2
+VERDICT "serving mode" directive). :class:`~xmtpu.graph.pool.SessionPool`
+batches K *same-config* sessions into one jitted device step;
+:class:`PoolServer` removes that restriction: sessions are bucketed by
+a canonical (config, frame geometry) key, every bucket is backed by one
+or more SessionPools, and clients get per-session handles with
+``read``/``seek``/``close``.
+
+Design notes (TPU-first):
+
+- A bucket's step program is fixed by (config content, frame geometry,
+  pool capacity) — all sessions in a bucket ride ONE vmapped dispatch,
+  so the device cost of a bucket is one step regardless of how many of
+  its slots are occupied. Distinct configs compile distinct steps
+  (unavoidable: the effect chain is baked into the program), so a
+  serving deployment should expect one compile per distinct config
+  shape, amortized over every session that ever uses it.
+- The pool advances all of a bucket's slots together (that is what
+  makes it one dispatch). Per-session ``read`` therefore BUFFERS: a
+  read that needs frames pumps the owning pool once for the whole
+  group and queues the co-resident sessions' frames for their own
+  readers. Synchronous serving loops can instead call :meth:`pump`
+  once per frame period and fan the returned frames out to clients.
+- A session that stops reading while others advance would buffer
+  without bound; past ``max_buffer_frames`` the server refuses to
+  advance that pool with a typed error naming the laggard (close it or
+  read it). Sessions past end-of-stream stop buffering on their own
+  (their slots produce exact silence on device).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+
+import numpy as np
+
+from xmtpu.config.schema import PipelineConfig, config_from_dict
+from xmtpu.utils.errors import ConfigError, XmtpuError
+
+
+def _bucket_key(cfg: PipelineConfig, frame_ms: float, geom) -> tuple:
+    """Canonical pool-compatibility key: two sessions may share a pool
+    iff their configs build the identical step program AND their track
+    native geometries match the pool's (join() enforces the latter for
+    real; the key only has to discriminate). Effects are keyed by
+    content (``fx._chain_key`` hashes array params and IR files by
+    signature, so a rewritten IR file lands in a fresh bucket instead
+    of reusing a stale step). ``block_size``/``bitrate`` are offline
+    concerns and deliberately excluded."""
+    from xmtpu.graph import fx as _fx
+
+    tracks = tuple(
+        (t.url, t.kind, t.volume, t.start_time_ms, t.end_time_ms,
+         t.fade_in_ms, t.fade_out_ms, t.loop, t.side_duck)
+        for t in cfg.tracks
+    )
+    return (
+        cfg.sample_rate, cfg.channels, cfg.normalize,
+        cfg.normalize_target_db, float(frame_ms), tracks,
+        _fx._chain_key(cfg.sample_rate, list(cfg.effects)),
+        _fx._chain_key(cfg.sample_rate, list(cfg.master_effects)),
+        tuple(geom),
+    )
+
+
+@dataclasses.dataclass
+class _Served:
+    pool: object
+    slot: int
+    key: tuple
+    frames: list  # buffered (frame_out, ch) arrays, oldest first
+
+
+class PoolServer:
+    """Many concurrent sessions, heterogeneous configs, one process.
+
+    ``n_slots``: capacity of each underlying pool (a bucket grows by
+    whole pools once full). ``max_seconds``: floor for every pool's
+    device-resident source capacity (a pool is always sized to at least
+    the longer of this and its founding session's sources, so later
+    sessions with clips up to ``max_seconds`` join without a new pool).
+    ``max_buffer_frames``: per-session unread-frame cap (see module
+    doc). ``duck_params``/``output_dtype`` apply to every pool.
+
+    THREAD SAFETY: all public methods serialize on one internal lock,
+    like :class:`SessionPool` — request handlers may open/close/seek
+    while another thread reads.
+    """
+
+    def __init__(self, n_slots: int = 32, frame_ms: float = 20.0,
+                 max_seconds: float | None = None,
+                 output_dtype=np.int16, duck_params: dict | None = None,
+                 max_buffer_frames: int = 1024):
+        if n_slots < 1:
+            raise ConfigError("n_slots must be >= 1")
+        if max_buffer_frames < 1:
+            raise ConfigError("max_buffer_frames must be >= 1")
+        self.n_slots = int(n_slots)
+        self.frame_ms = float(frame_ms)
+        self.max_seconds = max_seconds
+        self.output_dtype = output_dtype
+        self.duck_params = duck_params
+        self.max_buffer_frames = int(max_buffer_frames)
+        self._lock = threading.RLock()
+        self._buckets: dict[tuple, list] = {}  # key -> [SessionPool, ...]
+        self._alloc: dict[int, set[int]] = {}  # id(pool) -> occupied slots
+        self._sessions: dict[int, _Served] = {}
+        self._next_sid = 0
+
+    # -- session lifecycle -------------------------------------------------
+
+    def open(self, config, sources=None) -> int:
+        """Start a session: returns a session id for
+        :meth:`read`/:meth:`seek`/:meth:`close`. ``config``: dict or
+        :class:`PipelineConfig` (each session brings its OWN).
+        ``sources``: name -> pcm | (pcm, sr) overriding track urls, as
+        everywhere else. Decodes each source exactly once; the audio is
+        device-resident for the life of the session."""
+        from xmtpu.graph.pipeline import resolve_source
+        from xmtpu.graph.pool import SessionPool
+
+        if isinstance(config, dict):
+            config = config_from_dict(config)
+        if not isinstance(config, PipelineConfig):
+            raise ConfigError("config must be PipelineConfig or dict")
+        if not config.tracks:
+            raise ConfigError("config has no tracks to serve")
+        resolved = [resolve_source(t, sources, config.sample_rate, i)
+                    for i, t in enumerate(config.tracks)]
+        geom = tuple(
+            (int(sr), 1 if np.asarray(pcm).ndim == 1
+             else int(np.asarray(pcm).shape[1]))
+            for pcm, sr in resolved
+        )
+        urls = [t.url for t in config.tracks]
+        if len(set(urls)) == len(urls):
+            # hand the pool the already-decoded audio (no second decode)
+            srcdict = {t.url: (pcm, int(sr))
+                       for t, (pcm, sr) in zip(config.tracks, resolved)}
+        else:  # duplicate urls: fall back to the caller's convention
+            srcdict = sources
+        key = _bucket_key(config, self.frame_ms, geom)
+
+        with self._lock:
+            pools = self._buckets.setdefault(key, [])
+            pool = slot = None
+            for p in pools:
+                occupied = self._alloc[id(p)]
+                free = [i for i in range(p.n_slots) if i not in occupied]
+                if not free:
+                    continue
+                try:
+                    p.join(free[0], srcdict)
+                except ConfigError:
+                    # validated before any mutation: incompatible
+                    # geometry or a clip beyond this pool's capacity —
+                    # try the next pool / found a new one
+                    continue
+                pool, slot = p, free[0]
+                break
+            if pool is None:
+                pool = SessionPool(
+                    config, self.n_slots, frame_ms=self.frame_ms,
+                    sources=[srcdict], output_dtype=self.output_dtype,
+                    duck_params=self.duck_params,
+                    max_seconds=self.max_seconds)
+                pools.append(pool)
+                self._alloc[id(pool)] = set()
+                slot = 0
+            self._alloc[id(pool)].add(slot)
+            sid = self._next_sid
+            self._next_sid += 1
+            self._sessions[sid] = _Served(pool, slot, key, [])
+            return sid
+
+    def close(self, sid: int) -> None:
+        """End a session: its slot outputs silence and is free for the
+        next :meth:`open`; buffered frames are dropped."""
+        with self._lock:
+            s = self._sessions.pop(self._check(sid))
+            s.pool.leave(s.slot)
+            self._alloc[id(s.pool)].discard(s.slot)
+
+    def seek(self, sid: int, ms: float) -> None:
+        """Reposition one session (frame-aligned, state reset); frames
+        buffered from before the seek are stale and dropped."""
+        with self._lock:
+            s = self._sessions[self._check(sid)]
+            s.pool.seek(s.slot, float(ms))
+            s.frames.clear()
+
+    def _check(self, sid: int) -> int:
+        if sid not in self._sessions:
+            raise XmtpuError(f"unknown session id {sid}")
+        return sid
+
+    # -- reading -----------------------------------------------------------
+
+    def _pump_pool(self, pool, k: int) -> None:
+        """Advance every slot of ``pool`` k frames; buffer each open
+        session's rows up to its own end-of-stream (frames past a
+        session's end are exact silence, not stream content — ended
+        sessions buffer nothing)."""
+        mine = []
+        for s in self._sessions.values():
+            if s.pool is not pool:
+                continue
+            rem = pool.frames_remaining(s.slot)
+            take = k if rem is None else min(k, rem)
+            if take == 0:
+                continue
+            if len(s.frames) + take > self.max_buffer_frames:
+                raise XmtpuError(
+                    f"cannot advance pool: a co-resident session has "
+                    f"{len(s.frames)} unread frames "
+                    f"(max_buffer_frames={self.max_buffer_frames}) — "
+                    f"read or close it first")
+            mine.append((s, take))
+        out = pool.read(k)  # (K, k*frame, ch)
+        f = pool.frame_out
+        for s, take in mine:
+            row = out[s.slot]
+            s.frames.extend(row[i * f:(i + 1) * f] for i in range(take))
+
+    def read(self, sid: int, k: int = 1) -> np.ndarray | None:
+        """Next ``k`` frames of one session as (<=k*frame, ch) PCM.
+        Returns fewer than ``k`` frames only at end-of-stream, and
+        ``None`` once the session is fully ended (the reference's
+        get_frame <= 0). Needing frames pumps the owning pool for ALL
+        its sessions (one device dispatch per group — co-resident
+        sessions' frames queue for their own readers)."""
+        if k < 1:
+            raise ConfigError("read(sid, k) needs k >= 1")
+        with self._lock:
+            s = self._sessions[self._check(sid)]
+            while len(s.frames) < k:
+                rem = s.pool.frames_remaining(s.slot)
+                if rem == 0:
+                    break  # at end: return the short tail (or None)
+                need = k - len(s.frames)
+                self._pump_pool(s.pool, need if rem is None
+                                else min(need, rem))
+            if not s.frames:
+                return None
+            take, s.frames = s.frames[:k], s.frames[k:]
+            return np.concatenate(take, axis=0)
+
+    def pump(self, k: int = 1) -> dict[int, np.ndarray]:
+        """Advance EVERY bucket k frames (one dispatch per pool), then
+        drain: returns {sid: all buffered frames} for every session
+        with audio ready. The synchronous serving loop: call once per
+        k-frame period and fan the rows out to clients."""
+        if k < 1:
+            raise ConfigError("pump(k) needs k >= 1")
+        with self._lock:
+            for pools in self._buckets.values():
+                for pool in pools:
+                    if self._alloc[id(pool)]:
+                        self._pump_pool(pool, k)
+            out = {}
+            for sid, s in self._sessions.items():
+                if s.frames:
+                    out[sid] = np.concatenate(s.frames, axis=0)
+                    s.frames = []
+            return out
+
+    # -- introspection / maintenance ----------------------------------------
+
+    def at_end(self, sid: int) -> bool:
+        """True once ``sid`` has no frames left (buffered or future)."""
+        with self._lock:
+            s = self._sessions[self._check(sid)]
+            return not s.frames and s.pool.at_end(s.slot)
+
+    def stats(self) -> dict:
+        """Serving observability: bucket/pool/session counts and
+        per-session unread-frame depths (SURVEY.md §5 metrics row)."""
+        with self._lock:
+            return {
+                "buckets": len(self._buckets),
+                "pools": sum(len(v) for v in self._buckets.values()),
+                "slots": sum(p.n_slots for v in self._buckets.values()
+                             for p in v),
+                "sessions": len(self._sessions),
+                "buffered_frames": {sid: len(s.frames)
+                                    for sid, s in self._sessions.items()},
+            }
+
+    def release_idle_pools(self) -> int:
+        """Drop pools with no open sessions (frees their device source
+        buffers and compiled steps; the next same-config :meth:`open`
+        pays a fresh compile). Returns the number released."""
+        with self._lock:
+            n = 0
+            for key, pools in list(self._buckets.items()):
+                keep = []
+                for p in pools:
+                    if self._alloc[id(p)]:
+                        keep.append(p)
+                    else:
+                        del self._alloc[id(p)]
+                        n += 1
+                if keep:
+                    self._buckets[key] = keep
+                else:
+                    del self._buckets[key]
+            return n
