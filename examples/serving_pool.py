@@ -77,6 +77,25 @@ def main() -> None:
     #   mesh = jax.sharding.Mesh(np.array(jax.devices()), ("dp",))
     #   pool = SessionPool(config, K, sources=sources, mesh=mesh)
 
+    # ------------------------------------------------------------------
+    # PoolServer: the same serving mode WITHOUT the shared-config
+    # restriction — each client opens with its OWN config; the server
+    # buckets same-config sessions into shared-step pools itself.
+    from xmtpu import PoolServer
+
+    srv = PoolServer(n_slots=8, frame_ms=20.0, max_seconds=8.0)
+    quiet = dict(config)  # a second, different program: -6 dB voice
+    quiet["tracks"] = [dict(config["tracks"][0], volume=0.5)]
+    a = srv.open(config, sources[0])
+    b = srv.open(quiet, sources[1])
+    c = srv.open(config, sources[2])  # same config as a -> same pool
+    pcm_b = srv.read(b, 25)  # per-session read (co-residents buffer)
+    print("per-session read:", pcm_b.shape, "| stats:", srv.stats())
+    ready = srv.pump(25)  # synchronous serving loop: one group, all buckets
+    print("pump fan-out:", {sid: v.shape[0] for sid, v in ready.items()})
+    for sid in (a, b, c):
+        srv.close(sid)
+
 
 if __name__ == "__main__":
     main()

@@ -159,3 +159,7 @@ def test_open_rejects_bad_inputs(server):
         server.open("nonsense", None)
     with pytest.raises(XmtpuError, match="unknown session"):
         server.seek(10**9, 0.0)
+    with pytest.raises(ConfigError, match="max_buffer_frames"):
+        server.read(0, k=10**6)  # k-guard fires before the sid lookup
+    with pytest.raises(ConfigError, match="max_buffer_frames"):
+        server.pump(k=10**6)

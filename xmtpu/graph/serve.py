@@ -236,6 +236,11 @@ class PoolServer:
         sessions' frames queue for their own readers)."""
         if k < 1:
             raise ConfigError("read(sid, k) needs k >= 1")
+        if k > self.max_buffer_frames:
+            raise ConfigError(
+                f"read(sid, k={k}) exceeds max_buffer_frames="
+                f"{self.max_buffer_frames} (the requester's own frames "
+                "must fit the buffer); raise it at construction")
         with self._lock:
             s = self._sessions[self._check(sid)]
             while len(s.frames) < k:
@@ -257,6 +262,10 @@ class PoolServer:
         k-frame period and fan the rows out to clients."""
         if k < 1:
             raise ConfigError("pump(k) needs k >= 1")
+        if k > self.max_buffer_frames:
+            raise ConfigError(
+                f"pump(k={k}) exceeds max_buffer_frames="
+                f"{self.max_buffer_frames}; raise it at construction")
         with self._lock:
             for pools in self._buckets.values():
                 for pool in pools:
