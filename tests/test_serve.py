@@ -152,6 +152,45 @@ def test_pool_growth_capacity_and_laggard(rng):
     assert np.any(srv2.read(x, 1) != 0)
 
 
+def test_duplicate_file_urls_without_overrides(server, rng, tmp_path):
+    # two tracks sharing one file url, NO sources dict: sources are
+    # keyed by url, so one decoded entry must serve both tracks (the
+    # old fallback handed the pool sources=None and refused with
+    # "needs sources for slot 0")
+    from xmtpu.io import write_wav
+
+    p = str(tmp_path / "bed.wav")
+    write_wav(p, (6000 * rng.standard_normal(SR // 2))
+              .clip(-32768, 32767).astype(np.int16), SR)
+    cfg = PipelineConfig(
+        tracks=(TrackConfig(url=p, volume=0.5),
+                TrackConfig(url=p, volume=0.5)),
+        sample_rate=SR, normalize=None,
+    )
+    sid = server.open(cfg, None)
+    got = server.read(sid, 2)
+    assert got is not None and np.any(got != 0)
+    server.close(sid)
+
+
+def test_buffered_frames_do_not_pin_group_buffer(server, rng):
+    # a laggard's buffered frames must be views into ITS OWN copied row,
+    # not into the whole (K, k*frame, ch) group fetch (K x memory
+    # amplification per buffered frame otherwise)
+    sids = [server.open(_cfg(), _src(rng)) for _ in range(2)]
+    server.read(sids[1], 3)  # sid 0 buffers 3 frames it hasn't read
+    s0 = server._sessions[sids[0]]
+    f = s0.pool.frame_out
+    for frame in s0.frames:
+        root = frame.base if frame.base is not None else frame
+        # the root buffer is one session's (<=3*f, ch) row copy, not the
+        # 3-D (K, 3*f, ch) group fetch
+        assert root.ndim == 2
+        assert root.nbytes <= 3 * f * frame.shape[1] * frame.itemsize
+    for sid in sids:
+        server.close(sid)
+
+
 def test_open_rejects_bad_inputs(server):
     with pytest.raises(ConfigError, match="no tracks"):
         server.open(PipelineConfig(sample_rate=SR), None)

@@ -137,13 +137,14 @@ class PoolServer:
              else int(np.asarray(pcm).shape[1]))
             for pcm, sr in resolved
         )
-        urls = [t.url for t in config.tracks]
-        if len(set(urls)) == len(urls):
-            # hand the pool the already-decoded audio (no second decode)
-            srcdict = {t.url: (pcm, int(sr))
-                       for t, (pcm, sr) in zip(config.tracks, resolved)}
-        else:  # duplicate urls: fall back to the caller's convention
-            srcdict = sources
+        # hand the pool the already-decoded audio (no second decode).
+        # Duplicate urls are fine: sources are KEYED by url everywhere
+        # (pipeline.resolve_source), so two tracks sharing a url
+        # necessarily reference identical audio and one entry serves
+        # both — falling back to re-resolution here used to refuse
+        # sources=None configs whose tracks share a file url.
+        srcdict = {t.url: (pcm, int(sr))
+                   for t, (pcm, sr) in zip(config.tracks, resolved)}
         key = _bucket_key(config, self.frame_ms, geom)
 
         with self._lock:
@@ -224,7 +225,12 @@ class PoolServer:
         out = pool.read(k)  # (K, k*frame, ch)
         f = pool.frame_out
         for s, take in mine:
-            row = out[s.slot]
+            # copy the session's row before slicing it into frame views:
+            # a view into ``out`` would pin the WHOLE (K, k*frame, ch)
+            # group buffer for as long as one laggard keeps one frame
+            # buffered (K x memory amplification at k=1; ~K*k*frame*ch
+            # bytes for a single 20 ms frame)
+            row = np.array(out[s.slot])
             s.frames.extend(row[i * f:(i + 1) * f] for i in range(take))
 
     def read(self, sid: int, k: int = 1) -> np.ndarray | None:
