@@ -111,6 +111,33 @@ def test_close_frees_slot_for_reuse(server, rng):
     server.close(c)
 
 
+def test_per_client_files_share_one_pool(server, rng):
+    # THE serving shape: same pipeline, each client its own audio. The
+    # step program never reads the url, so these must ride ONE pool
+    # (urls used to be part of the bucket key: every client founded its
+    # own K-slot pool and compiled a fresh step)
+    cfg_w = PipelineConfig(
+        tracks=(TrackConfig(url="w", volume=1.0, fade_in_ms=30.0),),
+        sample_rate=SR, normalize=None,
+    )
+    src_w = {"w": ((0.3 * rng.standard_normal(SR // 2))
+                   .astype(np.float32), SR)}
+    a = server.open(_cfg(), _src(rng))
+    pools_before = server.stats()["pools"]
+    b = server.open(cfg_w, src_w)  # different url, same pipeline
+    assert server.stats()["pools"] == pools_before
+    sa, sb = server._sessions[a], server._sessions[b]
+    assert sa.pool is sb.pool
+    # and the joiner's audio was re-keyed correctly: b's output matches
+    # an independent session over ITS OWN source
+    got = server.read(b, 3)
+    sess = StreamSession(cfg_w, frame_ms=20.0, sources=src_w)
+    ref = np.concatenate([sess.read() for _ in range(3)], axis=0)
+    assert rms_db(got.astype(np.float64) - ref, ref + 1e-12) <= -80.0
+    server.close(a)
+    server.close(b)
+
+
 def test_heterogeneous_configs_bucket_separately(server, rng):
     src = _src(rng)
     a = server.open(_cfg(volume=1.0), src)

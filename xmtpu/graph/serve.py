@@ -51,13 +51,23 @@ def _bucket_key(cfg: PipelineConfig, frame_ms: float, geom) -> tuple:
     content (``fx._chain_key`` hashes array params and IR files by
     signature, so a rewritten IR file lands in a fresh bucket instead
     of reusing a stale step). ``block_size``/``bitrate`` are offline
-    concerns and deliberately excluded."""
+    concerns and deliberately excluded.
+
+    Track urls are keyed by their ALIASING PATTERN (which positions
+    share a url), not their values: the step program never reads the
+    url — audio is per-slot data — so clients with identical pipelines
+    but each their own file (THE serving shape) ride one pool. The
+    pattern must match exactly so duplicate-url positions (whose audio
+    is necessarily identical — sources are keyed by url) stay
+    duplicated when :meth:`PoolServer.open` re-keys a joiner's audio
+    by the host pool's own track urls."""
     from xmtpu.graph import fx as _fx
 
+    alias: dict = {}
     tracks = tuple(
-        (t.url, t.kind, t.volume, t.start_time_ms, t.end_time_ms,
-         t.fade_in_ms, t.fade_out_ms, t.loop, t.side_duck)
-        for t in cfg.tracks
+        (alias.setdefault(t.url, i), t.kind, t.volume, t.start_time_ms,
+         t.end_time_ms, t.fade_in_ms, t.fade_out_ms, t.loop, t.side_duck)
+        for i, t in enumerate(cfg.tracks)
     )
     return (
         cfg.sample_rate, cfg.channels, cfg.normalize,
@@ -137,14 +147,6 @@ class PoolServer:
              else int(np.asarray(pcm).shape[1]))
             for pcm, sr in resolved
         )
-        # hand the pool the already-decoded audio (no second decode).
-        # Duplicate urls are fine: sources are KEYED by url everywhere
-        # (pipeline.resolve_source), so two tracks sharing a url
-        # necessarily reference identical audio and one entry serves
-        # both — falling back to re-resolution here used to refuse
-        # sources=None configs whose tracks share a file url.
-        srcdict = {t.url: (pcm, int(sr))
-                   for t, (pcm, sr) in zip(config.tracks, resolved)}
         key = _bucket_key(config, self.frame_ms, geom)
 
         with self._lock:
@@ -155,6 +157,17 @@ class PoolServer:
                 free = [i for i in range(p.n_slots) if i not in occupied]
                 if not free:
                     continue
+                # re-key this session's already-decoded audio by the
+                # HOST POOL's track urls, positionally: a pool resolves
+                # joins against its founding config, whose urls may
+                # differ from this session's (the bucket key matches
+                # pipelines and url-aliasing patterns, not url values).
+                # Duplicate urls are fine: sources are KEYED by url
+                # everywhere (pipeline.resolve_source), so positions
+                # sharing a url carry identical audio on both sides.
+                srcdict = {pt.url: (pcm, int(sr))
+                           for pt, (pcm, sr) in zip(p.config.tracks,
+                                                    resolved)}
                 try:
                     p.join(free[0], srcdict)
                 except ConfigError:
@@ -165,6 +178,8 @@ class PoolServer:
                 pool, slot = p, free[0]
                 break
             if pool is None:
+                srcdict = {t.url: (pcm, int(sr))
+                           for t, (pcm, sr) in zip(config.tracks, resolved)}
                 pool = SessionPool(
                     config, self.n_slots, frame_ms=self.frame_ms,
                     sources=[srcdict], output_dtype=self.output_dtype,
