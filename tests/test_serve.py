@@ -218,6 +218,28 @@ def test_buffered_frames_do_not_pin_group_buffer(server, rng):
         server.close(sid)
 
 
+def test_server_dp_mesh_parity(rng):
+    """Sharded serving == single-device serving (SURVEY.md §2.2 DP row
+    through the PoolServer front end: every pool it founds rides the
+    mesh)."""
+    from .test_pool import _dp_mesh
+
+    mesh, ndp = _dp_mesh()
+    srcs = [_src(rng) for _ in range(ndp)]
+    srv = PoolServer(n_slots=ndp, frame_ms=20.0, mesh=mesh)
+    sids = [srv.open(_cfg(), s) for s in srcs]
+    assert srv.stats()["pools"] == 1
+    for sid, src in zip(sids, srcs):
+        got = srv.read(sid, 3).astype(np.float64)
+        sess = StreamSession(_cfg(), frame_ms=20.0, sources=src)
+        ref = np.concatenate([sess.read() for _ in range(3)], axis=0)
+        assert rms_db(got - ref.astype(np.float64), ref + 1e-12) <= -80.0
+    with pytest.raises(ConfigError, match="divide evenly"):
+        PoolServer(n_slots=ndp + 1, mesh=mesh)
+    with pytest.raises(ConfigError, match="no axis"):
+        PoolServer(n_slots=ndp, mesh=mesh, mesh_axis="tp")
+
+
 def test_open_rejects_bad_inputs(server):
     with pytest.raises(ConfigError, match="no tracks"):
         server.open(PipelineConfig(sample_rate=SR), None)

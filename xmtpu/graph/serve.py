@@ -96,6 +96,10 @@ class PoolServer:
     sessions with clips up to ``max_seconds`` join without a new pool).
     ``max_buffer_frames``: per-session unread-frame cap (see module
     doc). ``duck_params``/``output_dtype`` apply to every pool.
+    ``mesh``/``mesh_axis``: optional ``jax.sharding.Mesh`` — every
+    pool shards its slot axis over ``mesh_axis`` and serves SPMD
+    (``n_slots`` must divide the axis size; see
+    :class:`~xmtpu.graph.pool.SessionPool`).
 
     THREAD SAFETY: all public methods serialize on one internal lock,
     like :class:`SessionPool` — request handlers may open/close/seek
@@ -105,7 +109,8 @@ class PoolServer:
     def __init__(self, n_slots: int = 32, frame_ms: float = 20.0,
                  max_seconds: float | None = None,
                  output_dtype=np.int16, duck_params: dict | None = None,
-                 max_buffer_frames: int = 1024):
+                 max_buffer_frames: int = 1024,
+                 mesh=None, mesh_axis: str = "dp"):
         if n_slots < 1:
             raise ConfigError("n_slots must be >= 1")
         if max_buffer_frames < 1:
@@ -116,6 +121,21 @@ class PoolServer:
         self.output_dtype = output_dtype
         self.duck_params = duck_params
         self.max_buffer_frames = int(max_buffer_frames)
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
+        if mesh is not None:
+            # fail at construction, not first open(): the per-pool
+            # divide-evenly check would otherwise surface as every
+            # open() falling through to found yet another bad pool
+            if mesh_axis not in mesh.axis_names:
+                raise ConfigError(
+                    f"mesh has no axis {mesh_axis!r} (axes: "
+                    f"{mesh.axis_names})")
+            if self.n_slots % mesh.shape[mesh_axis]:
+                raise ConfigError(
+                    f"n_slots={self.n_slots} must divide evenly over "
+                    f"mesh axis {mesh_axis!r} "
+                    f"(size {mesh.shape[mesh_axis]})")
         self._lock = threading.RLock()
         self._buckets: dict[tuple, list] = {}  # key -> [SessionPool, ...]
         self._alloc: dict[int, set[int]] = {}  # id(pool) -> occupied slots
@@ -184,7 +204,8 @@ class PoolServer:
                     config, self.n_slots, frame_ms=self.frame_ms,
                     sources=[srcdict], output_dtype=self.output_dtype,
                     duck_params=self.duck_params,
-                    max_seconds=self.max_seconds)
+                    max_seconds=self.max_seconds,
+                    mesh=self.mesh, mesh_axis=self.mesh_axis)
                 pools.append(pool)
                 self._alloc[id(pool)] = set()
                 slot = 0
