@@ -240,6 +240,51 @@ def test_server_dp_mesh_parity(rng):
         PoolServer(n_slots=ndp, mesh=mesh, mesh_axis="tp")
 
 
+def test_server_thread_safety_open_close_during_reads(rng):
+    """One thread reads its own session while another churns open/
+    close/seek — including co-resident slots in the reader's own pool
+    and a second bucket. The server lock must keep every read
+    consistent: no exceptions, stable shapes, correct bookkeeping."""
+    import threading
+
+    srv = PoolServer(n_slots=4, frame_ms=20.0, max_seconds=1.0,
+                     max_buffer_frames=4096)
+    loop_cfg = PipelineConfig(
+        tracks=(TrackConfig(url="v", loop=True),),  # reader never ends
+        sample_rate=SR, normalize=None,
+    )
+    src = _src(rng)
+    r = srv.open(loop_cfg, src)
+    errs: list = []
+    stop = threading.Event()
+
+    def churn():
+        try:
+            for i in range(20):
+                sid = srv.open(loop_cfg, _src(rng))  # reader's pool
+                other = srv.open(_cfg(volume=0.5), _src(rng))  # 2nd bucket
+                srv.seek(sid, 20.0 * (i % 3))
+                srv.close(sid)
+                srv.close(other)
+        except Exception as e:  # noqa: BLE001 — surface to main thread
+            errs.append(e)
+        finally:
+            stop.set()
+
+    t = threading.Thread(target=churn)
+    t.start()
+    outs = []
+    while not stop.is_set():
+        outs.append(srv.read(r, 2))
+    t.join()
+    assert not errs, errs
+    assert all(o.shape == outs[0].shape for o in outs)
+    assert any(np.any(o != 0) for o in outs)
+    st = srv.stats()
+    assert st["sessions"] == 1  # every churned session closed cleanly
+    srv.close(r)
+
+
 def test_open_rejects_bad_inputs(server):
     with pytest.raises(ConfigError, match="no tracks"):
         server.open(PipelineConfig(sample_rate=SR), None)
