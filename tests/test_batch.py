@@ -495,15 +495,16 @@ def test_flagship_mixfirst_pad_backend_parity(rng):
 
 def test_flagship_envelope_block_parity(rng):
     """envelope_block=8 (block-lookahead limiter envelope, exact
-    semiring blocking — kernels/envelope._env_blk_kernel) matches the
-    per-sample default bit-tight at the i16 output."""
+    semiring blocking — kernels/envelope._env_blk_kernel; the chain
+    default since the 2026-08-19 chip win) matches the explicit
+    per-sample path (envelope_block=1) bit-tight at the i16 output."""
     v = (rng.standard_normal((2, 44100)) * 8000).astype(np.int16)
     b = (rng.standard_normal((2, 44100)) * 6000).astype(np.int16)
     kw = dict(sr_in=SR_IN, sr_bus=SR_BUS, interpret=True, fused=True)
     y_blk = np.asarray(jax.jit(xbatch.make_flagship_step(
         envelope_block=8, **kw))(jnp.asarray(v), jnp.asarray(b)))
-    y_ref = np.asarray(jax.jit(xbatch.make_flagship_step(**kw))(
-        jnp.asarray(v), jnp.asarray(b)))
+    y_ref = np.asarray(jax.jit(xbatch.make_flagship_step(
+        envelope_block=1, **kw))(jnp.asarray(v), jnp.asarray(b)))
     assert y_blk.shape == y_ref.shape
     # f32 association-only difference: at most 1 LSB of i16 quantization
     assert np.max(np.abs(y_blk.astype(np.int32)

@@ -285,7 +285,8 @@ def test_limiter_fx_envelope_block_param(signals):
 
     x = signals(9600, SR)["noise"] * 1.6
     base = [{"name": "limiter", "params": {
-        "threshold_db": -6.0, "backend": "pallas_interpret"}}]
+        "threshold_db": -6.0, "backend": "pallas_interpret",
+        "envelope_block": 1}}]  # explicit per-sample (default is 8)
     blk = [{"name": "limiter", "params": {
         "threshold_db": -6.0, "backend": "pallas_interpret",
         "envelope_block": 8}}]

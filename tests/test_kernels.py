@@ -219,9 +219,12 @@ def test_eq_env_fused_matches_kernel_composition(sos, rng):
                                         interpret=True, time_chunk=1024)
     y_ref, zf_ref = sosfilt_pallas(sos, jnp.asarray(x), interpret=True,
                                    time_chunk=1024, segments=1)
+    # block=1: the fused kernel's in-kernel envelope is the per-sample
+    # recurrence (eq_env predates block lookahead), so the bit-for-bit
+    # composition reference must be too (block=None defaults to 8)
     e2_ref, (el_r, sl_r) = envelope_pallas(
         jnp.abs(y_ref), k_rel, c_att, interpret=True, time_chunk=1024,
-        segments=1)
+        segments=1, block=1)
     np.testing.assert_array_equal(np.asarray(y), np.asarray(y_ref))
     np.testing.assert_array_equal(np.asarray(e2), np.asarray(e2_ref))
     np.testing.assert_array_equal(np.asarray(zf), np.asarray(zf_ref))
@@ -281,7 +284,7 @@ def test_envelope_block_lookahead_matches_plain(rng):
     k_rel = L._release_coeff(80.0, SR)
     c_att = L._attack_coeff(1.0, SR)
     e_ref, z_ref = envelope_pallas(jnp.asarray(d), k_rel, c_att, init=init,
-                                   interpret=True, segments=1)
+                                   interpret=True, segments=1, block=1)
     for B in (4, 8, 16):
         e_blk, z_blk = envelope_pallas(jnp.asarray(d), k_rel, c_att,
                                        init=init, interpret=True,
@@ -308,7 +311,9 @@ def test_envelope_block_lookahead_segmented(rng):
     k_rel = L._release_coeff(100.0, SR)
     c_att = L._attack_coeff(1.0, SR)
     e_ref, zf_ref = envelope_pallas(jnp.asarray(d), k_rel, c_att,
-                                    interpret=True)  # segmented, plain
+                                    interpret=True, block=1)  # segmented,
+    # per-sample reference (block=None now defaults to 8 — flipped on
+    # the 2026-08-19 chip probe win)
     e_blk, zf_blk = envelope_pallas(jnp.asarray(d), k_rel, c_att,
                                     interpret=True, block=8)
     ref = np.asarray(e_ref, np.float64)
@@ -371,9 +376,13 @@ def test_envelope_auto_tc_always_sublane_multiple():
 
     rng = np.random.default_rng(6)
     d = np.abs(rng.standard_normal((130, 1000))).astype(np.float32)
+    # block=1: the blocked default splits each chunk into CH-blocks +
+    # per-sample tail, so DIFFERENT tc values associate f32 ops
+    # differently — bit-exact tc-invariance is a per-sample property
     e_a, z_a = envelope_pallas(jnp.asarray(d), 0.999, 0.04,
-                               time_chunk=500, interpret=True)
-    e_b, z_b = envelope_pallas(jnp.asarray(d), 0.999, 0.04, interpret=True)
+                               time_chunk=500, interpret=True, block=1)
+    e_b, z_b = envelope_pallas(jnp.asarray(d), 0.999, 0.04, interpret=True,
+                               block=1)
     np.testing.assert_allclose(np.asarray(e_a), np.asarray(e_b), atol=0,
                                rtol=0)
 
@@ -402,7 +411,8 @@ def test_envelope_block_lookahead_property():
             init = (jnp.asarray(np.abs(rng.standard_normal(R)), jnp.float32),
                     jnp.asarray(np.abs(rng.standard_normal(R)), jnp.float32))
         e_ref, z_ref = envelope_pallas(jnp.asarray(d), k_rel, c_att,
-                                       init=init, interpret=True, segments=1)
+                                       init=init, interpret=True, segments=1,
+                                       block=1)
         e_blk, z_blk = envelope_pallas(jnp.asarray(d), k_rel, c_att,
                                        init=init, interpret=True, segments=1,
                                        block=B)
@@ -421,7 +431,7 @@ def test_envelope_block_lookahead_property():
         init = (jnp.asarray(np.abs(rng.standard_normal(3)), jnp.float32),
                 jnp.asarray(np.abs(rng.standard_normal(3)), jnp.float32))
         e_ref, z_ref = _env(jnp.asarray(d), k_rel, c_att, init=init,
-                            interpret=True, segments=1)
+                            interpret=True, segments=1, block=1)
         e_blk, z_blk = _env(jnp.asarray(d), k_rel, c_att, init=init,
                             interpret=True, segments=1, block=B)
         ref = np.asarray(e_ref, np.float64)

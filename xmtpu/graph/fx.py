@@ -347,9 +347,10 @@ class LimiterFx:
         eb = p.get("envelope_block")
         if eb is not None:
             eb = int(eb)
-            if eb < 2 or eb & (eb - 1):
+            if eb < 1 or eb & (eb - 1):
                 raise ConfigError(
-                    f"envelope_block={eb} must be a power of two >= 2")
+                    f"envelope_block={eb} must be a power of two "
+                    "(1 = explicit per-sample recurrence)")
         self.kw = dict(
             threshold_db=float(p.get("threshold_db", -3.0)),
             knee_db=float(p.get("knee_db", 6.0)),

@@ -59,6 +59,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128  # minimum/base lane tile (f32 vreg width)
 _LANES_TARGET = 256  # chain-interleave width the auto paths fill toward
+# default block-lookahead factor (envelope_pallas block=None). Chip
+# probe 2026-08-19: headline chain 224.2k -> 243.4k a-s/s at block=8
+# (+8.5%, far above the 0.4% base run spread); block=16 measured equal
+# to 8 within spread, so the shallower prefix tree wins the tie.
+DEFAULT_BLOCK = 8
 # (256 = 2 f32 vregs: the 2-op/step recurrence stays latency-covered;
 # 512 tips into issue-bound — chip sweep round 3: 6.43 ms at 256 vs
 # 7.64 at 512 on a (32, 480k) segmented envelope)
@@ -501,11 +506,15 @@ def envelope_pallas(d, k_rel: float, c_att: float, init=None, time_chunk=2048,
     samples are signal — outputs are (..., n_valid) and the upstream
     trim pass is saved (its slice fuses here).
 
-    ``block``: power-of-two block-lookahead factor (None = per-sample
-    recurrence). Both recurrences are affine in their semirings, so
-    block-B carries are exact: B-fold fewer dependent steps traded for
-    vectorized within-block prefix trees (see _env_blk_kernel). Opt-in
-    pending chip measurement.
+    ``block``: block-lookahead factor. Both recurrences are affine in
+    their semirings, so block-B carries are exact: B-fold fewer
+    dependent steps traded for vectorized within-block prefix trees
+    (see _env_blk_kernel). ``None`` = the chip-measured default
+    (block=8: headline chain 224.2k -> 243.4k a-s/s, 2026-08-19 probe;
+    16 measured equal within run spread); ``1`` = explicit per-sample
+    recurrence; otherwise a power of two >= 2. Tiny inputs are safe at
+    any block: chunks shorter than U*B fall through to the kernel's
+    per-sample remainder loop.
 
     PRECONDITION: ``d`` and ``init`` must be NONNEGATIVE (true for the
     limiter's |x| detector). The max-semiring corrections compose with
@@ -514,6 +523,10 @@ def envelope_pallas(d, k_rel: float, c_att: float, init=None, time_chunk=2048,
     """
     from xmtpu.kernels.iir import pick_segments
 
+    if block is None:
+        block = DEFAULT_BLOCK
+    elif int(block) == 1:
+        block = None  # explicit per-sample recurrence
     d = jnp.asarray(d)
     batch = d.shape[:-1]
     if n_valid is not None and int(n_valid) > d.shape[-1]:

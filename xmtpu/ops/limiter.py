@@ -172,7 +172,8 @@ def limiter(
 
     ``envelope_block``: power-of-two block-lookahead factor for the
     pallas backend's envelope recurrences (kernels/envelope.py "BLOCK
-    LOOKAHEAD"); None = per-sample. Ignored by the scan backend.
+    LOOKAHEAD"); None = chip-measured default (8), 1 = explicit
+    per-sample. Ignored by the scan backend.
     """
     k_rel = _release_coeff(release_ms, sr)
     c_att = _attack_coeff(attack_ms, sr)
