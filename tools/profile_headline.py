@@ -6,6 +6,11 @@ One warmup fetch, then 3 traced steady-state iterations.
 """
 import glob
 import os
+import sys
+
+# running as `python tools/profile_headline.py` puts tools/ (not the
+# repo root) at sys.path[0] — same fix as bench.py / probe_kernel_variants
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
