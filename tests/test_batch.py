@@ -200,11 +200,15 @@ def test_batch_report_peak_hbm_field(tmp_path, rng):
 
     if jax.devices()[0].platform == "cpu":
         # XLA:CPU reports no memory stats — the field must be None, not
-        # garbage (on TPU it is a positive int; only the chip suite can
-        # check that side)
+        # garbage
         assert rep.peak_hbm_bytes is None
     else:
-        assert rep.peak_hbm_bytes and rep.peak_hbm_bytes > 0
+        # the field is BEST-EFFORT (runner._peak_hbm_bytes docstring):
+        # directly-attached TPU runtimes report peak_bytes_in_use, but
+        # the tunneled axon backend's memory_stats() returns None
+        # (verified 2026-08-19 — asserting a positive int here killed
+        # the whole driver-env -x suite at test 8)
+        assert rep.peak_hbm_bytes is None or rep.peak_hbm_bytes > 0
     assert "peak_hbm_bytes" in json.loads(rep.to_json())
 
 
