@@ -39,7 +39,8 @@ from xmtpu.benchmarks import _acquire_chip_lock  # noqa: E402
 def main(batch: int = 256, clip_seconds: float = 10.0, iters: int = 40,
          iir_backend: str = "pallas",
          resample_backend: str = "mixfirst",
-         envelope_block: int = 0) -> dict:
+         envelope_block: int = 0,
+         limiter_fuse: int = 0) -> dict:
     # iters=40: the single end-of-region host fetch costs one tunnel RTT
     # (~33 ms); at 10 iters that still inflated every per-iter time by
     # ~3.3 ms (measured round 3: a near-noop dispatch runs 5.25 ms/iter
@@ -61,7 +62,8 @@ def main(batch: int = 256, clip_seconds: float = 10.0, iters: int = 40,
     step = jax.jit(xbatch.make_flagship_step(
         sr_in=sr_in, sr_bus=16000, iir_backend=iir_backend,
         resample_backend=resample_backend,
-        envelope_block=envelope_block or None))
+        envelope_block=envelope_block or None,
+        limiter_fuse=bool(limiter_fuse)))
     v_dev = jax.device_put(jnp.asarray(voice))
     b_dev = jax.device_put(jnp.asarray(bgm))
 
@@ -88,7 +90,7 @@ if __name__ == "__main__":
     kw = {}
     for a in sys.argv[1:]:
         k, _, v = a.lstrip("-").partition("=")
-        if k in ("batch", "iters", "envelope_block"):
+        if k in ("batch", "iters", "envelope_block", "limiter_fuse"):
             kw[k] = int(v)
         elif k == "clip_seconds":
             kw[k] = float(v)
@@ -100,7 +102,7 @@ if __name__ == "__main__":
             # probe decision could be made on the wrong number
             sys.exit(f"bench.py: unknown argument {a!r} (known: batch, "
                      "iters, clip_seconds, iir_backend, resample_backend, "
-                     "envelope_block)")
+                     "envelope_block, limiter_fuse)")
     _lock = _acquire_chip_lock()  # held until exit (exec releases it,
     # so the retry re-exec re-contends fairly)
     try:

@@ -497,6 +497,27 @@ def test_flagship_mixfirst_pad_backend_parity(rng):
                   y_x.astype(np.float64) / 32768.0) < -80
 
 
+def test_flagship_limiter_fuse_parity(rng):
+    """limiter_fuse=True (soft-knee curve + clamp applied inside the
+    envelope kernel — kernels.envelope.limiter_pallas) matches the
+    unfused envelope + XLA curve chain at the -80 dB gate. 0.5 s clips
+    give n=8000 post-resample, where pick_segments(2, 8000) == 1, so
+    the IN-KERNEL curve path (not the segmented fallback) is what runs."""
+    from xmtpu.kernels.iir import pick_segments
+
+    assert pick_segments(2, 8000, lanes=256) == 1
+    v = (rng.standard_normal((2, 22050)) * 8000).astype(np.int16)
+    b = (rng.standard_normal((2, 22050)) * 6000).astype(np.int16)
+    kw = dict(sr_in=SR_IN, sr_bus=SR_BUS, interpret=True, fused=True)
+    y_k = np.asarray(jax.jit(xbatch.make_flagship_step(
+        limiter_fuse=True, **kw))(jnp.asarray(v), jnp.asarray(b)))
+    y_x = np.asarray(jax.jit(xbatch.make_flagship_step(**kw))(
+        jnp.asarray(v), jnp.asarray(b)))
+    assert y_k.shape == y_x.shape
+    assert rms_db((y_k - y_x).astype(np.float64) / 32768.0,
+                  y_x.astype(np.float64) / 32768.0) < -80
+
+
 def test_flagship_envelope_block_parity(rng):
     """envelope_block=8 (block-lookahead limiter envelope, exact
     semiring blocking — kernels/envelope._env_blk_kernel; the chain

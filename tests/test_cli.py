@@ -43,6 +43,21 @@ def test_cli_effects(tone, tmp_path):
     assert abs(20 * np.log10(ratio) + 6.0) < 0.1
 
 
+def test_cli_effects_literal_chain(tone, tmp_path):
+    """--chain accepts a LITERAL JSON string through the shared
+    schema.load_json_source resolver — it used to be opened as a file
+    path here while every other JSON surface accepted literals
+    (verify-drive find 2026-08-19)."""
+    inp, sr = tone
+    out = str(tmp_path / "fxl.wav")
+    lit = json.dumps([{"name": "volume", "params": {"gain_db": -6.0}}])
+    assert main(["effects", inp, out, "--chain", lit]) == 0
+    got, _ = read_wav(out)
+    ref, _ = read_wav(inp)
+    ratio = np.max(np.abs(got)) / np.max(np.abs(ref))
+    assert abs(20 * np.log10(ratio) + 6.0) < 0.1
+
+
 def test_cli_effects_wrapped_chain(tone, tmp_path):
     """The CLI also accepts {"effects": [...]} (the mixer config's
     voice-effects vocabulary); a dict without that key exits with a
@@ -82,7 +97,7 @@ def test_cli_typed_errors_clean_exit(tone, tmp_path, capsys):
     jpath = tmp_path / "not_json.json"
     jpath.write_text("{nope")
     assert main(["effects", inp, out, "--chain", str(jpath)]) == 2
-    assert "invalid JSON" in capsys.readouterr().err
+    assert "invalid chain JSON" in capsys.readouterr().err
     # missing input file
     assert main(["resample", str(tmp_path / "ghost.wav"), out,
                  "--rate", "16000"]) == 2

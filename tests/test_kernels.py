@@ -464,3 +464,77 @@ def test_iir_kernel_wide_lanes_parity(sos, rng):
                   np.asarray(yp, np.float64)) <= -75.0
     with pytest.raises(ValueError, match="multiple of"):
         sosfilt_pallas(sos, jnp.asarray(x2), interpret=True, lanes=192)
+
+
+# ---------------------------------------------------------------------------
+# Fused limiter kernel (envelope + in-kernel soft-knee curve + clamp)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("block", [1, 8])
+def test_limiter_pallas_fused_matches_oracle(rng, block):
+    """kernels.envelope.limiter_pallas (gain curve applied in-kernel on
+    the VMEM tile) must match the f64 numpy oracle at the same -80 dB
+    gate as the unfused envelope+curve composition. R=8, n=1600 keeps
+    pick_segments at 1, pinning the FUSED path (not the fallback)."""
+    from xmtpu.kernels.envelope import limiter_pallas
+    from xmtpu.kernels.iir import pick_segments
+    from xmtpu.ops import limiter as L
+
+    R, n = 8, 1600
+    assert pick_segments(R, n, lanes=256) == 1
+    x = (0.9 * rng.standard_normal((R, n))).astype(np.float32)
+    sr = 16000
+    k_rel = L._release_coeff(80.0, sr)
+    c_att = L._attack_coeff(1.0, sr)
+    y, (el, sl) = limiter_pallas(jnp.asarray(x), k_rel, c_att,
+                                 threshold_db=-6.0, interpret=True,
+                                 block=block)
+    ref, (el_r, sl_r) = L.limiter_np(x[:, None, :], sr, threshold_db=-6.0,
+                                     attack_ms=1.0, release_ms=80.0)
+    ref = ref[:, 0, :]
+    assert rms_db(np.asarray(y, np.float64) - ref, ref) <= -80.0
+    assert rms_db(np.asarray(el, np.float64) - el_r, el_r) <= -80.0
+    assert rms_db(np.asarray(sl, np.float64) - sl_r, sl_r) <= -80.0
+    # the ceiling clamp must hold exactly on the fused path too
+    assert np.max(np.abs(np.asarray(y))) <= 10.0 ** (0.0 / 20.0) + 1e-6
+
+
+def test_limiter_pallas_fused_n_valid(rng):
+    """n_valid: a hop-padded upstream tail (fftconv trim=False) must be
+    sliced away by the fused kernel, matching the unpadded run."""
+    from xmtpu.kernels.envelope import limiter_pallas
+
+    R, n, npad = 8, 1600, 2048
+    x = (0.8 * rng.standard_normal((R, npad))).astype(np.float32)
+    y_pad, st_pad = limiter_pallas(jnp.asarray(x), 0.995, 0.4,
+                                   threshold_db=-6.0, interpret=True,
+                                   n_valid=n)
+    y_ref, st_ref = limiter_pallas(jnp.asarray(x[:, :n]), 0.995, 0.4,
+                                   threshold_db=-6.0, interpret=True)
+    assert y_pad.shape == (R, n)
+    np.testing.assert_array_equal(np.asarray(y_pad), np.asarray(y_ref))
+    np.testing.assert_array_equal(np.asarray(st_pad[0]), np.asarray(st_ref[0]))
+
+
+def test_limiter_pallas_segmented_fallback(rng):
+    """Small batch at long n takes the segmented envelope, where the
+    in-kernel curve would read a pre-correction e2 — the entry point
+    must FALL BACK to the unfused composition and still match the
+    oracle."""
+    from xmtpu.kernels.envelope import limiter_pallas
+    from xmtpu.kernels.iir import pick_segments
+    from xmtpu.ops import limiter as L
+
+    R, n = 2, 16384
+    assert pick_segments(R, n, lanes=256) > 1
+    x = (0.9 * rng.standard_normal((R, n))).astype(np.float32)
+    sr = 16000
+    k_rel = L._release_coeff(80.0, sr)
+    c_att = L._attack_coeff(1.0, sr)
+    y, _ = limiter_pallas(jnp.asarray(x), k_rel, c_att, threshold_db=-6.0,
+                          interpret=True, block=8)
+    ref, _ = L.limiter_np(x[:, None, :], sr, threshold_db=-6.0,
+                          attack_ms=1.0, release_ms=80.0)
+    ref = ref[:, 0, :]
+    assert rms_db(np.asarray(y, np.float64) - ref, ref) <= -80.0

@@ -97,3 +97,16 @@ def test_eq_env_lowering(rng):
     x = jnp.asarray((0.3 * rng.standard_normal((8, 1600))).astype(np.float32))
     _xlower(lambda x: EE.eq_env_pallas(
         np.asarray(sos, np.float32), x, k_rel=0.999, c_att=0.2)[0], x)
+
+
+@pytest.mark.parametrize("block", [1, 8])
+def test_limiter_fused_lowering(rng, block):
+    # the fused curve epilogue is the first kernel using VPU
+    # transcendentals (exp/log) — serialize its Mosaic MLIR for TPU
+    from xmtpu.kernels import envelope as E
+
+    x = jnp.asarray(rng.standard_normal((8, 1600)).astype(np.float32))
+    exp = _xlower(
+        lambda x: E.limiter_pallas(x, 0.995, 0.4, threshold_db=-6.0,
+                                   block=block)[0], x)
+    assert exp.platforms == ("tpu",)

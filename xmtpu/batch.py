@@ -116,6 +116,7 @@ def make_flagship_step(
     fused: bool | None = None,
     lti_fold: bool = True,
     envelope_block: int | None = None,
+    limiter_fuse: bool = False,
 ):
     """Build the full-chain step fn(voice_i16[B,n], bgm_i16[B,n]) -> i16[B,m].
 
@@ -300,11 +301,25 @@ def make_flagship_step(
                         pre_row=scale[..., 0], pre_col=deferred_ramp,
                         trim=False)
                 with stage("limiter"):
-                    e2, _ = envelope_pallas(jnp.abs(out), k_rel, c_att,
-                                            interpret=interpret, n_valid=n,
-                                            block=envelope_block)
-                    out = _limiter.apply_gain_curve(
-                        out[..., None, :n], e2, threshold_db)[..., 0, :]
+                    if limiter_fuse:
+                        # curve + clamp applied in-kernel on the VMEM
+                        # tile (kernels.envelope.limiter_pallas): the
+                        # XLA gain pass's re-reads of out and e2 are
+                        # saved at the cost of in-kernel exp/log.
+                        # OPT-IN until a bench.py chain win flips it.
+                        from xmtpu.kernels.envelope import limiter_pallas
+
+                        out, _ = limiter_pallas(
+                            out, k_rel, c_att, threshold_db,
+                            interpret=interpret, n_valid=n,
+                            block=envelope_block)
+                    else:
+                        e2, _ = envelope_pallas(
+                            jnp.abs(out), k_rel, c_att,
+                            interpret=interpret, n_valid=n,
+                            block=envelope_block)
+                        out = _limiter.apply_gain_curve(
+                            out[..., None, :n], e2, threshold_db)[..., 0, :]
                 return _convert.f32_to_pcm16(out)
             if deferred_ramp is not None:
                 out = out * deferred_ramp

@@ -67,9 +67,14 @@ def _cmd_effects(args) -> int:
     from xmtpu.io import read_wav, write_wav
 
     pcm, sr = read_wav(args.input)
-    with open(args.chain) as f:
-        chain = json.load(f)  # fx.build_chain accepts both the
-        # {"name", "params"} and flat {"name", <param>...} dict forms
+    from xmtpu.config.schema import load_json_source
+
+    # literal-vs-file resolution through THE shared resolver (a literal
+    # '{"effects": [...]}' used to be opened as a file path here while
+    # every other JSON-taking surface accepted it — review find).
+    # fx.build_chain accepts both the {"name", "params"} and flat
+    # {"name", <param>...} dict forms.
+    chain = load_json_source(args.chain, what="chain")
     if isinstance(chain, dict):
         # accept the wrapped {"effects": [...]} form too (the mixer
         # config's voice-effects vocabulary) — iterating the bare dict
@@ -159,7 +164,8 @@ def main(argv=None) -> int:
     pe = sub.add_parser("effects", help="apply an effect chain to a WAV")
     pe.add_argument("input")
     pe.add_argument("output")
-    pe.add_argument("--chain", required=True, help="JSON effect chain file")
+    pe.add_argument("--chain", required=True,
+                    help="JSON effect chain (file path or literal JSON)")
     pe.add_argument(
         "--block-size", type=int, default=131072,
         help="process in carried-state blocks of this many samples "

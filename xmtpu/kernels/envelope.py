@@ -73,12 +73,39 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+_EPS = 1e-12  # == ops.limiter._EPS (level-meter floor)
+_LN10 = float(np.log(10.0))
+
+
+def _curve_apply(x_tile, e2_tile, curve):
+    """FUSED GAIN EPILOGUE: soft-knee static curve + clamp applied on
+    the tile while it is still in VMEM (ops.limiter.apply_gain_curve
+    semantics, f32). ``curve`` is the static 5-tuple (threshold_db,
+    knee_db, ceiling_db, slope, makeup_db) — slope precomputed from the
+    ratio by ops.limiter._knee_slope. Uses exp/log (Mosaic lowers VPU
+    transcendentals) instead of log10/power; identical math up to f32
+    rounding, gated at -80 dB like every stage."""
+    threshold_db, knee_db, ceiling_db, slope, makeup_db = curve
+    level_db = (20.0 / _LN10) * jnp.log(jnp.maximum(e2_tile, _EPS))
+    over = level_db - threshold_db
+    w = max(float(knee_db), 1e-6)
+    in_knee = slope * (over + 0.5 * w) ** 2 / (2.0 * w)
+    red = jnp.where(
+        over <= -0.5 * w, 0.0,
+        jnp.where(over >= 0.5 * w, slope * over, in_knee))
+    g = jnp.exp((makeup_db - red) * (_LN10 / 20.0))
+    ceil_amp = 10.0 ** (float(ceiling_db) / 20.0)
+    return jnp.clip(x_tile * g, -ceil_amp, ceil_amp)
+
+
 def _env_kernel(coef_ref, init_ref, d_ref, *refs, n_total, tc,
-                has_corr=False):
+                has_corr=False, curve=None):
     if has_corr:
         kt_ref, e_ref, o_ref, zf_ref, st_ref = refs
     else:
         o_ref, zf_ref, st_ref = refs
+    assert not (has_corr and curve is not None)  # fused curve is
+    # single-pass only (segmented pass B corrects e2 AFTER the kernel)
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -107,19 +134,26 @@ def _env_kernel(coef_ref, init_ref, d_ref, *refs, n_total, tc,
             # segmented path; the plain path skips the no-op work
             tile = jnp.maximum(tile,
                                e_ref[:] * kt_ref[pl.ds(i * UNROLL, UNROLL), :])
+        det = jnp.abs(tile) if curve is not None else tile
         ys = []
         for j in range(UNROLL):
-            y, st = update(tile[j : j + 1, :], st)
+            y, st = update(det[j : j + 1, :], st)
             ys.append(y)
-        o_ref[pl.ds(i * UNROLL, UNROLL), :] = jnp.concatenate(ys, axis=0)
+        e2t = jnp.concatenate(ys, axis=0)
+        o_ref[pl.ds(i * UNROLL, UNROLL), :] = (
+            _curve_apply(tile, e2t, curve) if curve is not None else e2t)
         return st
 
     def body1(i, st):
         di = d_ref[pl.ds(i, 1), :]
+        xi = di
         if has_corr:
             di = jnp.maximum(di, e_ref[:] * kt_ref[pl.ds(i, 1), :])
+        if curve is not None:
+            di = jnp.abs(di)
         y, st = update(di, st)
-        o_ref[pl.ds(i, 1), :] = y
+        o_ref[pl.ds(i, 1), :] = (
+            _curve_apply(xi, y, curve) if curve is not None else y)
         return st
 
     # int32 throughout — x64 mode is on package-wide and Mosaic rejects i64
@@ -135,7 +169,7 @@ def _env_kernel(coef_ref, init_ref, d_ref, *refs, n_total, tc,
 
 
 def _env_blk_kernel(coef_ref, init_ref, d_ref, *refs, n_total, tc, B,
-                    has_corr=False):
+                    has_corr=False, curve=None):
     """Block-B lookahead variant of :func:`_env_kernel` (see module
     docstring "BLOCK LOOKAHEAD"). Exact in exact arithmetic: both
     recurrences are affine in their semirings — (max, *) for the
@@ -148,6 +182,7 @@ def _env_blk_kernel(coef_ref, init_ref, d_ref, *refs, n_total, tc, B,
         kt_ref, e_ref, o_ref, zf_ref, st_ref = refs
     else:
         o_ref, zf_ref, st_ref = refs
+    assert not (has_corr and curve is not None)
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -191,9 +226,12 @@ def _env_blk_kernel(coef_ref, init_ref, d_ref, *refs, n_total, tc, B,
     def body_chunk(i, st):
         env_b, e2_b = st  # (1, lanes) each
         tile = d_ref[pl.ds(i * CH, CH), :]
+        xin = tile
         if has_corr:
             tile = jnp.maximum(
                 tile, e_ref[:] * kt_ref[pl.ds(i * CH, CH), :])
+        if curve is not None:
+            tile = jnp.abs(tile)
         # within-block decayed prefix max:
         #   pref[u*B+j] = max_{m<=j} k^(j-m) * d[u*B+m]
         x = tile
@@ -226,7 +264,9 @@ def _env_blk_kernel(coef_ref, init_ref, d_ref, *refs, n_total, tc, B,
         carrx2 = jnp.broadcast_to(
             jnp.concatenate(carr2, axis=0).reshape(U, 1, lanes_c),
             (U, B, lanes_c)).reshape(CH, lanes_c)
-        o_ref[pl.ds(i * CH, CH), :] = acol * carrx2 + c_att * y
+        e2t = acol * carrx2 + c_att * y
+        o_ref[pl.ds(i * CH, CH), :] = (
+            _curve_apply(xin, e2t, curve) if curve is not None else e2t)
         return env_b, e2_b
 
     def update(di, st):
@@ -237,10 +277,14 @@ def _env_blk_kernel(coef_ref, init_ref, d_ref, *refs, n_total, tc, B,
 
     def body1(i, st):
         di = d_ref[pl.ds(i, 1), :]
+        xi = di
         if has_corr:
             di = jnp.maximum(di, e_ref[:] * kt_ref[pl.ds(i, 1), :])
+        if curve is not None:
+            di = jnp.abs(di)
         y, st = update(di, st)
-        o_ref[pl.ds(i, 1), :] = y
+        o_ref[pl.ds(i, 1), :] = (
+            _curve_apply(xi, y, curve) if curve is not None else y)
         return st
 
     state = (st_ref[0:1, :], st_ref[1:2, :])
@@ -256,9 +300,9 @@ def _env_blk_kernel(coef_ref, init_ref, d_ref, *refs, n_total, tc, B,
 
 
 @functools.partial(jax.jit, static_argnames=("n", "tc", "interpret", "lanes",
-                                             "block"))
+                                             "block", "curve"))
 def _envelope_2d_t(dt, coef, initp, kt=None, ep=None, *, n, tc, interpret,
-                   lanes, block=None):
+                   lanes, block=None, curve=None):
     """KERNEL-LAYOUT core: ``dt`` is (npad, Rp) time-major padded input
     (npad = ntc*tc, Rp a multiple of ``lanes``); returns (e2_t (npad,
     Rp), zf (2, Rp)) in the SAME layout. The segmented path runs both
@@ -277,10 +321,10 @@ def _envelope_2d_t(dt, coef, initp, kt=None, ep=None, *, n, tc, interpret,
         if B < 2 or B & (B - 1):
             raise ValueError(f"block={B} must be a power of two >= 2")
         kern = functools.partial(_env_blk_kernel, n_total=n, tc=tc, B=B,
-                                 has_corr=kt is not None)
+                                 has_corr=kt is not None, curve=curve)
     else:
         kern = functools.partial(_env_kernel, n_total=n, tc=tc,
-                                 has_corr=kt is not None)
+                                 has_corr=kt is not None, curve=curve)
     # x64 off during kernel trace — Mosaic rejects i64 index types
     with jax.enable_x64(False):
         return _call(kern, coef, initp, dt, kt, ep, Rp, npad, tc, ntc,
@@ -325,9 +369,10 @@ def _auto_tc(n: int, tc: int) -> int:
 
 @functools.partial(jax.jit,
                    static_argnames=("time_chunk", "interpret", "lanes",
-                                    "n_valid", "block"))
+                                    "n_valid", "block", "curve"))
 def _envelope_2d(d2d, coef, init, time_chunk=2048,
-                 interpret=False, lanes=LANES, n_valid=None, block=None):
+                 interpret=False, lanes=LANES, n_valid=None, block=None,
+                 curve=None):
     """d2d: (R, n) f32 detector rows. init: (2, R). -> (e2 (R, n), zf (2, R)).
 
     Row-major convenience wrapper over :func:`_envelope_2d_t` (the
@@ -353,7 +398,8 @@ def _envelope_2d(d2d, coef, init, time_chunk=2048,
     initp = jnp.zeros((2, Rp), jnp.float32)
     initp = jax.lax.dynamic_update_slice(initp, init.astype(jnp.float32), (0, 0))
     e2, zf = _envelope_2d_t(dt, coef, initp, n=n, tc=tc,
-                            interpret=interpret, lanes=lanes, block=block)
+                            interpret=interpret, lanes=lanes, block=block,
+                            curve=curve)
     return e2[:n, :R].T, zf[:, :R]
 
 
@@ -564,5 +610,78 @@ def envelope_pallas(d, k_rel: float, c_att: float, init=None, time_chunk=2048,
                               block=block)
     return (
         e2.reshape(*batch, n).astype(d.dtype),
+        (zf[0].reshape(batch), zf[1].reshape(batch)),
+    )
+
+
+def limiter_pallas(x, k_rel: float, c_att: float, threshold_db: float,
+                   knee_db: float = 6.0, ceiling_db: float = 0.0,
+                   ratio: float = float("inf"), makeup_db: float = 0.0,
+                   init=None, time_chunk=2048, interpret=False,
+                   n_valid=None, block=None):
+    """FUSED soft-knee limiter of SIGNED ``x`` shaped (..., n): detector
+    |x|, envelope recurrences, static gain curve and ceiling clamp all
+    inside ONE kernel pass (ops.limiter steps 1-5 for the mono/linked
+    single-channel case).
+
+    Why: the unfused chain re-reads both ``x`` and the materialized
+    envelope from HBM in the XLA gain pass (plus writes/reads the
+    (R, n) envelope array itself); here the gain applies to the tile
+    while it is still in VMEM — the envelope never touches HBM. The
+    trade is in-kernel exp/log transcendentals instead of overlappable
+    XLA elementwise work, so the CHAIN default flips only on a bench.py
+    win (CLAUDE.md rule).
+
+    Semantics match ``ops.limiter.limiter`` with a length-1 channel
+    axis (same curve constants, f32 compute) to f32 rounding — NOT
+    bit-exact (exp/log vs log10/power). Returns (y (..., n_valid or n),
+    (env_last, e2_last)).
+
+    Falls back to the unfused envelope + XLA curve when the batch is
+    small enough to take the time-segmented path (the segmented pass-B
+    state correction happens AFTER the kernel, so the in-kernel curve
+    would read a pre-correction envelope there).
+    """
+    from xmtpu.ops.limiter import _knee_slope, apply_gain_curve
+
+    curve = (float(threshold_db), float(knee_db), float(ceiling_db),
+             _knee_slope(ratio), float(makeup_db))
+    x = jnp.asarray(x)
+    batch = x.shape[:-1]
+    if n_valid is not None and int(n_valid) > x.shape[-1]:
+        raise ValueError(
+            f"n_valid={int(n_valid)} exceeds x.shape[-1]={x.shape[-1]}")
+    n = x.shape[-1] if n_valid is None else int(n_valid)
+    R = int(np.prod(batch)) if batch else 1
+    from xmtpu.kernels.iir import pick_segments
+
+    if block is None:
+        block = DEFAULT_BLOCK
+    elif int(block) == 1:
+        block = None
+    if pick_segments(R, n, lanes=_LANES_TARGET) > 1:
+        e2, st = envelope_pallas(
+            jnp.abs(x), k_rel, c_att, init=init, time_chunk=time_chunk,
+            interpret=interpret, n_valid=n_valid,
+            block=(1 if block is None else block))
+        y = apply_gain_curve(
+            x[..., None, :n].astype(jnp.float32), e2.astype(jnp.float32),
+            threshold_db, knee_db, ceiling_db, ratio, makeup_db)[..., 0, :]
+        return y.astype(x.dtype), st
+    x2d = x.reshape(R, x.shape[-1])
+    if init is None:
+        init2 = jnp.zeros((2, R), jnp.float32)
+    else:
+        init2 = jnp.stack(
+            [jnp.asarray(init[0]).reshape(R), jnp.asarray(init[1]).reshape(R)]
+        )
+    coef = jnp.array([[k_rel, c_att]], jnp.float32)
+    y, zf = _envelope_2d(x2d, coef, init2,
+                         time_chunk=_auto_tc(n, time_chunk),
+                         interpret=interpret, lanes=_pick_lanes(R),
+                         n_valid=(None if x2d.shape[1] == n else n),
+                         block=block, curve=curve)
+    return (
+        y.reshape(*batch, n).astype(x.dtype),
         (zf[0].reshape(batch), zf[1].reshape(batch)),
     )

@@ -305,11 +305,15 @@ def sosfilt_pallas(sos, x, zi=None, time_chunk=2048, interpret=False,
     256-clip batch path is unaffected). Exact: the affine state
     corrections reproduce the unsegmented recurrence.
 
-    ``lanes``: row-tile width (None = 128, the measured default). 256
+    ``lanes``: row-tile width (None = 128, the default). 256
     interleaves two independent recurrence chains per VPU op — the
-    envelope kernel's measured latency-hiding trick — opt-in pending
-    an IIR chip probe (when set, the segment auto-pick fills toward
-    it).
+    envelope kernel's measured latency-hiding trick. Chip probe
+    2026-08-19 (tools/probe_kernel_variants.py): 256 is 5.5% faster
+    at the big-batch (256, 160k) shape (5.72 vs 6.05 ms) but 11%
+    SLOWER at the segmented (32, 480k) shape (3.41 vs 3.06 ms — the
+    5-section cascade already has enough in-flight work per lane
+    there), so 128 stays the default and 256 stays opt-in for
+    large-batch EQ-only chains.
     """
     try:  # host-side consts need concrete coefficients; a traced sos
         # (rare: sos passed through a jit boundary) falls back to the
