@@ -131,3 +131,37 @@ def test_non_power_of_two_block_raises():
     ir = np.zeros(64, np.float32)
     with pytest.raises(ValueError, match="power of two"):
         fir_convolve_os_pallas(x, ir, block=48000, interpret=True)
+
+
+def test_fftconv_padfree_input_parity(rng):
+    """PAD-FREE input path (n % n2 == 0: the last grid block is a
+    partial edge block and the kernel zero-fills the window tail
+    itself) must be bit-identical to the explicit-pad run, including
+    the trim=False valid conv tail the docstring promises."""
+    from xmtpu.ops.fftmm import _split_factors
+
+    block, m, n = 4096, 500, 6400
+    n1, n2 = _split_factors(block)
+    hop = (block - (m - 1)) // (8 * n2) * (8 * n2)
+    nblk = -(-n // hop)
+    assert n % n2 == 0 and n < nblk * hop  # pins the pad-free branch
+    x = rng.standard_normal((4, n)).astype(np.float32)
+    ir = rng.standard_normal(m) * np.exp(-np.arange(m) / m * 5.0)
+    yp = fir_convolve_os_pallas(jnp.asarray(x), ir, block=block,
+                                interpret=True, trim=False)
+    # caller-side explicit zero-pad to exactly nblk*hop: n == nblk*hop
+    # there, so that run takes the full-blocks path (tail=None)
+    xpad = np.zeros((4, nblk * hop), np.float32)
+    xpad[:, :n] = x
+    y_ref = fir_convolve_os_pallas(jnp.asarray(xpad), ir, block=block,
+                                   interpret=True, trim=False)
+    assert yp.shape == y_ref.shape == (4, nblk * hop)
+    np.testing.assert_array_equal(np.asarray(yp), np.asarray(y_ref))
+    # the [n, nblk*hop) region is the VALID conv tail of the
+    # zero-padded input, not garbage
+    full = np.stack([np.convolve(r.astype(np.float64), ir) for r in x])
+    full = np.pad(full, ((0, 0), (0, max(0, nblk * hop - full.shape[1]))))
+    tail_ref = full[:, n : nblk * hop]
+    tail_err = np.sqrt(np.mean((np.asarray(yp, np.float64)[:, n:]
+                                - tail_ref) ** 2))
+    assert tail_err < 1e-4 * max(1.0, np.sqrt(np.mean(tail_ref**2)))

@@ -110,3 +110,15 @@ def test_limiter_fused_lowering(rng, block):
         lambda x: E.limiter_pallas(x, 0.995, 0.4, threshold_db=-6.0,
                                    block=block)[0], x)
     assert exp.platforms == ("tpu",)
+
+
+def test_fftconv_padfree_unaligned_tail_lowering(rng):
+    # pad-free partial edge block whose valid-row count is NOT a
+    # multiple of 8 (n=6400, n2=64 -> 100 rows, 44 past the last full
+    # block): the in-kernel zero-fill store lands on an unaligned
+    # sublane offset — the headline shape's case (98 of 1250 rows)
+    from xmtpu.kernels import fftconv as F
+
+    x = jnp.asarray((0.3 * rng.standard_normal((4, 6400))).astype(np.float32))
+    ir = (0.5 ** np.arange(256)).astype(np.float32)
+    _xlower(lambda x: F.fir_convolve_os_pallas(x, ir, block=4096), x)

@@ -162,7 +162,7 @@ _NW = 16  # len(_W_NAMES)
 
 
 def _fftconv_kernel(x_ref, *refs, pp_rows, gp, wide=False,
-                    gauss=True, has_pre=False):
+                    gauss=True, has_pre=False, tail=None):
     """One (pair-group, frame) step over ``gp`` row pairs.
 
     Perf structure (each measured round 2 at the config-3 shape):
@@ -225,6 +225,19 @@ def _fftconv_kernel(x_ref, *refs, pp_rows, gp, wide=False,
                              * pc_ref[:][None])
     else:
         zbuf[:, pp_rows:] = x_ref[:]
+    if tail is not None:
+        # PAD-FREE input (see _fftconv_2d): the last grid block is a
+        # PARTIAL edge block — its DMA delivers only ``tail[1]`` valid
+        # (8-row-tile-aligned) rows and leaves the rest of the buffer
+        # stale, so the overlap-save zero-pad is written here instead
+        # of by a full-array jnp.pad in front of the kernel (measured
+        # 0.51 ms at the headline shape).
+        nblk_last, valid_rows = tail
+
+        @pl.when(b == nblk_last)
+        def _():
+            zbuf[:, pp_rows + valid_rows :] = jnp.zeros_like(
+                zbuf[:, pp_rows + valid_rows :])
     n2 = zbuf.shape[2]
 
     def bmul(a3, c):  # (gp, n1, n2) * broadcast (n1, n2) elementwise
@@ -306,12 +319,26 @@ def _fftconv_2d(x2d, weights, block, hm, pp_rows, nblk, n, gp, interpret,
     R = x2d.shape[0]
     hop = hm * n2
     has_pre = pre_row is not None
-    # disjoint hop tiling (the carry scratch supplies the overlap):
-    # right-pad to nblk*hop and view as (R, nblk*hm, n2)
-    xp = jnp.pad(x2d.astype(jnp.float32), ((0, 0), (0, nblk * hop - n)))
-    x3 = xp.reshape(R, nblk * hm, n2)
+    tail = None
+    if n % n2 == 0 and n < nblk * hop:
+        # PAD-FREE path: view the input as (R, n//n2, n2) with NO copy
+        # and let the last grid block be a PARTIAL edge block (Mosaic
+        # clips the DMA to the array extent); the kernel zero-fills the
+        # stale window tail itself (tail=). Saves the full-array
+        # jnp.pad copy (0.51 ms at the headline shape). The OUTPUT
+        # stays (R, nblk*hm, n2): trim=False consumers are padded-
+        # aware, and a partial out block would drop the valid conv
+        # tail the docstring promises.
+        x3 = x2d.astype(jnp.float32).reshape(R, n // n2, n2)
+        tail = (nblk - 1, n // n2 - (nblk - 1) * hm)
+    else:
+        # disjoint hop tiling (the carry scratch supplies the overlap):
+        # right-pad to nblk*hop and view as (R, nblk*hm, n2)
+        xp = jnp.pad(x2d.astype(jnp.float32), ((0, 0), (0, nblk * hop - n)))
+        x3 = xp.reshape(R, nblk * hm, n2)
     kern = functools.partial(_fftconv_kernel, pp_rows=pp_rows, gp=gp,
-                             wide=wide, gauss=gauss, has_pre=has_pre)
+                             wide=wide, gauss=gauss, has_pre=has_pre,
+                             tail=tail)
     wscratch = [pltpu.VMEM(wa.shape, wa.dtype) for wa in weights]
     pre_args, pre_specs = (), []
     if has_pre:
