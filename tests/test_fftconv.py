@@ -165,3 +165,36 @@ def test_fftconv_padfree_input_parity(rng):
     tail_err = np.sqrt(np.mean((np.asarray(yp, np.float64)[:, n:]
                                 - tail_ref) ** 2))
     assert tail_err < 1e-4 * max(1.0, np.sqrt(np.mean(tail_ref**2)))
+
+
+def test_fftconv_padfree_with_pre_gains_parity(rng):
+    """Pad-free input combined with the in-kernel pre_row/pre_col gain
+    fusion and trim=False — the exact headline-chain configuration
+    (batch.py fuses fade+prescale into the reverb tile load). The
+    stale rows of the partial edge block pass through the pre-multiply
+    before the tail zero-fill overwrites them, so this pins that
+    ordering: must be bit-identical to the explicit-pad run."""
+    from xmtpu.ops.fftmm import _split_factors
+
+    block, m, n, R = 4096, 500, 6400, 4
+    n1, n2 = _split_factors(block)
+    hop = (block - (m - 1)) // (8 * n2) * (8 * n2)
+    nblk = -(-n // hop)
+    assert n % n2 == 0 and n < nblk * hop  # pins the pad-free branch
+    x = rng.standard_normal((R, n)).astype(np.float32)
+    ir = rng.standard_normal(m) * np.exp(-np.arange(m) / m * 5.0)
+    pr = np.linspace(0.5, 2.0, R).astype(np.float32)
+    pc = np.abs(rng.standard_normal(n)).astype(np.float32)
+    yp = fir_convolve_os_pallas(jnp.asarray(x), ir, block=block,
+                                interpret=True, trim=False,
+                                pre_row=jnp.asarray(pr),
+                                pre_col=jnp.asarray(pc))
+    xpad = np.zeros((R, nblk * hop), np.float32)
+    xpad[:, :n] = x
+    pcpad = np.zeros(nblk * hop, np.float32)
+    pcpad[:n] = pc
+    y_ref = fir_convolve_os_pallas(jnp.asarray(xpad), ir, block=block,
+                                   interpret=True, trim=False,
+                                   pre_row=jnp.asarray(pr),
+                                   pre_col=jnp.asarray(pcpad))
+    np.testing.assert_array_equal(np.asarray(yp), np.asarray(y_ref))
