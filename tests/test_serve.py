@@ -184,11 +184,15 @@ def test_pool_growth_capacity_and_laggard(rng):
     assert np.any(srv2.read(x, 1) != 0)
 
 
-def test_duplicate_file_urls_without_overrides(server, rng, tmp_path):
+def test_duplicate_file_urls_without_overrides(server, rng, tmp_path,
+                                               monkeypatch):
     # two tracks sharing one file url, NO sources dict: sources are
     # keyed by url, so one decoded entry must serve both tracks (the
     # old fallback handed the pool sources=None and refused with
-    # "needs sources for slot 0")
+    # "needs sources for slot 0") — and the file must be DECODED once,
+    # not once per track (open()'s own docstring; host decode is the
+    # 1-core bottleneck in this env)
+    from xmtpu.graph import pipeline as _pl
     from xmtpu.io import write_wav
 
     p = str(tmp_path / "bed.wav")
@@ -199,7 +203,17 @@ def test_duplicate_file_urls_without_overrides(server, rng, tmp_path):
                 TrackConfig(url=p, volume=0.5)),
         sample_rate=SR, normalize=None,
     )
+    n_decodes = 0
+    real_open = _pl.open_audio
+
+    def counting_open(url):
+        nonlocal n_decodes
+        n_decodes += 1
+        return real_open(url)
+
+    monkeypatch.setattr(_pl, "open_audio", counting_open)
     sid = server.open(cfg, None)
+    assert n_decodes == 1
     got = server.read(sid, 2)
     assert got is not None and np.any(got != 0)
     server.close(sid)
@@ -301,3 +315,131 @@ def test_open_rejects_bad_inputs(server):
         server.read(0, k=10**6)  # k-guard fires before the sid lookup
     with pytest.raises(ConfigError, match="max_buffer_frames"):
         server.pump(k=10**6)
+
+
+def test_read_pumps_power_of_two_group_sizes(rng):
+    """Every pool dispatch must use a pow2 group size: each distinct k
+    is a distinct compiled scan program (30-500 s per remote compile on
+    the tunnel), so an 11-frame residual must ladder down {8, 2, 1}
+    instead of minting a one-off k=11 program."""
+    srv = PoolServer(n_slots=2, frame_ms=20.0, max_seconds=1.0)
+    sid = srv.open(_cfg(), _src(rng, seconds=0.5))  # 25 frames
+    got = srv.read(sid, 11)
+    s = srv._sessions[sid]
+    assert got.shape[0] == 11 * s.pool.frame_out
+    sizes = set(s.pool._scan_steps)
+    assert sizes and all(v & (v - 1) == 0 for v in sizes), sizes
+    # the end-of-stream tail (14 frames left) ladders too
+    tail = srv.read(sid, 1024 if srv.max_buffer_frames >= 1024 else 14)
+    assert tail.shape[0] == 14 * s.pool.frame_out
+    sizes = set(s.pool._scan_steps)
+    assert all(v & (v - 1) == 0 for v in sizes), sizes
+    srv.close(sid)
+
+
+def test_pump_skips_laggard_pool_but_advances_others(rng):
+    """One laggard must not break the serving cadence of unrelated
+    pools: pump() skips the refused pool, advances the rest, and still
+    drains everyone's backlog (which unblocks the laggard's pool)."""
+    srv = PoolServer(n_slots=2, frame_ms=20.0, max_buffer_frames=2,
+                     max_seconds=1.0)
+    lag = srv.open(_cfg(), _src(rng))           # pool A
+    a2 = srv.open(_cfg(), _src(rng))            # pool A co-resident
+    other = srv.open(_cfg(volume=0.5), _src(rng))  # pool B (own bucket)
+    srv.read(a2, 2)  # lag now buffers 2 == the cap; pool A is stuck
+    out = srv.pump(1)
+    assert other in out            # pool B advanced
+    assert lag in out              # the laggard's BACKLOG still drains
+    assert a2 not in out           # pool A itself did not advance
+    out2 = srv.pump(1)             # drained -> pool A advances again
+    assert {lag, a2, other} <= set(out2)
+    for sid in (lag, a2, other):
+        srv.close(sid)
+
+
+def test_laggard_refusal_names_the_session(rng):
+    srv = PoolServer(n_slots=2, frame_ms=20.0, max_buffer_frames=2,
+                     max_seconds=1.0)
+    x = srv.open(_cfg(), _src(rng))
+    y = srv.open(_cfg(), _src(rng))
+    srv.read(x, 2)
+    with pytest.raises(XmtpuError, match=f"session {y} "):
+        srv.read(x, 1)
+    srv.close(x)
+    srv.close(y)
+
+
+def test_pump_costs_no_dispatch_when_all_ended(rng):
+    """A pool whose sessions have all reached end-of-stream must not
+    pay a device dispatch + blocking fetch per serving period (each
+    pool.read is ~33 ms of tunnel RTT) just because nobody close()d."""
+    srv = PoolServer(n_slots=2, frame_ms=20.0, max_seconds=1.0)
+    sid = srv.open(_cfg(), _src(rng, seconds=0.2))  # 10 frames
+    while srv.read(sid, 4) is not None:
+        pass  # drive to end-of-stream without closing
+    s = srv._sessions[sid]
+    calls = []
+    real_read = s.pool.read
+    s.pool.read = lambda k=1: (calls.append(k), real_read(k))[1]
+    assert srv.pump(1) == {}
+    assert srv.pump(1) == {}
+    assert calls == []  # ended pool: planned empty, never dispatched
+    del s.pool.read
+    srv.close(sid)
+
+
+def test_open_upload_does_not_block_other_pools(rng):
+    """open()'s device source upload (SessionPool construction / join)
+    must run outside the server lock: a slow open of one config must
+    not stall reads of sessions on unrelated pools."""
+    import threading
+
+    from xmtpu.graph import pool as _poolmod
+
+    srv = PoolServer(n_slots=2, frame_ms=20.0, max_seconds=1.0)
+    a = srv.open(_cfg(), _src(rng))
+    gate = threading.Event()
+    entered = threading.Event()
+    real_pool = _poolmod.SessionPool
+
+    class SlowPool(real_pool):
+        def __init__(self, *args, **kw):
+            entered.set()
+            assert gate.wait(30.0), "test gate never opened"
+            super().__init__(*args, **kw)
+
+    _poolmod.SessionPool = SlowPool
+    try:
+        t = threading.Thread(
+            target=lambda: srv.open(_cfg(volume=0.25), _src(rng)))
+        t.start()
+        assert entered.wait(30.0)  # the slow ctor is holding open()
+        got = srv.read(a, 1)       # must not block behind it
+        assert got is not None and got.shape[0] == 1 * (
+            srv._sessions[a].pool.frame_out)
+    finally:
+        gate.set()
+        t.join(60.0)
+        _poolmod.SessionPool = real_pool
+    assert not t.is_alive()
+    assert srv.stats()["sessions"] == 2
+    srv.close(a)
+
+
+def test_open_failure_leaves_no_phantom_bucket(rng, monkeypatch):
+    """A SessionPool constructor failure must not register an empty
+    bucket (repeated failing opens used to accumulate phantom entries
+    in stats())."""
+    from xmtpu.graph import pool as _poolmod
+
+    srv = PoolServer(n_slots=2, frame_ms=20.0, max_seconds=1.0)
+
+    def boom(*a, **k):
+        raise ConfigError("synthetic constructor failure")
+
+    monkeypatch.setattr(_poolmod, "SessionPool", boom)
+    for _ in range(3):
+        with pytest.raises(ConfigError, match="synthetic"):
+            srv.open(_cfg(), _src(rng))
+    st = srv.stats()
+    assert st["buckets"] == 0 and st["pools"] == 0 and st["sessions"] == 0

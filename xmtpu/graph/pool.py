@@ -535,7 +535,11 @@ class SessionPool:
         fn = self._scan_steps.pop(k, None)
         if fn is None:
             fn = self._make_scan(k)
-            if len(self._scan_steps) >= 8:
+            # 16 live sizes: PoolServer.read quantizes pump sizes to
+            # powers of two (<= 11 distinct at the default 1024-frame
+            # buffer cap), plus the serving loop's own pump k — at 8
+            # the end-of-stream pow2 ladder could thrash the cache
+            if len(self._scan_steps) >= 16:
                 # evict least-RECENTLY-used (re-insertion below is the
                 # recency bump): FIFO eviction used to drop the hottest
                 # k once 9 distinct group sizes rotated, recompiling a
@@ -559,6 +563,26 @@ class SessionPool:
         out_dev, states = fn(tuple(self._srcbuf), fi0, n_nats, n_outs,
                              active, self.states)
         return (k, self._frame_idx.copy(), out_dev, states)
+
+    @_locked
+    def prime(self, k: int = 1) -> None:
+        """Ensure a speculative K x k group is dispatched for the
+        CURRENT clocks (non-blocking; no clock advance). The next
+        :meth:`read` of the same ``k`` consumes it instead of
+        dispatching inline — :meth:`PoolServer.pump` primes EVERY pool
+        before fetching any, so when churn (join/leave/seek) has
+        dropped the speculative groups the pools' device steps overlap
+        instead of paying one dispatch+RTT each in sequence."""
+        if k < 1:
+            raise ConfigError("prime(k) needs k >= 1")
+        pend = self._pending
+        if (pend is None or pend[0] != k
+                or not np.array_equal(pend[1], self._frame_idx)):
+            self._pending = self._dispatch(k)
+            try:
+                self._pending[2].copy_to_host_async()
+            except (AttributeError, RuntimeError):
+                pass
 
     @_locked
     def read(self, k: int = 1) -> np.ndarray:

@@ -27,9 +27,13 @@ Design notes (TPU-first):
   once per frame period and fan the returned frames out to clients.
 - A session that stops reading while others advance would buffer
   without bound; past ``max_buffer_frames`` the server refuses to
-  advance that pool with a typed error naming the laggard (close it or
-  read it). Sessions past end-of-stream stop buffering on their own
-  (their slots produce exact silence on device).
+  advance that pool: :meth:`~PoolServer.read` raises a typed error
+  naming the laggard (close it or read it), while
+  :meth:`~PoolServer.pump` skips that pool and keeps every other pool
+  advancing (draining the returned frames unblocks it). Sessions past
+  end-of-stream stop buffering on their own (their slots produce exact
+  silence on device), and a pool whose sessions have ALL ended costs
+  no device work at all.
 """
 
 from __future__ import annotations
@@ -138,7 +142,10 @@ class PoolServer:
                     f"(size {mesh.shape[mesh_axis]})")
         self._lock = threading.RLock()
         self._buckets: dict[tuple, list] = {}  # key -> [SessionPool, ...]
-        self._alloc: dict[int, set[int]] = {}  # id(pool) -> occupied slots
+        # id(pool) -> {slot: sid} (sid None = reserved by an in-flight
+        # open(); doubles as the pool->sessions index so pump never
+        # scans the whole session table per pool)
+        self._alloc: dict[int, dict[int, int | None]] = {}
         self._sessions: dict[int, _Served] = {}
         self._next_sid = 0
 
@@ -160,8 +167,15 @@ class PoolServer:
             raise ConfigError("config must be PipelineConfig or dict")
         if not config.tracks:
             raise ConfigError("config has no tracks to serve")
-        resolved = [resolve_source(t, sources, config.sample_rate, i)
-                    for i, t in enumerate(config.tracks)]
+        # decode each DISTINCT url once (tracks sharing a url carry
+        # identical audio — sources are keyed by url everywhere)
+        by_url: dict = {}
+        resolved = []
+        for i, t in enumerate(config.tracks):
+            if t.url not in by_url:
+                by_url[t.url] = resolve_source(t, sources,
+                                               config.sample_rate, i)
+            resolved.append(by_url[t.url])
         geom = tuple(
             (int(sr), 1 if np.asarray(pcm).ndim == 1
              else int(np.asarray(pcm).shape[1]))
@@ -169,51 +183,82 @@ class PoolServer:
         )
         key = _bucket_key(config, self.frame_ms, geom)
 
-        with self._lock:
-            pools = self._buckets.setdefault(key, [])
-            pool = slot = None
-            for p in pools:
-                occupied = self._alloc[id(p)]
-                free = [i for i in range(p.n_slots) if i not in occupied]
-                if not free:
-                    continue
-                # re-key this session's already-decoded audio by the
-                # HOST POOL's track urls, positionally: a pool resolves
-                # joins against its founding config, whose urls may
-                # differ from this session's (the bucket key matches
-                # pipelines and url-aliasing patterns, not url values).
-                # Duplicate urls are fine: sources are KEYED by url
-                # everywhere (pipeline.resolve_source), so positions
-                # sharing a url carry identical audio on both sides.
-                srcdict = {pt.url: (pcm, int(sr))
-                           for pt, (pcm, sr) in zip(p.config.tracks,
-                                                    resolved)}
-                try:
-                    p.join(free[0], srcdict)
-                except ConfigError:
-                    # validated before any mutation: incompatible
-                    # geometry or a clip beyond this pool's capacity —
-                    # try the next pool / found a new one
-                    continue
-                pool, slot = p, free[0]
+        # The device source upload (p.join / SessionPool construction,
+        # seconds of tunnel time for long clips) runs OUTSIDE the
+        # server lock so reads of unrelated pools never stall behind an
+        # open(): the slot is RESERVED (sid None) under the lock, the
+        # upload happens against the pool's own lock, and the session
+        # registers (or the reservation rolls back) under the lock.
+        tried: set[int] = set()
+        while True:
+            with self._lock:
+                cand = None
+                for p in self._buckets.get(key, ()):  # registered pools
+                    if id(p) in tried:
+                        continue
+                    occupied = self._alloc[id(p)]
+                    free = [i for i in range(p.n_slots)
+                            if i not in occupied]
+                    if free:
+                        occupied[free[0]] = None  # reserve
+                        cand = (p, free[0])
+                        break
+            if cand is None:
                 break
-            if pool is None:
-                srcdict = {t.url: (pcm, int(sr))
-                           for t, (pcm, sr) in zip(config.tracks, resolved)}
-                pool = SessionPool(
-                    config, self.n_slots, frame_ms=self.frame_ms,
-                    sources=[srcdict], output_dtype=self.output_dtype,
-                    duck_params=self.duck_params,
-                    max_seconds=self.max_seconds,
-                    mesh=self.mesh, mesh_axis=self.mesh_axis)
-                pools.append(pool)
-                self._alloc[id(pool)] = set()
-                slot = 0
-            self._alloc[id(pool)].add(slot)
-            sid = self._next_sid
-            self._next_sid += 1
-            self._sessions[sid] = _Served(pool, slot, key, [])
-            return sid
+            p, slot = cand
+            # re-key this session's already-decoded audio by the
+            # HOST POOL's track urls, positionally: a pool resolves
+            # joins against its founding config, whose urls may
+            # differ from this session's (the bucket key matches
+            # pipelines and url-aliasing patterns, not url values).
+            # Duplicate urls are fine: sources are KEYED by url
+            # everywhere (pipeline.resolve_source), so positions
+            # sharing a url carry identical audio on both sides.
+            srcdict = {pt.url: (pcm, int(sr))
+                       for pt, (pcm, sr) in zip(p.config.tracks,
+                                                resolved)}
+            try:
+                p.join(slot, srcdict)
+            except ConfigError:
+                # validated before any mutation: incompatible
+                # geometry or a clip beyond this pool's capacity —
+                # try the next pool / found a new one
+                with self._lock:
+                    self._alloc[id(p)].pop(slot, None)
+                tried.add(id(p))
+                continue
+            with self._lock:
+                # a pump() may have advanced the group between join
+                # and registration (nothing buffered for an
+                # unregistered slot) — reset so the client starts at 0
+                p.seek(slot, 0.0)
+                return self._register(p, slot, key)
+        # no joinable pool: found a new one (construction uploads the
+        # founding sources — also outside the lock). Nothing is
+        # registered until it succeeds, so a constructor failure
+        # leaves no phantom bucket. Two racing opens of a new config
+        # may found two pools; the bucket holds both (capacity is
+        # wasted, correctness is not).
+        srcdict = {t.url: (pcm, int(sr))
+                   for t, (pcm, sr) in zip(config.tracks, resolved)}
+        pool = SessionPool(
+            config, self.n_slots, frame_ms=self.frame_ms,
+            sources=[srcdict], output_dtype=self.output_dtype,
+            duck_params=self.duck_params,
+            max_seconds=self.max_seconds,
+            mesh=self.mesh, mesh_axis=self.mesh_axis)
+        with self._lock:
+            self._buckets.setdefault(key, []).append(pool)
+            self._alloc[id(pool)] = {}
+            return self._register(pool, 0, key)
+
+    def _register(self, pool, slot: int, key: tuple) -> int:
+        """Bind a successfully joined slot to a fresh sid (lock held)."""
+        sid = self._next_sid
+        self._next_sid += 1
+        self._alloc[id(pool)][slot] = sid
+        self._sessions[sid] = _Served(pool, slot, key, [])
+        return sid
 
     def close(self, sid: int) -> None:
         """End a session: its slot outputs silence and is free for the
@@ -221,7 +266,7 @@ class PoolServer:
         with self._lock:
             s = self._sessions.pop(self._check(sid))
             s.pool.leave(s.slot)
-            self._alloc[id(s.pool)].discard(s.slot)
+            self._alloc[id(s.pool)].pop(s.slot, None)
 
     def seek(self, sid: int, ms: float) -> None:
         """Reposition one session (frame-aligned, state reset); frames
@@ -238,29 +283,39 @@ class PoolServer:
 
     # -- reading -----------------------------------------------------------
 
-    def _pump_pool(self, pool, k: int) -> None:
-        """Advance every slot of ``pool`` k frames; buffer each open
-        session's rows up to its own end-of-stream (frames past a
-        session's end are exact silence, not stream content — ended
-        sessions buffer nothing)."""
-        mine = []
-        for s in self._sessions.values():
-            if s.pool is not pool:
+    def _plan_pool(self, pool, k: int) -> list:
+        """[(session, take)] for advancing ``pool`` k frames (frames
+        past a session's end are exact silence, not stream content —
+        ended sessions buffer nothing). Raises the laggard refusal,
+        naming the session, BEFORE any device work."""
+        plan = []
+        for slot, sid in self._alloc[id(pool)].items():
+            if sid is None:  # reserved by an in-flight open()
                 continue
+            s = self._sessions[sid]
             rem = pool.frames_remaining(s.slot)
             take = k if rem is None else min(k, rem)
             if take == 0:
                 continue
             if len(s.frames) + take > self.max_buffer_frames:
                 raise XmtpuError(
-                    f"cannot advance pool: a co-resident session has "
-                    f"{len(s.frames)} unread frames "
+                    f"cannot advance pool: co-resident session {sid} "
+                    f"has {len(s.frames)} unread frames "
                     f"(max_buffer_frames={self.max_buffer_frames}) — "
                     f"read or close it first")
-            mine.append((s, take))
+            plan.append((s, take))
+        return plan
+
+    def _pump_pool(self, pool, k: int, plan: list) -> None:
+        """Advance every slot of ``pool`` k frames and buffer per
+        ``plan``. No-op (no dispatch, no fetch) when nothing would
+        buffer — all-ended pools must not cost a device round trip per
+        serving period."""
+        if not plan:
+            return
         out = pool.read(k)  # (K, k*frame, ch)
         f = pool.frame_out
-        for s, take in mine:
+        for s, take in plan:
             # copy the session's row before slicing it into frame views:
             # a view into ``out`` would pin the WHOLE (K, k*frame, ch)
             # group buffer for as long as one laggard keeps one frame
@@ -274,8 +329,14 @@ class PoolServer:
         Returns fewer than ``k`` frames only at end-of-stream, and
         ``None`` once the session is fully ended (the reference's
         get_frame <= 0). Needing frames pumps the owning pool for ALL
-        its sessions (one device dispatch per group — co-resident
-        sessions' frames queue for their own readers)."""
+        its sessions (co-resident sessions' frames queue for their own
+        readers). Pump sizes are quantized to POWERS OF TWO (floor of
+        the shortfall): each distinct group size k is a distinct
+        compiled scan program (30–500 s per remote compile on the
+        tunnel), so arbitrary residuals (an 11-frame tail, a k nobody
+        else uses) must not mint one-off programs — the ladder bounds
+        the set to ~log2(max_buffer_frames) sizes shared by every
+        client, for at most log2(k)+1 dispatches per read."""
         if k < 1:
             raise ConfigError("read(sid, k) needs k >= 1")
         if k > self.max_buffer_frames:
@@ -290,18 +351,30 @@ class PoolServer:
                 if rem == 0:
                     break  # at end: return the short tail (or None)
                 need = k - len(s.frames)
-                self._pump_pool(s.pool, need if rem is None
-                                else min(need, rem))
+                if rem is not None:
+                    need = min(need, rem)
+                step = 1 << (need.bit_length() - 1)  # pow2 floor
+                self._pump_pool(s.pool, step, self._plan_pool(s.pool, step))
             if not s.frames:
                 return None
             take, s.frames = s.frames[:k], s.frames[k:]
             return np.concatenate(take, axis=0)
 
     def pump(self, k: int = 1) -> dict[int, np.ndarray]:
-        """Advance EVERY bucket k frames (one dispatch per pool), then
-        drain: returns {sid: all buffered frames} for every session
-        with audio ready. The synchronous serving loop: call once per
-        k-frame period and fan the rows out to clients."""
+        """Advance EVERY bucket k frames, then drain: returns
+        {sid: all buffered frames} for every session with audio ready.
+        The synchronous serving loop: call once per k-frame period and
+        fan the rows out to clients.
+
+        A pool whose advance would overflow a laggard's buffer is
+        SKIPPED this call (its sessions produce nothing new; unrelated
+        pools still advance) — draining, including the laggard's own
+        backlog via the returned dict, unblocks it for the next call.
+        Use :meth:`read` on a laggard-coupled session to get the typed
+        refusal naming the laggard. All pools are PRIMED (dispatched)
+        before any is fetched, so after churn invalidates the
+        speculative groups the pools' device steps overlap instead of
+        paying one dispatch+RTT each in sequence."""
         if k < 1:
             raise ConfigError("pump(k) needs k >= 1")
         if k > self.max_buffer_frames:
@@ -309,10 +382,19 @@ class PoolServer:
                 f"pump(k={k}) exceeds max_buffer_frames="
                 f"{self.max_buffer_frames}; raise it at construction")
         with self._lock:
+            plans = []
             for pools in self._buckets.values():
                 for pool in pools:
-                    if self._alloc[id(pool)]:
-                        self._pump_pool(pool, k)
+                    try:
+                        plan = self._plan_pool(pool, k)
+                    except XmtpuError:
+                        continue  # laggard: skip this pool only
+                    if plan:
+                        plans.append((pool, plan))
+            for pool, _ in plans:
+                pool.prime(k)  # dispatch all before fetching any
+            for pool, plan in plans:
+                self._pump_pool(pool, k, plan)
             out = {}
             for sid, s in self._sessions.items():
                 if s.frames:
