@@ -40,7 +40,10 @@ def main(batch: int = 256, clip_seconds: float = 10.0, iters: int = 40,
          iir_backend: str = "pallas",
          resample_backend: str = "mixfirst",
          envelope_block: int = 0,
-         limiter_fuse: int = 0) -> dict:
+         limiter_fuse: int = 1) -> dict:
+    # limiter_fuse default mirrors make_flagship_step (flipped
+    # 2026-08-19: 274.0/274.4k vs 264.8-270.7k base); pass
+    # limiter_fuse=0 to probe the unfused XLA gain-pass path.
     # iters=40: the single end-of-region host fetch costs one tunnel RTT
     # (~33 ms); at 10 iters that still inflated every per-iter time by
     # ~3.3 ms (measured round 3: a near-noop dispatch runs 5.25 ms/iter

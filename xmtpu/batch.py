@@ -116,7 +116,7 @@ def make_flagship_step(
     fused: bool | None = None,
     lti_fold: bool = True,
     envelope_block: int | None = None,
-    limiter_fuse: bool = False,
+    limiter_fuse: bool = True,
 ):
     """Build the full-chain step fn(voice_i16[B,n], bgm_i16[B,n]) -> i16[B,m].
 
@@ -306,7 +306,10 @@ def make_flagship_step(
                         # tile (kernels.envelope.limiter_pallas): the
                         # XLA gain pass's re-reads of out and e2 are
                         # saved at the cost of in-kernel exp/log.
-                        # OPT-IN until a bench.py chain win flips it.
+                        # DEFAULT since 2026-08-19: with the pad-free
+                        # fftconv in, the chain measured 274.0/274.4k
+                        # vs 264.8-270.7k over four base runs (it was
+                        # within spread pre-pad-free: 248.5 vs 246.1k).
                         from xmtpu.kernels.envelope import limiter_pallas
 
                         out, _ = limiter_pallas(
