@@ -73,19 +73,45 @@ def main(batch: int = 256, clip_seconds: float = 10.0, iters: int = 40,
     out = step(v_dev, b_dev)
     _ = np.asarray(out[0, :4])  # force completion (compile + warmup)
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = step(v_dev, b_dev)
-    _ = np.asarray(out[0, :4])  # one fetch for the whole timed region
-    dt = time.perf_counter() - t0
+    def timed_region():
+        t0 = time.perf_counter()
+        y = out
+        for _ in range(iters):
+            y = step(v_dev, b_dev)
+        _ = np.asarray(y[0, :4])  # one fetch for the whole timed region
+        return time.perf_counter() - t0, y
+
+    # TWO timed regions, take the faster: a single region is exposed to
+    # tunnel jitter (round-3 VERDICT: 224-274k observed across hosts at
+    # identical code; a one-shot low read became the number of record).
+    # Both regions share the one-fetch convention; same-process, so the
+    # chip lock and the compile are paid once.
+    dt1, out = timed_region()
+    dt2, out = timed_region()
+    dt = min(dt1, dt2)
 
     audio_sec = batch * clip_seconds * iters
     value = audio_sec / dt
+
+    # Accuracy of THIS config's full chain vs the float64 host oracle,
+    # measured on clip 0 of the already-computed final batch (one extra
+    # fetch, AFTER the timed regions). Lands the end-to-end precision
+    # margin in the driver artifact: the gate is -80 dB and the margin
+    # is a few dB — a bf16-shaped regression must not ship silently
+    # (round-4 VERDICT item 4).
+    y0 = np.asarray(out[0]).astype(np.float64)
+    ref = xbatch.flagship_oracle_np(voice[0], bgm[0]).astype(np.float64)
+    err = y0 - ref
+    p_ref = float(np.mean(ref**2))
+    p_err = float(np.mean(err**2))
+    acc_db = (-np.inf if p_err == 0
+              else 10.0 * np.log10(p_err / max(p_ref, 1e-300)))
     return {
         "metric": "audio_sec_per_sec_per_chip_full_chain",
         "value": round(value, 2),
         "unit": "audio-sec/sec/chip",
         "vs_baseline": round(value / TARGET_RT, 3),
+        "accuracy_db": round(float(acc_db), 1),
     }
 
 

@@ -536,6 +536,36 @@ def test_flagship_envelope_block_parity(rng):
                          - y_ref.astype(np.int32))) <= 1
 
 
+def test_flagship_oracle_np_parity(rng):
+    """The pure-host f64 oracle (batch.flagship_oracle_np — the
+    reference bench.py reports accuracy_db against) agrees with the
+    production chain at the -80 dB gate on BOTH clips of a batch."""
+    v = (rng.standard_normal((2, 44100)) * 8000).astype(np.int16)
+    b = (rng.standard_normal((2, 44100)) * 6000).astype(np.int16)
+    y = np.asarray(jax.jit(xbatch.make_flagship_step(
+        sr_in=SR_IN, sr_bus=SR_BUS, interpret=True))(
+        jnp.asarray(v), jnp.asarray(b)))
+    ref = xbatch.flagship_oracle_np(v, b, sr_in=SR_IN, sr_bus=SR_BUS)
+    assert y.shape == ref.shape
+    for i in range(2):
+        db = rms_db((y[i] - ref[i]).astype(np.float64) / 32768.0,
+                    ref[i].astype(np.float64) / 32768.0)
+        assert db <= -80.0, (i, db)
+
+
+def test_bench_json_contract_has_accuracy(rng):
+    """bench.py's JSON line must carry accuracy_db alongside throughput
+    (driver artifact contract — an end-to-end precision regression must
+    not ship invisibly). Tiny shape; same program family as entry()."""
+    import bench
+
+    res = bench.main(batch=2, clip_seconds=1.0, iters=1)
+    assert set(res) >= {"metric", "value", "unit", "vs_baseline",
+                        "accuracy_db"}
+    assert res["value"] > 0 and res["vs_baseline"] > 0
+    assert res["accuracy_db"] <= -80.0, res
+
+
 def test_batch_runner_bad_out_path_isolated(tmp_path, rng):
     """One unwritable output path fails ONLY that job — recorded in
     report.failed, other jobs written, no writer-thread hang (round-2

@@ -100,6 +100,45 @@ def _combined_ir(sos, ir, wet: float, dry: float):
     return _reverb.trim_ir_tail(c).astype(np.float32)
 
 
+def flagship_oracle_np(voice_i16, bgm_i16, sr_in: int = 44100,
+                       sr_bus: int = 16000, bands=DEFAULT_BANDS,
+                       ir_seconds: float = 0.25, wet: float = 0.25,
+                       dry: float = 0.75, bgm_gain: float = 0.4,
+                       fade_ms: float = 250.0,
+                       threshold_db: float = -3.0) -> np.ndarray:
+    """Float64 HOST oracle of the full flagship chain — no jax, pure
+    numpy/scipy composition of the per-op pinned oracles
+    (``resample_oracle_np``/``sosfilt_np``/``reverb_np``/``limiter_np``).
+    This is the accuracy reference bench.py reports ``accuracy_db``
+    against (round-4 VERDICT item 4: the end-to-end margin must land in
+    a driver artifact, not just in tests). Math mirrors
+    :func:`make_flagship_step`: mixfirst is exact (the resampler is LTI
+    and both tracks share the fade window), and the EQ<->reverb fold
+    commutes exactly, so ONE oracle covers every production backend.
+    Python-loop oracles are O(n) per clip — pass one clip, not a batch.
+    """
+    v = np.asarray(voice_i16)
+    b = np.asarray(bgm_i16)
+    x = (v.astype(np.float64) + bgm_gain * b.astype(np.float64)) / 32768.0
+    m = _resample.resample_oracle_np(x, sr_in, sr_bus)
+    nb = m.shape[-1]
+    fade = int(round(fade_ms * sr_bus / 1000.0))
+    out = m * _mix.fade_ramp_np(nb, fade, fade, nb)
+    peak = np.max(np.abs(out), axis=-1, keepdims=True)
+    scale = np.where(peak > 0, _mix.db_to_amp(-1.0) / np.maximum(peak, 1e-30),
+                     1.0)
+    out = out * scale
+    sos = _biquad.eq_sos(list(bands), sr_bus)
+    out, _ = _biquad.sosfilt_np(sos, out)
+    ir = _reverb.synthetic_ir(ir_seconds, sr_bus).astype(np.float64)
+    out = _reverb.reverb_np(out, ir, wet=wet, dry=dry)
+    y, _ = _limiter.limiter_np(out[..., None, :], sr_bus,
+                               threshold_db=threshold_db,
+                               release_ms=LIM_RELEASE_MS,
+                               attack_ms=LIM_ATTACK_MS)
+    return _convert.f32_to_pcm16_np(y[..., 0, :].astype(np.float32))
+
+
 def make_flagship_step(
     sr_in: int = 44100,
     sr_bus: int = 16000,
