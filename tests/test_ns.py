@@ -239,3 +239,64 @@ def test_ns_int16_pinned_conversion(signals):
         pcm16_to_f32_np(xi)[None, :4736], st2, nfft=256)
     np.testing.assert_array_equal(np.asarray(yi_s),
                                   f32_to_pcm16_np(np.asarray(yf_s)))
+
+
+# --- batched (B, ch) streaming state (round-3 VERDICT directive #5) ---------
+
+
+def test_stream_ns_batched_matches_per_item():
+    """(B, ch, n) batched streaming == B independent (ch, n) streams.
+
+    The state from stream_init((B, ch)) carries full leading batch
+    dims; every item advances in lockstep. Must be bit-exact vs the
+    single-stream path (same math, just batched FFTs)."""
+    from xmtpu.ops import ns
+
+    rng = np.random.default_rng(11)
+    B, ch, n, nfft, blk = 3, 2, 4096, 256, 512
+    x = (0.1 * rng.standard_normal((B, ch, n))).astype(np.float32)
+
+    st = ns.stream_init((B, ch), nfft=nfft)
+    outs = []
+    for i in range(0, n, blk):
+        y, st = ns.stream_suppress(jnp.asarray(x[..., i:i + blk]), st,
+                                   nfft=nfft)
+        outs.append(np.asarray(y))
+    yb = np.concatenate(outs, -1)
+    assert yb.shape == (B, ch, n)
+
+    for b in range(B):
+        sti = ns.stream_init(ch, nfft=nfft)
+        oi = []
+        for i in range(0, n, blk):
+            y, sti = ns.stream_suppress(jnp.asarray(x[b, :, i:i + blk]),
+                                        sti, nfft=nfft)
+            oi.append(np.asarray(y))
+        np.testing.assert_array_equal(yb[b], np.concatenate(oi, -1))
+
+
+def test_stream_ns_state_batch_shape_mismatch_raises():
+    from xmtpu.ops import ns
+
+    st = ns.stream_init((2, 1), nfft=256)
+    x = jnp.zeros((3, 1, 512), jnp.float32)
+    with pytest.raises(ValueError, match="batch shape"):
+        ns.stream_suppress(x, st, nfft=256)
+
+
+def test_stream_ns_batched_via_chain_init_state():
+    """graph.fx: a streaming NS effect now accepts a (B, ch) batch
+    shape in init_state (used to raise ConfigError 'not supported
+    yet'); the state round-trips through apply()."""
+    from xmtpu.graph import fx as _fx
+
+    eff = _fx.build_chain(SR, [{"name": "noise_suppression",
+                                "params": {"nfft": 256}}])
+    for e in eff:
+        e.set_streaming(512)
+    (st,) = _fx.chain_init_state(eff, (4, 2))
+    assert st["carry"].shape == (4, 2, 256)
+    x = jnp.zeros((4, 2, 512), jnp.float32)
+    y, st2 = eff[0].apply(x, st)
+    assert y.shape == x.shape
+    assert st2["carry"].shape == (4, 2, 256)

@@ -447,11 +447,10 @@ class NoiseSuppressFx:
         from xmtpu.ops import ns as _ns
 
         bs = _as_batch_shape(batch_shape)
-        if len(bs) > 1:
-            raise ConfigError(
-                "streaming noise_suppression carries per-channel state; "
-                "batched (B, ch) streaming is not supported yet")
-        return _ns.stream_init(bs[-1], nfft=self._stream_nfft,
+        # state carries the full leading batch shape — (ch,) for a
+        # single session, (B, ch) for batched streaming; items advance
+        # in lockstep (ops.ns.stream_suppress docstring)
+        return _ns.stream_init(bs, nfft=self._stream_nfft,
                                noise_frames=self.kw["noise_frames"])
 
     def apply(self, x, state):

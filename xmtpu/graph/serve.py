@@ -227,6 +227,14 @@ class PoolServer:
                     self._alloc[id(p)].pop(slot, None)
                 tried.add(id(p))
                 continue
+            except BaseException:
+                # anything else (e.g. a tunnel/device failure mid
+                # upload) must not leave the sid=None reservation in
+                # _alloc forever — that would permanently shrink the
+                # pool and make pump() skip a phantom slot
+                with self._lock:
+                    self._alloc[id(p)].pop(slot, None)
+                raise
             with self._lock:
                 # a pump() may have advanced the group between join
                 # and registration (nothing buffered for an

@@ -73,7 +73,7 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-_EPS = 1e-12  # == ops.limiter._EPS (level-meter floor)
+from xmtpu.ops.limiter import _EPS  # level-meter floor — single source
 _LN10 = float(np.log(10.0))
 
 

@@ -227,11 +227,14 @@ def _fftconv_kernel(x_ref, *refs, pp_rows, gp, wide=False,
         zbuf[:, pp_rows:] = x_ref[:]
     if tail is not None:
         # PAD-FREE input (see _fftconv_2d): the last grid block is a
-        # PARTIAL edge block — its DMA delivers only ``tail[1]`` valid
-        # (8-row-tile-aligned) rows and leaves the rest of the buffer
+        # PARTIAL edge block — Mosaic clips its DMA to the array
+        # extent, delivering only ``tail[1]`` valid rows (no 8-row
+        # alignment guarantee: the headline shape leaves 98 of 1250,
+        # tests pin a 44-row case) and leaving the rest of the buffer
         # stale, so the overlap-save zero-pad is written here instead
         # of by a full-array jnp.pad in front of the kernel (measured
-        # 0.51 ms at the headline shape).
+        # 0.51 ms at the headline shape). The zero-fill covers
+        # whatever is stale regardless of alignment.
         nblk_last, valid_rows = tail
 
         @pl.when(b == nblk_last)

@@ -219,21 +219,27 @@ def suppress(
 # ---------------------------------------------------------------------------
 
 
-def stream_init(nch: int, nfft: int = _DEF_NFFT, noise_frames: int = 8):
+def stream_init(batch_shape, nfft: int = _DEF_NFFT, noise_frames: int = 8):
     """Initial streaming-NS state pytree.
+
+    ``batch_shape``: the block's leading dims — an int ``nch`` (the
+    single-session (ch, n) case) or a full tuple, e.g. ``(B, ch)`` for
+    batched streaming. State arrays carry the same leading dims.
 
     Fields: input carry (last nfft-hop samples), output OLA tail,
     lead-in PSD buffer (median -> frozen noise estimate, same pinned
     rule as offline), PSD smoother state, frame counter.
     """
+    bs = ((int(batch_shape),) if isinstance(batch_shape, (int, np.integer))
+          else tuple(int(b) for b in batch_shape))
     hop = nfft // 2
     F = nfft // 2 + 1
     return {
-        "carry": jnp.zeros((nch, nfft - hop), jnp.float32),
-        "ola": jnp.zeros((nch, nfft - hop), jnp.float32),
-        "lead": jnp.zeros((noise_frames, nch, F), jnp.float32),
-        "psd_s": jnp.zeros((nch, F), jnp.float32),
-        "noise": jnp.zeros((nch, F), jnp.float32),  # running estimate
+        "carry": jnp.zeros(bs + (nfft - hop,), jnp.float32),
+        "ola": jnp.zeros(bs + (nfft - hop,), jnp.float32),
+        "lead": jnp.zeros((noise_frames,) + bs + (F,), jnp.float32),
+        "psd_s": jnp.zeros(bs + (F,), jnp.float32),
+        "noise": jnp.zeros(bs + (F,), jnp.float32),  # running estimate
         "count": jnp.zeros((), jnp.int32),
     }
 
@@ -242,7 +248,14 @@ def stream_suppress(x, state, nfft: int = _DEF_NFFT, noise_frames: int = 8,
                     smooth: float = 0.7, floor: float = _DEF_FLOOR,
                     noise_update: str = "frozen", noise_smooth: float = 0.95,
                     presence_thresh: float = 4.0, up_leak: float = 1.02):
-    """Causal streaming twin of :func:`suppress` for (ch, n) blocks.
+    """Causal streaming twin of :func:`suppress` for (..., n) blocks.
+
+    Any leading batch dims — (ch, n) for a single session, (B, ch, n)
+    for batched streaming — with matching state from
+    :func:`stream_init`. All batch items advance in LOCKSTEP (one
+    shared frame counter): a block call feeds every item the same
+    number of frames, which is exactly the SessionPool/batched-session
+    model (per-item seek is a state reset, not a counter rewind).
 
     Semantics (pinned): output is DELAYED by nfft-hop samples (the OLA
     synthesis latency); frames seen during the ``noise_frames`` lead-in
@@ -254,7 +267,7 @@ def stream_suppress(x, state, nfft: int = _DEF_NFFT, noise_frames: int = 8,
     docstring item 2; exact parity preserved). ``n`` must be a multiple
     of hop (= nfft/2).
 
-    Returns (y (ch, n), new_state).
+    Returns (y (..., n), new_state).
     """
     if noise_update not in ("frozen", "adaptive"):
         raise ValueError(
@@ -273,7 +286,12 @@ def stream_suppress(x, state, nfft: int = _DEF_NFFT, noise_frames: int = 8,
     n = x.shape[-1]
     if n % hop:
         raise ValueError(f"stream_suppress needs n % {hop} == 0, got {n}")
-    nch = x.shape[0]
+    bs = x.shape[:-1]
+    if state["carry"].shape[:-1] != bs:
+        raise ValueError(
+            f"state batch shape {state['carry'].shape[:-1]} does not "
+            f"match input batch shape {bs}; stream_init(batch_shape) "
+            "must be built for the same leading dims")
     w = jnp.asarray(_win(nfft), jnp.float32)
     k = n // hop
     was_i16 = x.dtype == jnp.int16
@@ -287,7 +305,7 @@ def stream_suppress(x, state, nfft: int = _DEF_NFFT, noise_frames: int = 8,
     frames = jnp.stack(
         [jax.lax.dynamic_slice_in_dim(buf, j * hop, nfft, axis=-1)
          for j in range(k)], axis=0
-    )  # (k, ch, nfft)
+    )  # (k, ..., nfft)
 
     def step(st, frame):
         X = jnp.fft.rfft(frame * w, axis=-1)
@@ -321,20 +339,21 @@ def stream_suppress(x, state, nfft: int = _DEF_NFFT, noise_frames: int = 8,
         G = jnp.maximum(snr / (1.0 + snr), jnp.float32(floor))
         G = jnp.where(in_lead, 1.0, G)  # unity during lead-in
         yf = jnp.fft.irfft(X * G, n=nfft, axis=-1) * w
-        out = yf[:, :hop] + st["ola"]  # at 50% hop, ola is exactly hop wide
+        # at 50% hop, ola is exactly hop wide
+        out = yf[..., :hop] + st["ola"]
         new = dict(st)
         new["psd_s"] = psd_s
         new["lead"] = lead
         new["noise"] = noise
         new["count"] = cnt + 1
-        new["ola"] = yf[:, hop:]
+        new["ola"] = yf[..., hop:]
         return new, out
 
     st = {k2: v for k2, v in state.items() if k2 != "carry"}
     st, outs = jax.lax.scan(step, st, frames)
-    y = jnp.moveaxis(outs, 0, 1).reshape(nch, k * hop)
+    y = jnp.moveaxis(outs, 0, -2).reshape(bs + (k * hop,))
     new_state = dict(st)
-    new_state["carry"] = buf[:, -(nfft - hop):]
+    new_state["carry"] = buf[..., -(nfft - hop):]
     if was_i16:
         from xmtpu.ops.convert import f32_to_pcm16
 
