@@ -148,7 +148,7 @@ def test_public_chain_runs_production_engine():
     reverb with input-history carry + limiter envelope)."""
     effects, eqns = _trace_public("pallas")
     assert [type(e).__name__ for e in effects] == \
-        ["FusedLTIFx", "LimiterFx"], (
+        ["ConvLimiterFx"], (
             f"LTI fold regressed: {[type(e).__name__ for e in effects]}")
     top_pallas = sum(1 for e, p in eqns
                      if e.primitive.name == "pallas_call" and not p)

@@ -527,8 +527,11 @@ def test_lti_fold_structure():
     a non-LTI stage (limiter) breaks the run."""
     chain = PCHAIN[:2] + [{"name": "volume", "gain_db": -2.0}] + PCHAIN[2:]
     folded = fxg.build_chain(SR, chain, default_backend="pallas")
-    assert [type(e).__name__ for e in folded] == ["FusedLTIFx", "LimiterFx"]
-    assert len(folded[0].folded) == 3
+    # round 4: the trailing pallas limiter pairs with the folded conv
+    # (padded trim=False handoff — ConvLimiterFx)
+    assert [type(e).__name__ for e in folded] == ["ConvLimiterFx"]
+    assert len(folded[0].conv.folded) == 3
+    assert len(folded[0].folded) == 4  # 3 LTI + the limiter
     unfolded = fxg.build_chain(SR, chain, default_backend="pallas",
                                fold=False)
     assert [type(e).__name__ for e in unfolded] == [
@@ -540,6 +543,58 @@ def test_lti_fold_structure():
                               default_backend="pallas")
     assert [type(e).__name__ for e in eq_only] == ["EqualizerFx",
                                                    "LimiterFx"]
+
+
+def test_conv_limiter_padded_handoff_parity(signals):
+    """ConvLimiterFx's whole-clip padded handoff (fftconv trim=False ->
+    limiter n_valid=) computes the SAME f32 values as the unfused
+    FusedLTIFx -> LimiterFx pair — only the trim copy is gone. Both
+    engines run interpret-mode kernels on CPU. Non-dividing n exercises
+    the hop-padded tail slice."""
+    import functools
+
+    import jax
+
+    s = signals(9600, SR)
+    for n in (4800, 9600):  # both are ragged vs the fftconv hop
+        x = np.stack([s["noise"][:n], s["sweep"][:n]], axis=1)
+        fused = fxg.apply_chain(x, SR, PCHAIN, backend="pallas")
+        effs = fxg.build_chain(SR, PCHAIN, default_backend="pallas",
+                               fold=False)
+        # unfused pair, but with the conv still folded: build the
+        # folded conv by hand so the ONLY difference is the handoff
+        folded = fxg._fold_lti(effs)
+        assert [type(e).__name__ for e in folded] == ["FusedLTIFx",
+                                                      "LimiterFx"]
+        xt = jnp.asarray(x.T[None].astype(np.float32))  # (1, ch, n)
+        y, _ = jax.jit(functools.partial(fxg.chain_apply, folded))(
+            xt, (None, None))
+        ref = np.asarray(y)[0].T
+        got = fused.astype(np.float64)
+        db = rms_db(got - ref.astype(np.float64), ref)
+        assert db <= -130.0, (n, db)
+
+
+def test_limiter_n_valid_matches_trimmed():
+    """ops.limiter.limiter(n_valid=) == limiter on the pre-trimmed
+    array, both backends; oversize n_valid raises."""
+    from xmtpu.ops import limiter as L
+
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((2, 2, 4800)).astype(np.float32)
+    xp = np.concatenate([x[..., :4704],
+                         np.full((2, 2, 96), 7.0, np.float32)], axis=-1)
+    for backend in ("scan", "pallas_interpret"):
+        y_ref, st_ref = L.limiter(jnp.asarray(x[..., :4704]), SR,
+                                  backend=backend)
+        y_nv, st_nv = L.limiter(jnp.asarray(xp), SR, backend=backend,
+                                n_valid=4704)
+        assert y_nv.shape == y_ref.shape
+        np.testing.assert_array_equal(np.asarray(y_nv), np.asarray(y_ref))
+        for a, b in zip(st_nv, st_ref):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    with pytest.raises(ValueError, match="n_valid"):
+        L.limiter(jnp.asarray(x), SR, n_valid=5000)
 
 
 def test_sos_impulse_matches_iir():
@@ -563,7 +618,8 @@ def test_lti_fold_combined_ir_exact():
     """The folded stage's combined IR equals dry*h_eq + wet*(h_eq (*)
     ir) (host check — no device compile)."""
     effs = fxg.build_chain(SR, PCHAIN, default_backend="pallas")
-    assert type(effs[0]).__name__ == "FusedLTIFx"
+    assert type(effs[0]).__name__ == "ConvLimiterFx"
+    effs = [effs[0].conv]  # the folded conv stage carries the IR
     h_eq = biquad.sos_impulse_np(biquad.eq_sos(FIVE_BANDS, SR))
     ir = reverb.synthetic_ir(0.1, SR, seed=7)
     comb = 0.3 * np.convolve(h_eq, ir)

@@ -354,3 +354,27 @@ def test_pool_with_noise_suppression_matches_sessions(rng):
             g = got[i].astype(np.float64) / 32768.0
             r = ref.astype(np.float64) / 32768.0
             assert rms_db(g - r, r + 1e-12) <= -80.0, i
+
+
+def test_pool_effects_backend_knob(rng):
+    """effects_backend: "scan" (default) == explicit scan; bogus values
+    raise typed ConfigError at construction; "pallas_interpret" builds
+    and reads (the measured-probe knob, round-4 VERDICT item 7 — the
+    vmapped step batches pallas_call by iteration, so this is a probe
+    configuration, not a production default)."""
+    K = 2
+    srcs = _voices(rng, K, seconds=0.3)
+    ref = SessionPool(_cfg(), K, frame_ms=20.0, sources=srcs).read(2)
+    got = SessionPool(_cfg(), K, frame_ms=20.0, sources=srcs,
+                      effects_backend="scan").read(2)
+    np.testing.assert_array_equal(got, ref)
+    with pytest.raises(ConfigError, match="effects_backend"):
+        SessionPool(_cfg(), K, frame_ms=20.0, sources=srcs,
+                    effects_backend="cuda")
+    pk = SessionPool(_cfg(), K, frame_ms=20.0, sources=srcs,
+                     effects_backend="pallas_interpret")
+    out = pk.read(2)
+    assert out.shape == ref.shape
+    db = rms_db(out.astype(np.float64) - ref.astype(np.float64),
+                ref.astype(np.float64))
+    assert db <= -60.0, db  # f32 kernels vs f64 scans on 2 frames

@@ -111,6 +111,12 @@ class SessionPool:
     ``mesh_axis`` and the one jitted step runs SPMD (each device serves
     ``K / axis_size`` slots). ``n_slots`` must divide evenly.
 
+    ``effects_backend``: engine for the per-frame effect chains inside
+    the vmapped step — "scan" (default; f64 oracle twins, the
+    StreamSession-parity configuration) or "pallas"/"pallas_interpret"
+    (production kernels; a measured-probe knob — see the constructor
+    comment).
+
     THREAD SAFETY: all public methods serialize on one internal lock —
     a serving process can pump :meth:`read` on one thread while request
     handlers ``join``/``leave``/``seek`` other slots (the reference's
@@ -123,8 +129,14 @@ class SessionPool:
                  sources=None, output_dtype=np.int16,
                  duck_params: dict | None = None,
                  max_seconds: float | None = None,
-                 mesh=None, mesh_axis: str = "dp"):
+                 mesh=None, mesh_axis: str = "dp",
+                 effects_backend: str = "scan"):
         self._lock = threading.RLock()
+        if effects_backend not in ("scan", "pallas", "pallas_interpret"):
+            raise ConfigError(
+                f"effects_backend must be scan|pallas|pallas_interpret, "
+                f"got {effects_backend!r}")
+        self._effects_backend = effects_backend
         if isinstance(config, dict):
             config = config_from_dict(config)
         if not isinstance(config, PipelineConfig):
@@ -202,12 +214,20 @@ class SessionPool:
         self._n_nat = [np.zeros(K, np.int64) for _ in geom]
         self._n_out = [np.zeros(K, np.float64) for _ in geom]
 
-        # scan backend: oracle-grade f64 state carry on short frames,
-        # identical math to StreamSession (pool == K sessions, tested)
-        self.voice_effects = _fx.build_chain(self.sr, list(config.effects),
-                                             default_backend="scan")
+        # scan backend (default): oracle-grade f64 state carry on short
+        # frames, identical math to StreamSession (pool == K sessions,
+        # tested). ``effects_backend`` is a measured-probe knob
+        # (round-4 VERDICT item 7): "pallas" routes the per-frame
+        # effects into the production kernels INSIDE the vmapped step —
+        # note jax batches a vmapped pallas_call by iterating it, so
+        # short-frame kernels at K slots are expected to lose to the
+        # vectorized f64 scans; the knob exists to measure, not to win.
+        self.voice_effects = _fx.build_chain(
+            self.sr, list(config.effects),
+            default_backend=self._effects_backend)
         self.master_effects = _fx.build_chain(
-            self.sr, list(config.master_effects), default_backend="scan")
+            self.sr, list(config.master_effects),
+            default_backend=self._effects_backend)
         for e in self.voice_effects + self.master_effects:
             if hasattr(e, "set_streaming"):
                 e.set_streaming(self.frame_out)

@@ -157,6 +157,7 @@ def limiter(
     ratio: float = float("inf"),
     makeup_db: float = 0.0,
     envelope_block: int | None = None,
+    n_valid: int | None = None,
 ):
     """Soft-knee limit ``x`` shaped (..., channels, n). Jittable.
 
@@ -174,12 +175,28 @@ def limiter(
     pallas backend's envelope recurrences (kernels/envelope.py "BLOCK
     LOOKAHEAD"); None = chip-measured default (8), 1 = explicit
     per-sample. Ignored by the scan backend.
+
+    ``n_valid``: x's last axis is the hop-padded output of an upstream
+    kernel (``kernels.fftconv`` ``trim=False``) and only the first
+    n_valid samples are signal; outputs are (..., ch, n_valid). The
+    slice is applied lazily up front, so it FUSES into the detector
+    abs-reduce and the gain multiply instead of the producer paying a
+    standalone trim+relayout pass (XProf at the config-3 shape: the
+    FusedLTI->limiter trim/reshape/copy was ~0.6 ms of a ~3.5 ms
+    device step).
     """
     k_rel = _release_coeff(release_ms, sr)
     c_att = _attack_coeff(attack_ms, sr)
     in_dtype = x.dtype
     work = jnp.float32 if backend.startswith("pallas") else jnp.float64
     xf = x.astype(work)
+    if n_valid is not None:
+        nv = int(n_valid)
+        if nv > x.shape[-1]:
+            raise ValueError(
+                f"n_valid={nv} exceeds x.shape[-1]={x.shape[-1]}")
+        if nv < x.shape[-1]:
+            xf = xf[..., :nv]  # lazy: consumers fuse the slice
     d = jnp.max(jnp.abs(xf), axis=-2)  # linked channels: (..., n)
     if state is None:
         z = jnp.zeros(d.shape[:-1], work)
