@@ -105,6 +105,68 @@ def test_dryrun_survives_poisoned_parent_env(tmp_path):
     assert "dp OK" in res.stdout, res.stdout[-2000:]
 
 
+def test_dryrun_driver_provisioned_env_still_uses_child(tmp_path):
+    """Round-4 regression (MULTICHIP_r04 rc=1): the DRIVER provisions
+    ``JAX_PLATFORMS=cpu`` + ``--xla_force_host_platform_device_count=8``
+    ITSELF, which round 4's trust-the-env fast path took as proof of a
+    valid CPU mesh and ran the legs in the calling process — where the
+    driver host's startup hook re-pins the tunnel backend at jax-INIT
+    time (not via env vars), so device_put died with a libtpu mismatch.
+
+    Emulated here: a hostile sitecustomize that imports jax and re-pins
+    the platform via ``jax.config.update`` — invisible to any env-var
+    inspection, and it beats env re-reads. If the legs ran in this
+    process they would crash on the unknown platform; they must instead
+    run in the hermetic child (whose shim sitecustomize shadows the
+    hostile one)."""
+    hostile = tmp_path / "hostile"
+    hostile.mkdir()
+    (hostile / "sitecustomize.py").write_text(
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'faketpu')\n"
+    )
+    repo = os.path.dirname(os.path.abspath(ge.__file__))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(hostile)
+    env["JAX_PLATFORMS"] = "cpu"  # exactly what the driver sets
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env["XMTPU_DRYRUN_LEGS"] = "dp"  # keep the child cheap
+    env.pop("XMTPU_DRYRUN_CHILD", None)
+    res = subprocess.run(
+        [sys.executable, os.path.join(repo, "__graft_entry__.py"),
+         "multichip", "2"],
+        env=env, capture_output=True, text=True, timeout=580, cwd=repo)
+    assert res.returncode == 0, (res.stdout[-2000:], res.stderr[-2000:])
+    assert "dp OK" in res.stdout, res.stdout[-2000:]
+
+
+def _cpu_mesh_or_skip(n):
+    import pytest
+
+    jax = pytest.importorskip("jax")
+    if jax.default_backend() != "cpu" or len(jax.devices()) < n:
+        pytest.skip(f"needs a cpu backend with >= {n} devices")
+
+
+def test_single_leg_restrictions_reach_their_leg(monkeypatch, capsys):
+    """Every XMTPU_DRYRUN_LEGS single-leg restriction must run (or skip)
+    cleanly — the hook exists to bisect a red driver artifact, so it
+    must not crash when first used in anger (round 4: legs="2d" alone
+    raised NameError on an unbound rng before the leg ran). Runs the
+    legs in-process (XMTPU_DRYRUN_CHILD=1) on the test env's virtual
+    CPU mesh; one test, shared jit caches."""
+    _cpu_mesh_or_skip(4)
+    import __graft_entry__ as ge_mod
+
+    monkeypatch.setenv("XMTPU_DRYRUN_CHILD", "1")
+    for leg in ("dp", "sp", "pool", "2d", "serve"):
+        monkeypatch.setenv("XMTPU_DRYRUN_LEGS", leg)
+        ge_mod.dryrun_multichip(4)
+        out = capsys.readouterr().out
+        assert f"{leg} OK" in out or (
+            leg == "2d" and "dp x sp OK" in out), (leg, out)
+
+
 def test_dryrun_child_asserts_cpu_backend(tmp_path):
     """If the backend somehow comes up non-cpu inside the provisioned
     child, the child must fail IMMEDIATELY with a diagnostic naming the
