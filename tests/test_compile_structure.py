@@ -157,6 +157,54 @@ def test_public_chain_runs_production_engine():
         f"— the public entry point fell off the production kernels")
 
 
+def test_public_chain_stateless_path_keeps_padded_handoff():
+    """The round-4 whole-clip change is the STATELESS (None states)
+    path: ConvLimiterFx hands the fftconv's hop-padded trim=False
+    output straight to limiter(n_valid=) so no standalone trim copy
+    runs between the stages. Pinned two ways: (a) the stateless trace
+    still emits exactly 3 top-level Pallas stages (the fused pair did
+    not fall apart into extra kernel calls), and (b) the handoff args
+    themselves — trim=False at the conv, n_valid=n at the limiter —
+    captured by instrumenting the two callees (a jaxpr slice count
+    cannot tell a fused lazy slice from a materialized trim copy)."""
+    from functools import partial
+    from unittest import mock
+
+    from xmtpu.graph import fx as fxmod
+    from xmtpu.kernels import fftconv as fcmod
+    from xmtpu.ops import limiter as limmod
+
+    effects = fxmod.build_chain(16000, _PUBLIC_CHAIN,
+                                default_backend="pallas")
+    assert [type(e).__name__ for e in effects] == ["ConvLimiterFx"]
+    x = jnp.zeros((128, 1, 160000), jnp.float32)
+    jx = jax.make_jaxpr(partial(fxmod.chain_apply, effects))(
+        x, tuple(None for _ in effects))
+    top_pallas = sum(1 for e, p in _walk(jx.jaxpr)
+                     if e.primitive.name == "pallas_call" and not p)
+    assert top_pallas == 3, (
+        f"stateless public chain traced {top_pallas} Pallas stages, "
+        f"expected 3")
+
+    calls = {}
+    real_conv, real_lim = fcmod.fir_convolve_os_pallas, limmod.limiter
+
+    def spy_conv(*a, **kw):
+        calls["trim"] = kw.get("trim", True)
+        return real_conv(*a, **kw)
+
+    def spy_lim(*a, **kw):
+        calls["n_valid"] = kw.get("n_valid")
+        return real_lim(*a, **kw)
+
+    with mock.patch.object(fcmod, "fir_convolve_os_pallas", spy_conv), \
+            mock.patch.object(limmod, "limiter", spy_lim):
+        jax.make_jaxpr(partial(fxmod.chain_apply, effects))(
+            x, tuple(None for _ in effects))
+    assert calls.get("trim") is False, calls
+    assert calls.get("n_valid") == x.shape[-1], calls
+
+
 def test_public_chain_scan_backend_is_kernel_free():
     """backend='scan' is the oracle/streaming-state path: no fold, no
     Pallas — the f64 twins the correctness arguments lean on."""

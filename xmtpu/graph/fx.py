@@ -795,7 +795,13 @@ def apply_chain(pcm, sample_rate: int, chain, block_size: int | None = None,
                                              default_backend=backend)
     arr = jnp.asarray(pcm)
     if arr.ndim < 1 or arr.ndim > 3:
-        _to_f32_device(arr)  # raises the typed shape ValueError
+        # raise here, not via _to_f32_device's side-effect: if that
+        # helper ever gained ndim>3 support this guard would silently
+        # fall through to the wrong-axis shape indexing below (and the
+        # jnp.asarray above must not be the first validation either)
+        raise ValueError(
+            f"pcm must be (n,), (n, ch), or (B, n, ch); got shape "
+            f"{arr.shape}")
     n = arr.shape[0 if arr.ndim <= 2 else 1]
     if block_size is None or block_size >= n:
         # whole clip, ONE dispatch: layout swaps + i16 conversion +

@@ -195,6 +195,11 @@ def limiter(
         if nv > x.shape[-1]:
             raise ValueError(
                 f"n_valid={nv} exceeds x.shape[-1]={x.shape[-1]}")
+        if nv < 1:
+            # a negative/zero n_valid would silently slice from the
+            # wrong end (n_valid=-1 returns n-1 samples, 0 an empty
+            # array) instead of failing the caller's geometry bug
+            raise ValueError(f"n_valid={nv} must be >= 1")
         if nv < x.shape[-1]:
             xf = xf[..., :nv]  # lazy: consumers fuse the slice
     d = jnp.max(jnp.abs(xf), axis=-2)  # linked channels: (..., n)
