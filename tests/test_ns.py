@@ -275,6 +275,80 @@ def test_stream_ns_batched_matches_per_item():
         np.testing.assert_array_equal(yb[b], np.concatenate(oi, -1))
 
 
+def test_stream_ns_per_item_reset_reruns_leadin():
+    """Round-4 verdict weak #5: the batched (B, ch) API used ONE shared
+    scalar frame counter, so a per-item state reset after the batch had
+    passed noise_frames could never restore that item's lead-in — its
+    noise estimate stayed zero and NS silently no-op'd (G ~= 1 against
+    a zero estimate). Counters are per item now: resetting item 0's
+    state slices (counter included) must make its continuation
+    BIT-EXACT with a fresh stream, while item 1 is untouched."""
+    import jax
+
+    from xmtpu.ops import ns
+
+    rng = np.random.default_rng(12)
+    B, ch, n, nfft, blk = 2, 1, 4096, 256, 512
+    x = (0.1 * rng.standard_normal((B, ch, n))).astype(np.float32)
+
+    st = ns.stream_init((B, ch), nfft=nfft)
+    for i in range(0, n // 2, blk):
+        _, st = ns.stream_suppress(jnp.asarray(x[..., i:i + blk]), st,
+                                   nfft=nfft)
+    assert int(np.min(np.asarray(st["count"]))) > 8  # past the lead-in
+
+    def reset_item(state, b):
+        new = dict(state)
+        for k2, v in state.items():
+            if k2 == "lead":  # item axis is 1 (noise_frames leads)
+                new[k2] = v.at[:, b].set(0)
+            else:
+                new[k2] = v.at[b].set(0)
+        return new
+
+    st_r, st_c = reset_item(st, 0), st
+    out_r, out_c = [], []
+    for i in range(n // 2, n, blk):
+        xb = jnp.asarray(x[..., i:i + blk])
+        y, st_r = ns.stream_suppress(xb, st_r, nfft=nfft)
+        out_r.append(np.asarray(y))
+        y2, st_c = ns.stream_suppress(xb, st_c, nfft=nfft)
+        out_c.append(np.asarray(y2))
+    yr = np.concatenate(out_r, -1)
+    yc = np.concatenate(out_c, -1)
+    # item 1 is unaffected by item 0's reset
+    np.testing.assert_array_equal(yr[1], yc[1])
+    # item 0 == a FRESH stream fed the same second half (lead-in re-ran)
+    stf = ns.stream_init(ch, nfft=nfft)
+    of = []
+    for i in range(n // 2, n, blk):
+        y, stf = ns.stream_suppress(jnp.asarray(x[0, :, i:i + blk]), stf,
+                                    nfft=nfft)
+        of.append(np.asarray(y))
+    np.testing.assert_array_equal(yr[0], np.concatenate(of, -1))
+    # and it actually suppresses again (not the no-op G~=1 failure mode)
+    assert not np.array_equal(yr[0], yc[0])
+
+
+def test_stream_ns_legacy_scalar_counter_state_accepted():
+    """Pre-round-5 saved states carry one scalar counter; they must
+    keep working (broadcast to per-item) bit-exactly."""
+    from xmtpu.ops import ns
+
+    rng = np.random.default_rng(13)
+    B, ch, nfft, blk = 2, 1, 256, 512
+    x = (0.1 * rng.standard_normal((B, ch, blk))).astype(np.float32)
+    st = ns.stream_init((B, ch), nfft=nfft)
+    st_legacy = dict(st)
+    st_legacy["count"] = jnp.zeros((), jnp.int32)  # old layout
+    y_new, st1 = ns.stream_suppress(jnp.asarray(x), st, nfft=nfft)
+    y_old, st2 = ns.stream_suppress(jnp.asarray(x), st_legacy, nfft=nfft)
+    np.testing.assert_array_equal(np.asarray(y_new), np.asarray(y_old))
+    assert st2["count"].shape == (B, ch)
+    np.testing.assert_array_equal(np.asarray(st1["count"]),
+                                  np.asarray(st2["count"]))
+
+
 def test_stream_ns_state_batch_shape_mismatch_raises():
     from xmtpu.ops import ns
 

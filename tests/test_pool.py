@@ -356,6 +356,33 @@ def test_pool_with_noise_suppression_matches_sessions(rng):
             assert rms_db(g - r, r + 1e-12) <= -80.0, i
 
 
+def test_pool_ns_late_join_reruns_leadin(rng):
+    """Round-4 verdict directive 6: a slot joined AFTER the pool has
+    advanced past the NS noise lead-in must re-run its own lead-in
+    (per-slot state reset on join restores the per-slot counter) —
+    its output must match a fresh independent session, not silently
+    no-op against a zero noise estimate."""
+    cfg = PipelineConfig(
+        tracks=(TrackConfig(url="v"),),
+        effects=(EffectConfig("noise_suppression", {"nfft": 320}),),
+        sample_rate=SR, normalize=None,
+    )
+    K = 2
+    srcs = _voices(rng, K, seconds=0.8)
+    pool = SessionPool(cfg, K, frame_ms=20.0, sources=srcs)
+    pool.leave(1)
+    # advance well past the lead-in (noise_frames=8 STFT frames; each
+    # 20 ms frame at 16 k = 2 STFT frames -> 8 reads = 16 frames)
+    pool.read(8)
+    pool.join(1, srcs[1])
+    got = pool.read(8)
+    sess = StreamSession(cfg, frame_ms=20.0, sources=srcs[1])
+    ref = sess.read_many(8)
+    g = got[1].astype(np.float64) / 32768.0
+    r = ref.astype(np.float64) / 32768.0
+    assert rms_db(g - r, r + 1e-12) <= -80.0
+
+
 def test_pool_effects_backend_knob(rng):
     """effects_backend: "scan" (default) == explicit scan; bogus values
     raise typed ConfigError at construction; "pallas_interpret" builds

@@ -228,7 +228,12 @@ def stream_init(batch_shape, nfft: int = _DEF_NFFT, noise_frames: int = 8):
 
     Fields: input carry (last nfft-hop samples), output OLA tail,
     lead-in PSD buffer (median -> frozen noise estimate, same pinned
-    rule as offline), PSD smoother state, frame counter.
+    rule as offline), PSD smoother state, PER-ITEM frame counters
+    (shaped ``batch_shape`` — so resetting one item's state slices,
+    counter included, re-runs that item's noise lead-in while the rest
+    of the batch keeps its estimates; a scalar shared counter could
+    never restore a late (re)joined item's lead-in once it had passed
+    ``noise_frames``).
     """
     bs = ((int(batch_shape),) if isinstance(batch_shape, (int, np.integer))
           else tuple(int(b) for b in batch_shape))
@@ -240,7 +245,7 @@ def stream_init(batch_shape, nfft: int = _DEF_NFFT, noise_frames: int = 8):
         "lead": jnp.zeros((noise_frames,) + bs + (F,), jnp.float32),
         "psd_s": jnp.zeros(bs + (F,), jnp.float32),
         "noise": jnp.zeros(bs + (F,), jnp.float32),  # running estimate
-        "count": jnp.zeros((), jnp.int32),
+        "count": jnp.zeros(bs, jnp.int32),
     }
 
 
@@ -252,10 +257,13 @@ def stream_suppress(x, state, nfft: int = _DEF_NFFT, noise_frames: int = 8,
 
     Any leading batch dims — (ch, n) for a single session, (B, ch, n)
     for batched streaming — with matching state from
-    :func:`stream_init`. All batch items advance in LOCKSTEP (one
-    shared frame counter): a block call feeds every item the same
-    number of frames, which is exactly the SessionPool/batched-session
-    model (per-item seek is a state reset, not a counter rewind).
+    :func:`stream_init`. A block call feeds every item the same number
+    of frames (the SessionPool/batched-session model), but the lead-in
+    frame counters are PER ITEM: resetting one item's state slices
+    (counter included) re-runs that item's noise lead-in, so a late
+    (re)joined item builds a fresh estimate instead of silently
+    no-op'ing on a zero one. Legacy scalar-counter states (pre round
+    5) are accepted and broadcast.
 
     Semantics (pinned): output is DELAYED by nfft-hop samples (the OLA
     synthesis latency); frames seen during the ``noise_frames`` lead-in
@@ -292,6 +300,12 @@ def stream_suppress(x, state, nfft: int = _DEF_NFFT, noise_frames: int = 8,
             f"state batch shape {state['carry'].shape[:-1]} does not "
             f"match input batch shape {bs}; stream_init(batch_shape) "
             "must be built for the same leading dims")
+    if jnp.ndim(state["count"]) == 0 and bs:
+        # legacy (pre round 5) saved states carried one shared scalar
+        # counter; broadcast it to per-item counters
+        state = dict(state)
+        state["count"] = jnp.broadcast_to(
+            jnp.asarray(state["count"], jnp.int32), bs)
     w = jnp.asarray(_win(nfft), jnp.float32)
     k = n // hop
     was_i16 = x.dtype == jnp.int16
@@ -311,22 +325,26 @@ def stream_suppress(x, state, nfft: int = _DEF_NFFT, noise_frames: int = 8,
         X = jnp.fft.rfft(frame * w, axis=-1)
         psd = jnp.square(jnp.abs(X))
         psd_s = smooth * st["psd_s"] + (1.0 - smooth) * psd
-        cnt = st["count"]
-        in_lead = cnt < noise_frames
-        lead = jax.lax.cond(
-            in_lead,
-            lambda l: jax.lax.dynamic_update_index_in_dim(
-                l, psd, jnp.minimum(cnt, noise_frames - 1), 0),
-            lambda l: l,
-            st["lead"],
-        )
+        cnt = st["count"]  # (bs,) int32 — per-item lead-in counters
+        in_lead = cnt < noise_frames  # (bs,) bool
+        # per-item lead-buffer update via a one-hot frame mask over the
+        # noise_frames axis (O(noise_frames) cheap work). A scalar
+        # dynamic_update forced every item onto ONE shared counter —
+        # the round-4 late-join hole: a per-item state reset could
+        # never re-run the joiner's lead-in once the shared counter
+        # had passed noise_frames.
+        idx = jnp.minimum(cnt, noise_frames - 1)
+        iota = jax.lax.broadcasted_iota(
+            jnp.int32, (noise_frames,) + cnt.shape, 0)
+        sel = (iota == idx[None]) & in_lead[None]
+        lead = jnp.where(sel[..., None], psd[None], st["lead"])
         if noise_update == "adaptive":
             # during the lead-in the running estimate tracks the
             # partial-lead median (== the offline seed once full); past
             # it, the SAME recursion the offline scan runs — so the two
             # state sequences are identical from frame noise_frames on
             noise = jnp.where(
-                in_lead,
+                in_lead[..., None],
                 jnp.median(lead, axis=0),
                 _adaptive_noise_step(st["noise"], psd,
                                      float(noise_smooth),
@@ -337,7 +355,7 @@ def stream_suppress(x, state, nfft: int = _DEF_NFFT, noise_frames: int = 8,
             noise = jnp.median(lead, axis=0)  # frozen once lead stops
         snr = jnp.maximum(psd_s / jnp.maximum(noise, 1e-20) - 1.0, 0.0)
         G = jnp.maximum(snr / (1.0 + snr), jnp.float32(floor))
-        G = jnp.where(in_lead, 1.0, G)  # unity during lead-in
+        G = jnp.where(in_lead[..., None], 1.0, G)  # unity during lead-in
         yf = jnp.fft.irfft(X * G, n=nfft, axis=-1) * w
         # at 50% hop, ola is exactly hop wide
         out = yf[..., :hop] + st["ola"]
