@@ -166,6 +166,92 @@ def test_envelope_kernel_segmented_exact(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
 
 
+def test_linked_limiter_matches_oracle(rng):
+    """linked_limiter_pallas (round-5 fused stereo limiter: in-kernel
+    soft-knee gain via curve_mode="gain", segmented pass B on an EXACT
+    decay-window-dot init) vs the f64 numpy oracle — segmented,
+    non-segmented, blocked and per-sample variants."""
+    from xmtpu.kernels.envelope import linked_limiter_pallas
+    from xmtpu.ops import limiter as L
+
+    n = 32768
+    x = (0.5 * rng.standard_normal((2, 2, n))).astype(np.float32)
+    x[0, :, 1000:1200] *= 6.0  # drive the knee and the ceiling clamp
+    k_rel = L._release_coeff(100.0, SR)
+    c_att = L._attack_coeff(1.0, SR)
+    ref, (er, smr) = L.limiter_np(x, SR)
+    for kw in ({}, {"segments": 1}, {"block": 1}, {"block": 16}):
+        y, (el, sl) = linked_limiter_pallas(
+            jnp.asarray(x), k_rel, c_att, -3.0, interpret=True, **kw)
+        db = rms_db(np.asarray(y, np.float64) - ref, ref)
+        assert db <= -80.0, (kw, db)
+        np.testing.assert_allclose(np.asarray(el), er, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(sl), smr, rtol=1e-4)
+
+
+def test_linked_limiter_streaming_state(rng):
+    """ops.limiter(linked_fuse=True): two state-carried halves match
+    the whole clip (the fused path must return exact carried state)."""
+    from xmtpu.ops import limiter as L
+
+    n = 32768
+    x = (0.5 * rng.standard_normal((1, 2, n))).astype(np.float32)
+    x[0, :, 500:700] *= 6.0
+    yw, _ = L.limiter(jnp.asarray(x), SR, backend="pallas_interpret",
+                      linked_fuse=True)
+    y1, st = L.limiter(jnp.asarray(x[..., :n // 2]), SR,
+                       backend="pallas_interpret", linked_fuse=True)
+    y2, _ = L.limiter(jnp.asarray(x[..., n // 2:]), SR,
+                      backend="pallas_interpret", linked_fuse=True,
+                      state=st)
+    got = np.concatenate([np.asarray(y1), np.asarray(y2)], axis=-1)
+    ref = np.asarray(yw, np.float64)
+    assert rms_db(got.astype(np.float64) - ref, ref) <= -80.0
+
+
+def test_linked_limiter_n_valid_and_compressor_curve(rng):
+    """n_valid slices the padded tail before the detector (parity with
+    the unpadded clip), and a finite ratio + makeup (the compressor
+    curve) matches the oracle through the fused path."""
+    from xmtpu.kernels.envelope import linked_limiter_pallas
+    from xmtpu.ops import limiter as L
+
+    n = 4096
+    x = (0.5 * rng.standard_normal((2, 2, n))).astype(np.float32)
+    xpad = np.concatenate(
+        [x, 9.9 * np.ones((2, 2, 512), np.float32)], axis=-1)
+    k_rel = L._release_coeff(100.0, SR)
+    c_att = L._attack_coeff(1.0, SR)
+    y_ref, _ = linked_limiter_pallas(jnp.asarray(x), k_rel, c_att, -3.0,
+                                     interpret=True)
+    y_pad, _ = linked_limiter_pallas(jnp.asarray(xpad), k_rel, c_att, -3.0,
+                                     interpret=True, n_valid=n)
+    assert y_pad.shape == x.shape
+    np.testing.assert_array_equal(np.asarray(y_ref), np.asarray(y_pad))
+
+    ref, _ = L.limiter_np(x, SR, threshold_db=-10.0, ratio=4.0,
+                          makeup_db=2.0)
+    y, _ = L.limiter(jnp.asarray(x), SR, threshold_db=-10.0, ratio=4.0,
+                     makeup_db=2.0, backend="pallas_interpret",
+                     linked_fuse=True)
+    db = rms_db(np.asarray(y, np.float64) - ref, ref)
+    assert db <= -80.0, db
+
+
+def test_limiter_fx_linked_fuse_param():
+    """The chain surface plumbs linked_fuse through to ops.limiter."""
+    from xmtpu.graph import fx
+
+    effects = fx.build_chain(SR, [
+        {"name": "limiter",
+         "params": {"linked_fuse": True, "backend": "pallas"}}])
+    (lim,) = effects
+    assert lim.kw["linked_fuse"] is True
+    x = jnp.asarray(np.ones((1, 2, 2048), np.float32) * 0.9)
+    y, _ = lim.apply(x, None)
+    assert y.shape == x.shape and np.all(np.isfinite(np.asarray(y)))
+
+
 def test_resample_kernel_matches_ops_twin(rng):
     from xmtpu.kernels.resample import resample_pallas
     from xmtpu.ops.resample import polyphase_resample

@@ -10,6 +10,8 @@ PYTHONPATH= JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 import jax
@@ -192,22 +194,31 @@ def test_sp_envelope_kernel_engine_equals_scan(mesh, rng):
 
 def test_sp_effects_chain_megasample_shards(rng):
     """SP at the lengths it exists for (round-2 VERDICT directive #3):
-    1M samples PER SHARD (a ~2-minute 16 kHz clip over 2 devices; the
-    per-shard length, not the shard count, is what stresses compile),
-    kernel engine. Oracle: scipy sosfilt + fftconvolve + the f64 scan
-    envelope. Compile time recorded (printed): the kernel bodies keep
-    the HLO tiny where the scan engine's unrolled graph stalls the
-    remote compiler for >40 min. A 2-device sub-mesh keeps the
-    single-host virtual run affordable — interpret-mode kernels execute
-    every shard serially on one CPU (8 x 1M measured 19 min and passed
-    the same -80 dB gate; this 2 x 1M variant is the CI version)."""
+    long shards over 2 devices (the per-shard length, not the shard
+    count, is what stresses compile), kernel engine. Oracle: scipy
+    sosfilt + fftconvolve + the f64 scan envelope. Compile time
+    recorded (printed): the kernel bodies keep the HLO tiny where the
+    scan engine's unrolled graph stalls the remote compiler for
+    >40 min. A 2-device sub-mesh keeps the single-host virtual run
+    affordable — interpret-mode kernels execute every shard serially
+    on one CPU.
+
+    SUITE-BUDGET NOTE (round-5 directive 7): the always-on CI leg runs
+    256k samples/shard (~2 min CPU; same cross-shard correction-table
+    machinery, t_cut truncation, halo and chain code paths). The 1M-
+    per-shard variant this test is named for measured 457 s — 35% of
+    the whole 21:32 suite — and runs with XMTPU_SLOW=1 (chip-adjacent
+    evidence: 2x1M passed at -80 dB 2026-08-18, 8x1M at 1156 s round
+    3; nothing in the sp math is length-dependent past the correction
+    window, which 256k already exceeds)."""
     import time
 
     from scipy import signal as sps
 
     mesh = jax.sharding.Mesh(np.array(jax.devices()[:2]), ("sp",))
     n_sh = 2
-    n = n_sh * (1 << 20)
+    per_shard = (1 << 20) if os.environ.get("XMTPU_SLOW") else (1 << 18)
+    n = n_sh * per_shard
     sr = 16000
     x = (0.3 * rng.standard_normal(n)).astype(np.float32)[None]  # (1, n)
     ir = reverb.synthetic_ir(0.15, sr).astype(np.float32)  # 2400 taps
@@ -220,7 +231,7 @@ def test_sp_effects_chain_megasample_shards(rng):
         np.float64,
     )
     wall = time.perf_counter() - t0
-    print(f"\nsp_effects_chain {n_sh}x1M kernel engine: {wall:.1f} s "
+    print(f"\nsp_effects_chain {n_sh}x{per_shard} kernel engine: {wall:.1f} s "
           "(compile + run, virtual CPU mesh)")
 
     # f64 oracle chain (scipy EQ/reverb; jax f64 scans for the envelope)

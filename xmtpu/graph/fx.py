@@ -338,7 +338,7 @@ class LimiterFx:
 
     PARAMS = frozenset({"threshold_db", "knee_db", "attack_ms",
                         "release_ms", "ceiling_db", "backend",
-                        "envelope_block"})
+                        "envelope_block", "linked_fuse"})
 
     def __init__(self, sample_rate: int, params):
         p = dict(params)
@@ -358,6 +358,10 @@ class LimiterFx:
             release_ms=float(p.get("release_ms", 100.0)),
             ceiling_db=float(p.get("ceiling_db", 0.0)),
             envelope_block=eb,
+            # in-kernel soft-knee curve on the linked envelope
+            # (kernels.envelope.linked_limiter_pallas); pallas engine
+            # only, opt-in until a chip bench flips it
+            linked_fuse=bool(p.get("linked_fuse", False)),
         )
 
     def _backend_name(self) -> str:

@@ -77,15 +77,15 @@ from xmtpu.ops.limiter import _EPS  # level-meter floor — single source
 _LN10 = float(np.log(10.0))
 
 
-def _curve_apply(x_tile, e2_tile, curve):
-    """FUSED GAIN EPILOGUE: soft-knee static curve + clamp applied on
-    the tile while it is still in VMEM (ops.limiter.apply_gain_curve
-    semantics, f32). ``curve`` is the static 5-tuple (threshold_db,
-    knee_db, ceiling_db, slope, makeup_db) — slope precomputed from the
-    ratio by ops.limiter._knee_slope. Uses exp/log (Mosaic lowers VPU
+def _curve_gain(e2_tile, curve):
+    """Soft-knee static GAIN from the smoothed envelope, on-tile
+    (ops.limiter.soft_knee_gain_db semantics, f32). ``curve`` is the
+    static 5-tuple (threshold_db, knee_db, ceiling_db, slope,
+    makeup_db) — slope precomputed from the ratio by
+    ops.limiter._knee_slope. Uses exp/log (Mosaic lowers VPU
     transcendentals) instead of log10/power; identical math up to f32
     rounding, gated at -80 dB like every stage."""
-    threshold_db, knee_db, ceiling_db, slope, makeup_db = curve
+    threshold_db, knee_db, _ceiling_db, slope, makeup_db = curve
     level_db = (20.0 / _LN10) * jnp.log(jnp.maximum(e2_tile, _EPS))
     over = level_db - threshold_db
     w = max(float(knee_db), 1e-6)
@@ -93,19 +93,30 @@ def _curve_apply(x_tile, e2_tile, curve):
     red = jnp.where(
         over <= -0.5 * w, 0.0,
         jnp.where(over >= 0.5 * w, slope * over, in_knee))
-    g = jnp.exp((makeup_db - red) * (_LN10 / 20.0))
-    ceil_amp = 10.0 ** (float(ceiling_db) / 20.0)
+    return jnp.exp((makeup_db - red) * (_LN10 / 20.0))
+
+
+def _curve_apply(x_tile, e2_tile, curve):
+    """FUSED GAIN EPILOGUE: soft-knee static curve + clamp applied on
+    the tile while it is still in VMEM (ops.limiter.apply_gain_curve
+    semantics, f32)."""
+    g = _curve_gain(e2_tile, curve)
+    ceil_amp = 10.0 ** (float(curve[2]) / 20.0)
     return jnp.clip(x_tile * g, -ceil_amp, ceil_amp)
 
 
 def _env_kernel(coef_ref, init_ref, d_ref, *refs, n_total, tc,
-                has_corr=False, curve=None):
+                has_corr=False, curve=None, curve_mode="apply"):
     if has_corr:
         kt_ref, e_ref, o_ref, zf_ref, st_ref = refs
     else:
         o_ref, zf_ref, st_ref = refs
-    assert not (has_corr and curve is not None)  # fused curve is
-    # single-pass only (segmented pass B corrects e2 AFTER the kernel)
+    # curve_mode="apply" (fused y = clip(x*g)) needs the UNCORRECTED
+    # input tile as the signal, so it is single-pass only; "gain"
+    # (emit g itself — the linked-stereo segmented pass B, which runs
+    # with an EXACT carried init so no post-kernel correction exists)
+    # composes with the inline corrections.
+    assert not (has_corr and curve is not None and curve_mode == "apply")
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -126,6 +137,13 @@ def _env_kernel(coef_ref, init_ref, d_ref, *refs, n_total, tc,
         e2 = a_att * e2 + c_att * env
         return e2, (env, e2)
 
+    def emit(x_tile, e2t):
+        if curve is None:
+            return e2t
+        if curve_mode == "gain":
+            return _curve_gain(e2t, curve)
+        return _curve_apply(x_tile, e2t, curve)
+
     def body8(i, st):
         tile = d_ref[pl.ds(i * UNROLL, UNROLL), :]
         if has_corr:
@@ -134,14 +152,14 @@ def _env_kernel(coef_ref, init_ref, d_ref, *refs, n_total, tc,
             # segmented path; the plain path skips the no-op work
             tile = jnp.maximum(tile,
                                e_ref[:] * kt_ref[pl.ds(i * UNROLL, UNROLL), :])
-        det = jnp.abs(tile) if curve is not None else tile
+        det = (jnp.abs(tile) if curve is not None and curve_mode == "apply"
+               else tile)
         ys = []
         for j in range(UNROLL):
             y, st = update(det[j : j + 1, :], st)
             ys.append(y)
         e2t = jnp.concatenate(ys, axis=0)
-        o_ref[pl.ds(i * UNROLL, UNROLL), :] = (
-            _curve_apply(tile, e2t, curve) if curve is not None else e2t)
+        o_ref[pl.ds(i * UNROLL, UNROLL), :] = emit(tile, e2t)
         return st
 
     def body1(i, st):
@@ -149,11 +167,10 @@ def _env_kernel(coef_ref, init_ref, d_ref, *refs, n_total, tc,
         xi = di
         if has_corr:
             di = jnp.maximum(di, e_ref[:] * kt_ref[pl.ds(i, 1), :])
-        if curve is not None:
+        if curve is not None and curve_mode == "apply":
             di = jnp.abs(di)
         y, st = update(di, st)
-        o_ref[pl.ds(i, 1), :] = (
-            _curve_apply(xi, y, curve) if curve is not None else y)
+        o_ref[pl.ds(i, 1), :] = emit(xi, y)
         return st
 
     # int32 throughout — x64 mode is on package-wide and Mosaic rejects i64
@@ -169,7 +186,7 @@ def _env_kernel(coef_ref, init_ref, d_ref, *refs, n_total, tc,
 
 
 def _env_blk_kernel(coef_ref, init_ref, d_ref, *refs, n_total, tc, B,
-                    has_corr=False, curve=None):
+                    has_corr=False, curve=None, curve_mode="apply"):
     """Block-B lookahead variant of :func:`_env_kernel` (see module
     docstring "BLOCK LOOKAHEAD"). Exact in exact arithmetic: both
     recurrences are affine in their semirings — (max, *) for the
@@ -182,7 +199,7 @@ def _env_blk_kernel(coef_ref, init_ref, d_ref, *refs, n_total, tc, B,
         kt_ref, e_ref, o_ref, zf_ref, st_ref = refs
     else:
         o_ref, zf_ref, st_ref = refs
-    assert not (has_corr and curve is not None)
+    assert not (has_corr and curve is not None and curve_mode == "apply")
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -223,6 +240,13 @@ def _env_blk_kernel(coef_ref, init_ref, d_ref, *refs, n_total, tc, B,
         levels.append((l, m * kp[l], m * ap[l]))
         l *= 2
 
+    def emit(x_tile, e2t):
+        if curve is None:
+            return e2t
+        if curve_mode == "gain":
+            return _curve_gain(e2t, curve)
+        return _curve_apply(x_tile, e2t, curve)
+
     def body_chunk(i, st):
         env_b, e2_b = st  # (1, lanes) each
         tile = d_ref[pl.ds(i * CH, CH), :]
@@ -230,7 +254,7 @@ def _env_blk_kernel(coef_ref, init_ref, d_ref, *refs, n_total, tc, B,
         if has_corr:
             tile = jnp.maximum(
                 tile, e_ref[:] * kt_ref[pl.ds(i * CH, CH), :])
-        if curve is not None:
+        if curve is not None and curve_mode == "apply":
             tile = jnp.abs(tile)
         # within-block decayed prefix max:
         #   pref[u*B+j] = max_{m<=j} k^(j-m) * d[u*B+m]
@@ -265,8 +289,7 @@ def _env_blk_kernel(coef_ref, init_ref, d_ref, *refs, n_total, tc, B,
             jnp.concatenate(carr2, axis=0).reshape(U, 1, lanes_c),
             (U, B, lanes_c)).reshape(CH, lanes_c)
         e2t = acol * carrx2 + c_att * y
-        o_ref[pl.ds(i * CH, CH), :] = (
-            _curve_apply(xin, e2t, curve) if curve is not None else e2t)
+        o_ref[pl.ds(i * CH, CH), :] = emit(xin, e2t)
         return env_b, e2_b
 
     def update(di, st):
@@ -280,11 +303,10 @@ def _env_blk_kernel(coef_ref, init_ref, d_ref, *refs, n_total, tc, B,
         xi = di
         if has_corr:
             di = jnp.maximum(di, e_ref[:] * kt_ref[pl.ds(i, 1), :])
-        if curve is not None:
+        if curve is not None and curve_mode == "apply":
             di = jnp.abs(di)
         y, st = update(di, st)
-        o_ref[pl.ds(i, 1), :] = (
-            _curve_apply(xi, y, curve) if curve is not None else y)
+        o_ref[pl.ds(i, 1), :] = emit(xi, y)
         return st
 
     state = (st_ref[0:1, :], st_ref[1:2, :])
@@ -300,9 +322,9 @@ def _env_blk_kernel(coef_ref, init_ref, d_ref, *refs, n_total, tc, B,
 
 
 @functools.partial(jax.jit, static_argnames=("n", "tc", "interpret", "lanes",
-                                             "block", "curve"))
+                                             "block", "curve", "curve_mode"))
 def _envelope_2d_t(dt, coef, initp, kt=None, ep=None, *, n, tc, interpret,
-                   lanes, block=None, curve=None):
+                   lanes, block=None, curve=None, curve_mode="apply"):
     """KERNEL-LAYOUT core: ``dt`` is (npad, Rp) time-major padded input
     (npad = ntc*tc, Rp a multiple of ``lanes``); returns (e2_t (npad,
     Rp), zf (2, Rp)) in the SAME layout. The segmented path runs both
@@ -321,10 +343,12 @@ def _envelope_2d_t(dt, coef, initp, kt=None, ep=None, *, n, tc, interpret,
         if B < 2 or B & (B - 1):
             raise ValueError(f"block={B} must be a power of two >= 2")
         kern = functools.partial(_env_blk_kernel, n_total=n, tc=tc, B=B,
-                                 has_corr=kt is not None, curve=curve)
+                                 has_corr=kt is not None, curve=curve,
+                                 curve_mode=curve_mode)
     else:
         kern = functools.partial(_env_kernel, n_total=n, tc=tc,
-                                 has_corr=kt is not None, curve=curve)
+                                 has_corr=kt is not None, curve=curve,
+                                 curve_mode=curve_mode)
     # x64 off during kernel trace — Mosaic rejects i64 index types
     with jax.enable_x64(False):
         return _call(kern, coef, initp, dt, kt, ep, Rp, npad, tc, ntc,
@@ -369,10 +393,11 @@ def _auto_tc(n: int, tc: int) -> int:
 
 @functools.partial(jax.jit,
                    static_argnames=("time_chunk", "interpret", "lanes",
-                                    "n_valid", "block", "curve"))
+                                    "n_valid", "block", "curve",
+                                    "curve_mode"))
 def _envelope_2d(d2d, coef, init, time_chunk=2048,
                  interpret=False, lanes=LANES, n_valid=None, block=None,
-                 curve=None):
+                 curve=None, curve_mode="apply"):
     """d2d: (R, n) f32 detector rows. init: (2, R). -> (e2 (R, n), zf (2, R)).
 
     Row-major convenience wrapper over :func:`_envelope_2d_t` (the
@@ -399,7 +424,7 @@ def _envelope_2d(d2d, coef, init, time_chunk=2048,
     initp = jax.lax.dynamic_update_slice(initp, init.astype(jnp.float32), (0, 0))
     e2, zf = _envelope_2d_t(dt, coef, initp, n=n, tc=tc,
                             interpret=interpret, lanes=lanes, block=block,
-                            curve=curve)
+                            curve=curve, curve_mode=curve_mode)
     return e2[:n, :R].T, zf[:, :R]
 
 
@@ -537,6 +562,177 @@ def _envelope_seg(d2d, k_rel, c_att, init2, S_seg, tc, interpret, block=None):
     e2_t = e2_t.at[:ac, :].add(atab[:, None] * s_in_cols[None, :])
     e2 = e2_t[:seglen, :RS].T.reshape(R, n)
     return e2, jnp.stack([e_last, s_last])
+
+
+def _linked_seg_gain(d2d, k_rel, c_att, init2, S_seg, tc, interpret, block,
+                     curve):
+    """Segmented envelope with pass B emitting the soft-knee GAIN
+    in-kernel (the linked-stereo fused limiter's core). Differences vs
+    :func:`_envelope_seg`:
+
+    - pass B runs with the EXACT per-(row, segment) one-pole init
+      ``s_in`` instead of zero init + post-kernel correction, so the
+      static curve can be evaluated on the tile while it is still in
+      VMEM (the post-hoc correction made that impossible — the old
+      assert in ``_env_kernel``);
+    - ``s_in`` comes from a decay-window dot: the zero-init e2 segment
+      final only depends on the last ``_decay_cut(a)`` corrected
+      envelope samples (a^t below any f32 signal's resolution past
+      that — the same truncation the post-hoc ``atab`` used), so ONE
+      (ac,) @ (ac, Rp) einsum replaces a full summary pass;
+    - the kernel writes g, not e2: the caller applies y = clip(x*g) in
+      XLA where the (B, ch, n) signal already lives row-major — the
+      standalone e2-correction + transpose-back passes disappear and
+      the exp/log transcendentals move into the latency-bound kernel.
+
+    Returns (g (R, n) row-major, zf (2, R) = (env_last, e2_last)).
+    """
+    R, n = d2d.shape
+    seglen = n // S_seg
+    RS = R * S_seg
+    lanes = _pick_lanes(RS)
+    Rp = _cdiv(RS, lanes) * lanes
+    npad = _cdiv(seglen, tc) * tc
+    dt = _pad_t(d2d.reshape(RS, seglen), lanes, tc)
+    zerosp = jnp.zeros((2, Rp), jnp.float32)
+
+    # pass A: decaying max only (c_att=1 -> e2 == env), no correction
+    coef_a = jnp.array([[k_rel, 1.0]], jnp.float32)
+    env0_t, zf_a = _envelope_2d_t(dt, coef_a, zerosp, n=seglen,
+                                  tc=tc, interpret=interpret, lanes=lanes,
+                                  block=block)
+    envf = zf_a[0, :RS].reshape(R, S_seg)
+    kp = jnp.float32(float(k_rel) ** seglen)
+
+    def chain_max(e, vk):
+        return jnp.maximum(vk, kp * e), e
+
+    e_last, e_ins = jax.lax.scan(chain_max, init2[0].astype(jnp.float32),
+                                 jnp.moveaxis(envf, 1, 0))
+    t1k = np.arange(1, seglen + 1, dtype=np.float64)
+    with np.errstate(under="ignore"):
+        ktab = np.zeros((npad, 1), np.float32)
+        ktab[:seglen, 0] = (float(k_rel) ** t1k).astype(np.float32)
+    ktab = jnp.asarray(ktab)
+    e_in_rows = jnp.moveaxis(e_ins, 0, 1).reshape(RS)
+    ep = jax.lax.dynamic_update_slice(
+        jnp.zeros((1, Rp), jnp.float32),
+        e_in_rows[None].astype(jnp.float32), (0, 0))
+
+    # s_in: zero-init e2 segment finals via the decay-window dot, then
+    # the same cross-segment (+, *) chain as _envelope_seg
+    a = 1.0 - float(c_att)
+    ac = _decay_cut(a, seglen)
+    with np.errstate(under="ignore"):
+        avec = (a ** np.arange(ac - 1, -1, -1, dtype=np.float64)
+                ).astype(np.float32)
+    tail = env0_t[seglen - ac:seglen, :]
+    tail_corr = jnp.maximum(tail, ep * ktab[seglen - ac:seglen, :])
+    e2_0f = float(c_att) * jnp.einsum(
+        "t,tr->r", jnp.asarray(avec), tail_corr,
+        precision=jax.lax.Precision.HIGHEST)
+    e2f = e2_0f[:RS].reshape(R, S_seg)
+    ap = jnp.float32(a ** seglen)
+
+    def chain_sum(s, vk):
+        return vk + ap * s, s
+
+    s_last, s_ins = jax.lax.scan(chain_sum, init2[1].astype(jnp.float32),
+                                 jnp.moveaxis(e2f, 1, 0))
+    s_in_rows = jnp.moveaxis(s_ins, 0, 1).reshape(RS)
+    initp = jax.lax.dynamic_update_slice(
+        zerosp, s_in_rows[None].astype(jnp.float32), (1, 0))
+
+    # pass B fused: one-pole over the inline-corrected envelope with
+    # the exact init, soft-knee gain emitted in-kernel
+    coef_b = jnp.array([[0.0, c_att]], jnp.float32)
+    g_t, _ = _envelope_2d_t(env0_t, coef_b, initp, ktab, ep, n=seglen,
+                            tc=tc, interpret=interpret, lanes=lanes,
+                            block=block, curve=curve, curve_mode="gain")
+    g = g_t[:seglen, :RS].T.reshape(R, n)
+    return g, jnp.stack([e_last, s_last])
+
+
+def linked_limiter_pallas(x, k_rel: float, c_att: float, threshold_db: float,
+                          knee_db: float = 6.0, ceiling_db: float = 0.0,
+                          ratio: float = float("inf"), makeup_db: float = 0.0,
+                          init=None, time_chunk=2048, interpret=False,
+                          n_valid=None, block=None, segments=None):
+    """CHANNEL-LINKED fused soft-knee limiter of ``x`` shaped
+    (..., ch, n): one gain per time step from the linked ``max_ch |x|``
+    detector, applied to every channel (ops.limiter pinned semantics —
+    the stereo production case, SURVEY.md §2.1 limiter row).
+
+    The detector stays an XLA pass ON PURPOSE: it compresses
+    (..., ch, n) to (..., n) BEFORE the expensive time-major relayout,
+    so reading the channel planes inside the kernel would cost ~4/3
+    the HBM traffic of detect-then-transpose at ch=2 (measured round-5
+    design note). What IS fused: the soft-knee curve runs in-kernel on
+    the VMEM tile (``curve_mode="gain"``), with the segmented path
+    running pass B on an exact carried init (see
+    :func:`_linked_seg_gain`) — the standalone e2-correction +
+    transpose-back + XLA transcendental passes all disappear; the
+    final y = clip(x*g) is one fused row-major multiply.
+
+    Matches ``ops.limiter.limiter`` to f32 rounding (exp/log vs
+    log10/power — NOT bit-exact). Returns (y (..., ch, n_valid or n),
+    (env_last, sm_last)) with state shaped (...,).
+    """
+    from xmtpu.kernels.iir import pick_segments
+    from xmtpu.ops.limiter import _knee_slope
+
+    curve = (float(threshold_db), float(knee_db), float(ceiling_db),
+             _knee_slope(ratio), float(makeup_db))
+    x = jnp.asarray(x)
+    if x.ndim < 2:
+        raise ValueError(
+            f"linked limiter needs (..., ch, n), got shape {x.shape}")
+    batch = x.shape[:-2]
+    if n_valid is not None:
+        nv = int(n_valid)
+        if nv > x.shape[-1]:
+            raise ValueError(
+                f"n_valid={nv} exceeds x.shape[-1]={x.shape[-1]}")
+        if nv < 1:
+            raise ValueError(f"n_valid={nv} must be >= 1")
+    n = x.shape[-1] if n_valid is None else int(n_valid)
+    xf = x.astype(jnp.float32)
+    if n < x.shape[-1]:
+        xf = xf[..., :n]  # lazy: fuses into the detector reduce
+    d = jnp.max(jnp.abs(xf), axis=-2)  # linked channels: (..., n)
+    R = int(np.prod(batch)) if batch else 1
+    d2d = d.reshape(R, n)
+    if init is None:
+        init2 = jnp.zeros((2, R), jnp.float32)
+    else:
+        init2 = jnp.stack(
+            [jnp.asarray(init[0]).reshape(R),
+             jnp.asarray(init[1]).reshape(R)])
+    if block is None:
+        block = DEFAULT_BLOCK
+    elif int(block) == 1:
+        block = None
+    S_seg = (pick_segments(R, n, lanes=_LANES_TARGET)
+             if segments is None else int(segments))
+    if S_seg > 1 and n % S_seg:
+        raise ValueError(
+            f"segments={S_seg} does not divide n={n} (exact state "
+            "corrections need equal segments)")
+    if S_seg > 1:
+        g2, zf = _linked_seg_gain(d2d, k_rel, c_att, init2, S_seg,
+                                  _auto_tc(n // S_seg, time_chunk),
+                                  interpret, block, curve)
+    else:
+        coef = jnp.array([[k_rel, c_att]], jnp.float32)
+        g2, zf = _envelope_2d(d2d, coef, init2,
+                              time_chunk=_auto_tc(n, time_chunk),
+                              interpret=interpret, lanes=_pick_lanes(R),
+                              block=block, curve=curve, curve_mode="gain")
+    g = g2.reshape(*batch, 1, n)
+    ceil_amp = 10.0 ** (float(ceiling_db) / 20.0)
+    y = jnp.clip(xf * g, -ceil_amp, ceil_amp)
+    return (y.astype(x.dtype),
+            (zf[0].reshape(batch), zf[1].reshape(batch)))
 
 
 def envelope_pallas(d, k_rel: float, c_att: float, init=None, time_chunk=2048,

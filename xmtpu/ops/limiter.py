@@ -158,6 +158,7 @@ def limiter(
     makeup_db: float = 0.0,
     envelope_block: int | None = None,
     n_valid: int | None = None,
+    linked_fuse: bool = False,
 ):
     """Soft-knee limit ``x`` shaped (..., channels, n). Jittable.
 
@@ -184,10 +185,31 @@ def limiter(
     standalone trim+relayout pass (XProf at the config-3 shape: the
     FusedLTI->limiter trim/reshape/copy was ~0.6 ms of a ~3.5 ms
     device step).
+
+    ``linked_fuse`` (pallas backends only; ignored by scan): evaluate
+    the soft-knee curve IN-KERNEL on the channel-linked envelope
+    (``kernels.envelope.linked_limiter_pallas``) — same math to f32
+    rounding (exp/log vs log10/power), fewer HBM passes. Opt-in until
+    a chip bench flips it (CLAUDE.md measured-defaults rule).
     """
     k_rel = _release_coeff(release_ms, sr)
     c_att = _attack_coeff(attack_ms, sr)
     in_dtype = x.dtype
+    if linked_fuse and backend in ("pallas", "pallas_interpret"):
+        from xmtpu.kernels.envelope import linked_limiter_pallas
+
+        bshape = x.shape[:-2]
+        if state is None:
+            z = jnp.zeros(bshape, jnp.float32)
+            state = (z, z)
+        init = tuple(jnp.asarray(s, jnp.float32) for s in state)
+        y, st = linked_limiter_pallas(
+            x.astype(jnp.float32), k_rel, c_att, threshold_db,
+            knee_db=knee_db, ceiling_db=ceiling_db, ratio=ratio,
+            makeup_db=makeup_db, init=init,
+            interpret=(backend == "pallas_interpret"),
+            n_valid=n_valid, block=envelope_block)
+        return y.astype(in_dtype), st
     work = jnp.float32 if backend.startswith("pallas") else jnp.float64
     xf = x.astype(work)
     if n_valid is not None:
