@@ -166,6 +166,30 @@ def test_envelope_kernel_segmented_exact(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
 
 
+def test_pick_segments_alignment_mode_is_opt_in():
+    """Round-5 chip story (pinned so nobody re-flips it blind): a
+    misaligned segment split relayouts at ~5x roofline and the
+    128-aligned non-power-of-2 divisor wins STANDALONE (1.463 vs
+    1.89 ms) — but loses IN-CHAIN (config 3: 36.5-38.6k vs 41.7-42.6k
+    controls), so the AUTO policy stays power-of-2 and `aligned=True`
+    is the probe-only mode (see the pick_segments docstring)."""
+    from xmtpu.kernels.iir import pick_segments
+
+    # default (production) policy: power-of-2, alignment-blind
+    assert pick_segments(16, 480000, lanes=256) == 16
+    # probe mode: the largest 128-aligned divisor within the budget
+    assert pick_segments(16, 480000, lanes=256, aligned=True) == 15
+    # pow2-aligned shapes identical in both modes
+    for al in (False, True):
+        assert pick_segments(2, 32768, lanes=256, aligned=al) == 8
+    # no aligned divisor (odd n): pow2 logic result stands
+    assert pick_segments(2, 3**9, lanes=256, aligned=True) == 1
+    # whatever either mode picks must divide n exactly
+    for al in (False, True):
+        s = pick_segments(16, 4 * 37 * 128 * 25, lanes=256, aligned=al)
+        assert (4 * 37 * 128 * 25) % s == 0
+
+
 def test_linked_limiter_matches_oracle(rng):
     """linked_limiter_pallas (round-5 fused stereo limiter: in-kernel
     soft-knee gain via curve_mode="gain", segmented pass B on an EXACT

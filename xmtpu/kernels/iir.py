@@ -243,14 +243,40 @@ def _seg_consts(sos_np: np.ndarray, seglen: int):
 
 
 def pick_segments(R: int, n: int, min_seglen: int = 4096,
-                  lanes: int = LANES) -> int:
-    """Largest power-of-2 segment count that (a) keeps R*S <= lanes,
-    (b) divides n exactly (exact state math needs equal segments), and
-    (c) leaves segments long enough to amortize the correction."""
+                  lanes: int = LANES, aligned: bool = False) -> int:
+    """Segment count that (a) keeps R*S <= lanes, (b) divides n exactly
+    (exact state math needs equal segments), and (c) leaves segments
+    long enough to amortize the correction.
+
+    LANE-ALIGNMENT: MEASURED-AND-REJECTED as the auto policy (round 5,
+    don't retry without a new chain-level reading). When the
+    power-of-2 choice leaves ``n/S % 128 != 0``, every segment row of
+    the (R*S, seglen) split starts mid-(8,128)-tile and the relayout
+    runs ~5x its byte roofline (config-3 XProf: the (16, 480000) ->
+    (256, 30000) split alone cost 0.36 ms of a 3.05 ms step), and a
+    non-power-of-2 aligned divisor DOES win standalone: S=15 (seglen
+    32000 = 250*128, 240/256 lanes) measured 1.463 ms vs 1.89 at S=16
+    on the standalone envelope (S=10, 62%% lanes: 1.91 — occupancy
+    gives it back). But IN-CHAIN it LOST: config 3 measured
+    36.5-38.6k a-s/s over three runs with aligned=auto vs 41.7-42.6k
+    over six same-day controls — the chain overlaps the misaligned
+    reshape behind the conv/MXU stages, while the aligned pick's 6.7%%
+    LONGER segments land directly on the latency-bound envelope
+    chain's critical path (the rsmix lesson again: judge fusions and
+    layout fixes by bench.py, never by standalone stage timings).
+    ``aligned=True`` keeps the probe reachable
+    (tools/probe_seg_alignment.py)."""
     s = 1
     while (R * s * 2 <= lanes and n % (s * 2) == 0
            and n // (s * 2) >= min_seglen):
         s *= 2
+    if aligned and s > 1 and (n // s) % 128:
+        for cand in range(lanes // R, 1, -1):
+            if (n % cand == 0 and n // cand >= min_seglen
+                    and (n // cand) % 128 == 0):
+                if 4 * cand >= 3 * s:  # occupancy within 25% of pow2
+                    return cand
+                break
     return s
 
 
