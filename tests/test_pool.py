@@ -356,6 +356,50 @@ def test_pool_with_noise_suppression_matches_sessions(rng):
             assert rms_db(g - r, r + 1e-12) <= -80.0, i
 
 
+def test_pool_restore_accepts_legacy_scalar_ns_counter(rng, tmp_path):
+    """Round-5 review find: pre-round-5 NS snapshots carry one shared
+    lead-in counter per slot ((K,)) where the state now holds per-item
+    counters ((K, ch)) — failover restore across the upgrade must
+    broadcast, not refuse (ops.ns accepts the same legacy states)."""
+    cfg = PipelineConfig(
+        tracks=(TrackConfig(url="v"),),
+        effects=(EffectConfig("noise_suppression", {"nfft": 320}),),
+        sample_rate=SR, normalize=None,
+    )
+    K = 2
+    srcs = _voices(rng, K, seconds=0.8)
+    pool = SessionPool(cfg, K, frame_ms=20.0, sources=srcs)
+    pool.read(4)
+    p = tmp_path / "st.npz"
+    pool.save_state(p)
+    expect = pool.read(2)
+    # rewrite the snapshot into the pre-round-5 layout: squeeze the
+    # per-item NS counter (K, ch) -> (K,) (all items share the value
+    # in a lockstep pool, which is what the old scalar meant)
+    z = dict(np.load(p))
+    squeezed = 0
+    for k, v in z.items():
+        if k.startswith("leaf_") and v.dtype == np.int32 and v.ndim == 2:
+            z[k] = v[:, 0]
+            squeezed += 1
+    assert squeezed == 1  # the NS counter leaf
+    np.savez(p, **z)
+    pool2 = SessionPool(cfg, K, frame_ms=20.0, sources=srcs)
+    pool2.load_state_file(p)
+    got = pool2.read(2)
+    assert np.array_equal(got, expect)
+    # a FLOAT leaf with the wrong shape is still a typed refuse
+    z2 = dict(np.load(p))
+    for k, v in z2.items():
+        if k.startswith("leaf_") and v.dtype != np.int32 and v.ndim >= 2:
+            z2[k] = v[..., :1]
+            break
+    np.savez(p, **z2)
+    pool3 = SessionPool(cfg, K, frame_ms=20.0, sources=srcs)
+    with pytest.raises(ConfigError, match="leaf"):
+        pool3.load_state_file(p)
+
+
 def test_pool_ns_late_join_reruns_leadin(rng):
     """Round-4 verdict directive 6: a slot joined AFTER the pool has
     advanced past the NS noise lead-in must re-run its own lead-in

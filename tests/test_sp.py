@@ -217,7 +217,8 @@ def test_sp_effects_chain_megasample_shards(rng):
 
     mesh = jax.sharding.Mesh(np.array(jax.devices()[:2]), ("sp",))
     n_sh = 2
-    per_shard = (1 << 20) if os.environ.get("XMTPU_SLOW") else (1 << 18)
+    slow = os.environ.get("XMTPU_SLOW", "") not in ("", "0")
+    per_shard = (1 << 20) if slow else (1 << 18)
     n = n_sh * per_shard
     sr = 16000
     x = (0.3 * rng.standard_normal(n)).astype(np.float32)[None]  # (1, n)

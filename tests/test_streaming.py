@@ -151,6 +151,41 @@ def test_session_public_api(two_tracks):
     assert "frame_idx" in s.state
 
 
+def test_streaming_load_state_accepts_legacy_scalar_ns_counter():
+    """Round-5 review find: the in-memory load_state used to refuse
+    pre-round-5 NS states (scalar shared counter vs today's per-item
+    (ch,) counters) that load_state_file happily restored. Both paths
+    now broadcast integer prefix leaves."""
+    import jax
+    import jax.numpy as jnp
+
+    from xmtpu.config.schema import EffectConfig, PipelineConfig, TrackConfig
+
+    rng = np.random.default_rng(5)
+    voice = (0.3 * rng.standard_normal(int(44100 * 0.8))).astype(np.float32)
+    cfg = PipelineConfig(
+        tracks=(TrackConfig(url="v"),),
+        effects=(EffectConfig("noise_suppression", {"nfft": 320}),),
+        sample_rate=SR, normalize=None,
+    )
+    src = {"v": (voice, 44100)}
+    s1 = StreamSession(cfg, frame_ms=20.0, sources=src)
+    for _ in range(6):
+        s1.read()
+    st = dict(s1.state)
+    next_a = s1.read()
+    # rewrite into the pre-round-5 layout: int32 per-item counters
+    # collapse to the shared scalar they used to be
+    st["fx_state"] = jax.tree.map(
+        lambda v: (jnp.asarray(np.asarray(v).reshape(-1)[0], jnp.int32)
+                   if v.dtype == jnp.int32 else v),
+        st["fx_state"])
+    s2 = StreamSession(cfg, frame_ms=20.0, sources=src)
+    s2.load_state(st)
+    next_b = s2.read()
+    np.testing.assert_array_equal(next_a, next_b)
+
+
 def test_streaming_load_state_rejects_foreign_chain(two_tracks):
     """A state dict captured under a DIFFERENT effects chain must refuse
     at restore with a typed error (it can share frame_out, and used to

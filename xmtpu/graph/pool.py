@@ -463,13 +463,20 @@ class SessionPool:
             raise ConfigError(
                 f"pool snapshot has {n_saved} state leaves, this pool's "
                 f"config builds {len(t_leaves)} (different effects chain?)")
+        from xmtpu.graph.streaming import coerce_legacy_state_leaf
+
         leaves = []
         for i, tl in enumerate(t_leaves):
-            v = z[f"leaf_{i}"]
-            if v.shape != tl.shape:
+            # pre-round-5 NS snapshots carry one shared lead-in counter
+            # per slot ((K,)) where the state now holds per-item
+            # counters ((K, ch)); integer prefix leaves broadcast, any
+            # other mismatch is a different config (typed refuse)
+            v = coerce_legacy_state_leaf(z[f"leaf_{i}"], tl)
+            if v is None:
                 raise ConfigError(
-                    f"pool snapshot state leaf {i} shape {v.shape} != "
-                    f"{tl.shape} (different effects config?)")
+                    f"pool snapshot state leaf {i} shape "
+                    f"{z[f'leaf_{i}'].shape} != {tuple(tl.shape)} "
+                    "(different effects config?)")
             leaves.append(self._commit(jnp.asarray(v, tl.dtype)))
         self.states = jax.tree_util.tree_unflatten(treedef, leaves)
         self._frame_idx[:] = z["frame_idx"]

@@ -37,6 +37,29 @@ from xmtpu.ops import resample as _resample
 from xmtpu.utils.errors import ConfigError
 
 
+def coerce_legacy_state_leaf(v, template):
+    """Saved-state leaf -> the template's shape, or None on a real
+    mismatch. Exact-shape leaves pass through. The one sanctioned
+    widening: an INTEGER leaf whose shape is a leading prefix of the
+    template's broadcasts over the missing trailing dims — pre-round-5
+    NS snapshots carried one shared lead-in counter (scalar per
+    session, ``(K,)`` per pool) where the state now holds per-item
+    counters shaped like the batch (``ops.ns.stream_init``); the
+    broadcast reproduces exactly what the old lockstep counter meant.
+    Float DSP leaves (carries, OLA tails, filter states) never
+    broadcast — a shape change there is a different config, not a
+    version skew."""
+    v = np.asarray(v)
+    want = tuple(template.shape)
+    if v.shape == want:
+        return v
+    if (np.issubdtype(template.dtype, np.integer)
+            and v.ndim < len(want) and v.shape == want[:v.ndim]):
+        return np.broadcast_to(
+            v.reshape(v.shape + (1,) * (len(want) - v.ndim)), want)
+    return None
+
+
 class _TrackStream:
     """Host-side per-track source geometry + window extraction."""
 
@@ -395,14 +418,22 @@ class StreamSession:
         template = self._init_state()
         t_leaves, treedef = jax.tree_util.tree_flatten(template)
         leaves, got_def = jax.tree_util.tree_flatten(st["fx_state"])
-        if got_def != treedef or any(
-                np.shape(a) != np.shape(b) for a, b in zip(leaves, t_leaves)):
+        if got_def != treedef:
             raise ConfigError(
                 "state does not match this session's effects chain "
                 f"(expected {len(t_leaves)} leaves of the config's "
                 "structure)")
+        coerced = []
+        for a, b in zip(leaves, t_leaves):
+            c = coerce_legacy_state_leaf(a, b)
+            if c is None:
+                raise ConfigError(
+                    "state does not match this session's effects chain "
+                    f"(leaf shape {np.shape(a)} != {tuple(b.shape)})")
+            coerced.append(jnp.asarray(c, b.dtype)
+                           if np.shape(c) != np.shape(a) else a)
         self.frame_idx = int(st["frame_idx"])
-        self.fx_state = st["fx_state"]
+        self.fx_state = jax.tree_util.tree_unflatten(treedef, coerced)
         self._queue.clear()
 
     def save_state(self, path) -> None:

@@ -498,48 +498,71 @@ def _decay_cut(r: float, n: int) -> int:
     return min(n, int(np.ceil(np.log(1e-40) / np.log(r))))
 
 
-def _envelope_seg(d2d, k_rel, c_att, init2, S_seg, tc, interpret, block=None):
-    R, n = d2d.shape
-    seglen = n // S_seg
-    RS = R * S_seg
-    lanes = _pick_lanes(RS)
-    Rp = _cdiv(RS, lanes) * lanes
-    npad = _cdiv(seglen, tc) * tc
-    # both passes run in KERNEL LAYOUT (time-major (npad, Rp)): pass A's
-    # output feeds pass B directly, so the detector array crosses HBM
-    # in (R, n) layout exactly twice (transpose in, transpose out) —
-    # the earlier per-pass wrappers paid two extra full transposes.
-    dt = _pad_t(d2d.reshape(RS, seglen), lanes, tc)
-    zerosp = jnp.zeros((2, Rp), jnp.float32)
-    ep0 = jnp.zeros((1, Rp), jnp.float32)
+class _SegGeom:
+    """Shared geometry + pass-A products of the segmented envelope
+    (single source of truth for `_envelope_seg` and `_linked_seg_gain`
+    — the two pass-B strategies must never drift on the pass-A
+    machinery, the k^t underflow handling, or the t_cut truncation)."""
+
+    __slots__ = ("R", "n", "seglen", "RS", "lanes", "Rp", "npad",
+                 "zerosp", "env0_t", "e_last", "ep", "ktab")
+
+
+def _seg_pass_a(d2d, k_rel, init2, S_seg, tc, interpret, block):
+    """Segmented pass A (decaying max, zero-init) + the cross-segment
+    max chain + the inline-correction inputs shared by both pass-B
+    strategies. Both passes run in KERNEL LAYOUT (time-major
+    (npad, Rp)): pass A's output feeds pass B directly, so the
+    detector array crosses HBM in (R, n) layout exactly twice
+    (transpose in, transpose out). The k^t correction column
+    underflows to 0 once below f32 range, which is exact (the true
+    correction is below denormal resolution there)."""
+    g = _SegGeom()
+    g.R, g.n = d2d.shape
+    g.seglen = g.n // S_seg
+    g.RS = g.R * S_seg
+    g.lanes = _pick_lanes(g.RS)
+    g.Rp = _cdiv(g.RS, g.lanes) * g.lanes
+    g.npad = _cdiv(g.seglen, tc) * tc
+    dt = _pad_t(d2d.reshape(g.RS, g.seglen), g.lanes, tc)
+    g.zerosp = jnp.zeros((2, g.Rp), jnp.float32)
 
     # pass A: decaying max only (c_att=1 -> e2 == env), no correction
     coef_a = jnp.array([[k_rel, 1.0]], jnp.float32)
-    env0_t, zf_a = _envelope_2d_t(dt, coef_a, zerosp, n=seglen,
-                                  tc=tc, interpret=interpret, lanes=lanes,
-                                  block=block)
-    envf = zf_a[0, :RS].reshape(R, S_seg)
-    kp = jnp.float32(float(k_rel) ** seglen)
+    g.env0_t, zf_a = _envelope_2d_t(dt, coef_a, g.zerosp, n=g.seglen,
+                                    tc=tc, interpret=interpret,
+                                    lanes=g.lanes, block=block)
+    envf = zf_a[0, :g.RS].reshape(g.R, S_seg)
+    kp = jnp.float32(float(k_rel) ** g.seglen)
 
     def chain_max(e, vk):
         return jnp.maximum(vk, kp * e), e
 
-    e_last, e_ins = jax.lax.scan(chain_max, init2[0].astype(jnp.float32),
-                                 jnp.moveaxis(envf, 1, 0))
+    g.e_last, e_ins = jax.lax.scan(chain_max,
+                                   init2[0].astype(jnp.float32),
+                                   jnp.moveaxis(envf, 1, 0))
+    t1k = np.arange(1, g.seglen + 1, dtype=np.float64)
+    with np.errstate(under="ignore"):
+        ktab = np.zeros((g.npad, 1), np.float32)
+        ktab[:g.seglen, 0] = (float(k_rel) ** t1k).astype(np.float32)
+    g.ktab = jnp.asarray(ktab)
+    e_in_rows = jnp.moveaxis(e_ins, 0, 1).reshape(g.RS)
+    g.ep = jax.lax.dynamic_update_slice(
+        jnp.zeros((1, g.Rp), jnp.float32),
+        e_in_rows[None].astype(jnp.float32), (0, 0))
+    return g
+
+
+def _envelope_seg(d2d, k_rel, c_att, init2, S_seg, tc, interpret, block=None):
+    sg = _seg_pass_a(d2d, k_rel, init2, S_seg, tc, interpret, block)
+    R, n, seglen, RS, Rp = sg.R, sg.n, sg.seglen, sg.RS, sg.Rp
+    lanes, zerosp, env0_t = sg.lanes, sg.zerosp, sg.env0_t
+    e_last, ep, ktab = sg.e_last, sg.ep, sg.ktab
     # pass B: one-pole only (k_rel=0 passes the input straight through);
     # the env correction max(env0[t], E * k^(t+1)) is applied INLINE on
-    # the kernel's read — no (R, n) corrected array hits HBM. The k^t
-    # column underflows to 0 once below f32 range, which is exact
-    # (the true correction is below denormal resolution there).
-    t1k = np.arange(1, seglen + 1, dtype=np.float64)
-    with np.errstate(under="ignore"):
-        ktab = np.zeros((npad, 1), np.float32)
-        ktab[:seglen, 0] = (float(k_rel) ** t1k).astype(np.float32)
-    e_in_rows = jnp.moveaxis(e_ins, 0, 1).reshape(RS)
-    ep = jax.lax.dynamic_update_slice(ep0, e_in_rows[None].astype(jnp.float32),
-                                      (0, 0))
+    # the kernel's read — no (R, n) corrected array hits HBM.
     coef_b = jnp.array([[0.0, c_att]], jnp.float32)
-    e2_t, zf_b = _envelope_2d_t(env0_t, coef_b, zerosp, jnp.asarray(ktab),
+    e2_t, zf_b = _envelope_2d_t(env0_t, coef_b, zerosp, ktab,
                                 ep, n=seglen, tc=tc, interpret=interpret,
                                 lanes=lanes, block=block)
     e2f = zf_b[1, :RS].reshape(R, S_seg)
@@ -587,37 +610,10 @@ def _linked_seg_gain(d2d, k_rel, c_att, init2, S_seg, tc, interpret, block,
 
     Returns (g (R, n) row-major, zf (2, R) = (env_last, e2_last)).
     """
-    R, n = d2d.shape
-    seglen = n // S_seg
-    RS = R * S_seg
-    lanes = _pick_lanes(RS)
-    Rp = _cdiv(RS, lanes) * lanes
-    npad = _cdiv(seglen, tc) * tc
-    dt = _pad_t(d2d.reshape(RS, seglen), lanes, tc)
-    zerosp = jnp.zeros((2, Rp), jnp.float32)
-
-    # pass A: decaying max only (c_att=1 -> e2 == env), no correction
-    coef_a = jnp.array([[k_rel, 1.0]], jnp.float32)
-    env0_t, zf_a = _envelope_2d_t(dt, coef_a, zerosp, n=seglen,
-                                  tc=tc, interpret=interpret, lanes=lanes,
-                                  block=block)
-    envf = zf_a[0, :RS].reshape(R, S_seg)
-    kp = jnp.float32(float(k_rel) ** seglen)
-
-    def chain_max(e, vk):
-        return jnp.maximum(vk, kp * e), e
-
-    e_last, e_ins = jax.lax.scan(chain_max, init2[0].astype(jnp.float32),
-                                 jnp.moveaxis(envf, 1, 0))
-    t1k = np.arange(1, seglen + 1, dtype=np.float64)
-    with np.errstate(under="ignore"):
-        ktab = np.zeros((npad, 1), np.float32)
-        ktab[:seglen, 0] = (float(k_rel) ** t1k).astype(np.float32)
-    ktab = jnp.asarray(ktab)
-    e_in_rows = jnp.moveaxis(e_ins, 0, 1).reshape(RS)
-    ep = jax.lax.dynamic_update_slice(
-        jnp.zeros((1, Rp), jnp.float32),
-        e_in_rows[None].astype(jnp.float32), (0, 0))
+    sg = _seg_pass_a(d2d, k_rel, init2, S_seg, tc, interpret, block)
+    R, n, seglen, RS = sg.R, sg.n, sg.seglen, sg.RS
+    lanes, zerosp, env0_t = sg.lanes, sg.zerosp, sg.env0_t
+    e_last, ep, ktab = sg.e_last, sg.ep, sg.ktab
 
     # s_in: zero-init e2 segment finals via the decay-window dot, then
     # the same cross-segment (+, *) chain as _envelope_seg
