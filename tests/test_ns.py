@@ -316,16 +316,26 @@ def test_stream_ns_per_item_reset_reruns_leadin():
         out_c.append(np.asarray(y2))
     yr = np.concatenate(out_r, -1)
     yc = np.concatenate(out_c, -1)
-    # item 1 is unaffected by item 0's reset
+    # item 1 is unaffected by item 0's reset (same batched shape on
+    # both sides -> bit-exact on every backend)
     np.testing.assert_array_equal(yr[1], yc[1])
-    # item 0 == a FRESH stream fed the same second half (lead-in re-ran)
+    # item 0 == a FRESH stream fed the same second half (lead-in
+    # re-ran). Cross-SHAPE comparison: the TPU backend rounds the
+    # (B, ch, nfft) and (ch, nfft) FFTs differently in the last bit
+    # (~1e-7 relative, observed 2026-08-20), so this leg is gated at
+    # -120 dB instead of bit-exact — still far beyond the no-op
+    # failure mode this test exists to catch.
     stf = ns.stream_init(ch, nfft=nfft)
     of = []
     for i in range(n // 2, n, blk):
         y, stf = ns.stream_suppress(jnp.asarray(x[0, :, i:i + blk]), stf,
                                     nfft=nfft)
         of.append(np.asarray(y))
-    np.testing.assert_array_equal(yr[0], np.concatenate(of, -1))
+    yf = np.concatenate(of, -1).astype(np.float64)
+    err = yr[0].astype(np.float64) - yf
+    db = 10 * np.log10(max(float(np.mean(err**2)), 1e-300)
+                       / max(float(np.mean(yf**2)), 1e-300))
+    assert db <= -120.0, db
     # and it actually suppresses again (not the no-op G~=1 failure mode)
     assert not np.array_equal(yr[0], yc[0])
 
