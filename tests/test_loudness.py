@@ -32,8 +32,14 @@ def test_k_weighting_matches_bs1770_table():
 
 def test_sine_calibration_minus_3_lufs():
     """A 0 dBFS 997 Hz sine measures -3.01 LUFS (the BS.1770 anchor the
-    -0.691 constant exists for)."""
-    t = np.arange(SR * 3) / SR
+    -0.691 constant exists for).
+
+    SHAPE BUDGET (round 5): every device-path test in this file uses
+    length SR*2 — each distinct length compiles a fresh K-weighting +
+    gating program remotely (~4-6 min each on the axon tunnel; the
+    four unconsolidated tests cost ~23 min of the 1:20 driver-env
+    suite, 2026-08-20 durations ledger). Keep new tests on SR*2."""
+    t = np.arange(SR * 2) / SR
     x = np.sin(2 * np.pi * 997.0 * t)
     lufs = measure_lufs_np(x, SR)
     assert abs(lufs - (-3.01)) < 0.05, lufs
@@ -44,10 +50,10 @@ def test_sine_calibration_minus_3_lufs():
 def test_jax_matches_oracle_with_gating(rng):
     """Noise with a long silent gap (absolute gate) and a quiet tail
     (relative gate): device measurement == f64 scipy oracle."""
-    n = SR * 4
+    n = SR * 2  # shape budget: one device length for the whole file
     x = 0.25 * rng.standard_normal(n)
-    x[SR : 2 * SR] = 0.0  # silence: absolute-gated out
-    x[3 * SR :] *= 0.003  # ~ -50 dB quieter: relative-gated out
+    x[int(0.6 * SR) : int(1.2 * SR)] = 0.0  # silence: absolute-gated out
+    x[int(1.5 * SR) :] *= 0.003  # ~ -50 dB quieter: relative-gated out
     ref = measure_lufs_np(x, SR)
     got = float(measure_lufs(jnp.asarray(x, jnp.float32), SR))
     assert abs(got - ref) < 0.02, (got, ref)
@@ -69,12 +75,13 @@ def test_stereo_channel_sum(rng):
 
 
 def test_lufs_normalize_hits_target(rng):
-    x = (0.05 * rng.standard_normal((1, SR * 3))).astype(np.float32)
+    x = (0.05 * rng.standard_normal((1, SR * 2))).astype(np.float32)
     y, gain = lufs_normalize(jnp.asarray(x), SR, target_lufs=-23.0)
     got = measure_lufs_np(np.asarray(y, np.float64), SR)
     assert abs(got - (-23.0)) < 0.05, got
-    # silence passes through with unity gain
-    z = jnp.zeros((1, SR), jnp.float32)
+    # silence passes through with unity gain (same shape -> the
+    # compiled program is shared with the call above)
+    z = jnp.zeros((1, SR * 2), jnp.float32)
     _, g0 = lufs_normalize(z, SR, target_lufs=-23.0)
     assert float(g0) == 1.0
 
